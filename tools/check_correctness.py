@@ -1,0 +1,120 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every queries()[name] on Spark at sf0.01 and the matching
+oracle_sql()[name] on DuckDB over the same parquet, then compares
+row count, column names, and order-insensitive values (columns sorted
+by name, rows sorted by all columns). Floats are compared both exactly
+and with tolerance so FP-order mismatches are visible before the real
+driver sees them.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> tuple[bool, bool]:
+    """(exact, approx) equality for two canonicalized frames."""
+    if a.shape != b.shape:
+        return False, False
+    exact = True
+    approx = True
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for x, y in zip(av, bv):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if x != y:
+                    exact = False
+                    if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                        approx = False
+            elif x != y:
+                exact = False
+                approx = False
+    return exact, approx
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from dist_mapreduce_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        probs = []
+        if len(sdf) != len(ddf):
+            probs.append(f"rows {len(sdf)} vs {len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            probs.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        if not probs:
+            a, b = canon(sdf), canon(ddf)
+            exact, approx = values_equal(a, b)
+            if not exact:
+                probs.append("values differ" + (" (within 1e-9 tol)" if approx else " (BEYOND tol)"))
+                mism = (a != b).any(axis=1)
+                print(a[mism].head(3))
+                print(b[mism].head(3))
+        if probs:
+            print(f"FAIL  {name}: {'; '.join(probs)}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

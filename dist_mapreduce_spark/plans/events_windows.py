@@ -1,1 +1,161 @@
-"""Filled in incrementally."""
+"""Event-time windowed aggregations over the ``events`` table
+(SURVEY.md §2.9): tumbling, sliding, and session windows in batch mode
+(DuckDB-checkable) plus the same tumbling plan under Structured
+Streaming (rows-only check — the driver contract's escape hatch for
+non-SQL-expressible ops).
+
+Window timestamps are emitted as formatted strings so the comparison is
+timezone-unambiguous (session TZ is pinned to UTC either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+#: Exact money-style aggregation of the 2-decimal `value` column.
+_VAL_SUM_DUCK = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _val_sum() -> F.Column:
+    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+
+
+@query(
+    "agg_window_tumbling",
+    oracle=(
+        f"SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')"
+        f"  AS window_start, event_type, count(*) AS n_events,"
+        f" {_VAL_SUM_DUCK} AS total_value"
+        f" FROM events GROUP BY 1, 2"
+    ),
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. Spark's window() and
+    DuckDB's time_bucket both align to the epoch, so bucket boundaries
+    agree. Executes as a plain hash aggregate on the derived window
+    column — one shuffle, partial agg map-side."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), _val_sum().alias("total_value"))
+        .select(
+            F.date_format("window.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "agg_window_sliding",
+    oracle=(
+        f"SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start, event_type,"
+        f" count(*) AS n_events, {_VAL_SUM_DUCK} AS total_value FROM ("
+        f"  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value"
+        f"   FROM events"
+        f"  UNION ALL"
+        f"  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',"
+        f"   event_type, value FROM events"
+        f" ) GROUP BY 1, 2"
+    ),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    windows. The oracle expresses the same assignment as a UNION ALL of
+    the two candidate buckets — the standard SQL unrolling of a slide
+    (each 30-min bucket b contributes to windows starting at b and
+    b-30min)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), _val_sum().alias("total_value"))
+        .select(
+            F.date_format("window.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "agg_window_session",
+    oracle=(
+        f"SELECT user_id,"
+        f" strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,"
+        f" strftime(max(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,"
+        f" count(*) AS n_events, {_VAL_SUM_DUCK} AS total_value"
+        f" FROM ("
+        f"  SELECT *, sum(is_new) OVER"
+        f"   (PARTITION BY user_id ORDER BY ts, event_id"
+        f"    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+        f"  FROM ("
+        f"   SELECT user_id, event_id, ts, value,"
+        f"    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        f"     (PARTITION BY user_id ORDER BY ts, event_id) >= {_SESSION_GAP_US}"
+        f"     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+        f"    THEN 1 ELSE 0 END AS is_new FROM events))"
+        f" GROUP BY user_id, session_id"
+    ),
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user, via Spark's
+    native session_window — merge-on-overlap semantics: an event within
+    the gap of the previous event extends the session; session end =
+    last event + gap. The oracle derives identical boundaries with the
+    gaps-and-islands idiom (lag + running sum of session starts).
+
+    At scale: session_window aggregates shuffle once on user_id, then
+    merge sorted runs per key — no state blowup; for streaming use the
+    same expression under a watermark (see streaming.windows)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), _val_sum().alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_window.end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("stream_tumbling")  # no oracle: streaming execution, rows-only check
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregate executed through Structured Streaming
+    (readStream → watermark → window agg → memory sink, driven to
+    completion). Same logical plan as agg_window_tumbling, so the
+    DuckDB-certified batch result vouches for the streaming one; tests
+    assert the two match row-for-row."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+        tumbling_counts_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts_stream(events)
+    out = run_stream_to_table(agg, "stream_tumbling_out")
+    return out.select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

@@ -1,1 +1,412 @@
-"""Filled in incrementally."""
+"""Relational completion (SURVEY.md §2.3, §2.5, §2.6, §2.7): the
+capabilities the reference's MapReduce paradigm implies but never
+exercises — joins, window functions, set ops, distinct, grouping sets,
+pivot, global top-k — over the TPC-H-ish star schema.
+
+Scale posture per query:
+- dimension joins are broadcast (nation/region/part/customer are tiny
+  relative to fact tables at any SF; broadcast threshold 64 MiB in
+  session.py) — no shuffle of the fact side's join key;
+- fact-fact joins rely on AQE (skew-join splitting enabled);
+- money sums go through DECIMAL(18,2) so results are exact and
+  bit-identical to the DuckDB oracle (double summation order would
+  differ); quantities are integral doubles → exact in either engine;
+- every window has a total order (tiebreak on a key column) so ranks
+  are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _money_sum(col: str) -> F.Column:
+    """Exact money aggregation: accumulate as DECIMAL(18,2), present as
+    double. Bit-identical across engines regardless of add order."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+# ------------------------------------------------------------------ joins
+
+@query(
+    "join_inner",
+    oracle=(
+        "SELECT c_mktsegment, count(*) AS n_orders,"
+        " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " GROUP BY c_mktsegment"
+    ),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer (equi-join) + aggregate. customer is the small
+    side → Catalyst broadcasts it (verify: BroadcastHashJoin in the
+    plan); the orders scan prunes to 2 columns."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=(
+        "SELECT p_brand,"
+        " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+        "          * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)"
+        "  AS revenue,"
+        " CAST(sum(l_quantity) AS DOUBLE) AS sum_qty"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " GROUP BY p_brand"
+    ),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ broadcast(part): the canonical fact-dim pattern. At
+    100 TB the fact side never shuffles for this join — the dim ships to
+    every executor once. Revenue rounded to cents at the row level
+    before summing (exact, order-independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            # Exact decimal arithmetic at the row level: price is 2-dec,
+            # discount 2-dec, so the product is an exact 4-dec decimal in
+            # both engines — no double-rounding ties (half-up vs
+            # half-even) like a double→decimal cast of the product.
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=(
+        "SELECT r_name, n_name, count(*) AS n_customers,"
+        " CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal"
+        " FROM customer"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY r_name, n_name"
+    ),
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way snowflake join customer→nation→region. Both dims are
+    broadcast; Catalyst is free to reorder (no shuffle either way)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _money_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS"
+        " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having ≥1 order. Semi joins
+    ship only the join key of the probe side and never duplicate rows —
+    the right plan shape for existence filters at scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS"
+        " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+@query(
+    "window_topk",
+    oracle=(
+        "SELECT letter, word, cnt, rk FROM ("
+        " SELECT substr(word, 1, 1) AS letter, word, cnt,"
+        "  row_number() OVER (PARTITION BY substr(word, 1, 1)"
+        "                     ORDER BY cnt DESC, word) AS rk"
+        " FROM (SELECT word, count(*) AS cnt FROM"
+        "   (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word"
+        "    FROM documents) WHERE word <> '' GROUP BY word)"
+        ") WHERE rk <= 3"
+    ),
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 words per initial letter — the natural windowed extension
+    of the reference's partitioned word count (SURVEY.md §2.5).
+    Deterministic tiebreak (cnt DESC, word ASC)."""
+    from dist_mapreduce_spark.operators.wordcount import word_count
+
+    counts = word_count(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("letter").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("letter", F.substring("word", 1, 1))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("letter", "word", "cnt", "rk")
+    )
+
+
+@query(
+    "window_running",
+    oracle=(
+        "SELECT o_custkey, o_orderkey,"
+        " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER"
+        "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        "  AS running_total"
+        " FROM orders"
+    ),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order total per customer (analytic frame). DECIMAL
+    accumulation keeps every prefix sum exact → engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "window_lag",
+    oracle=(
+        "SELECT user_id, event_id,"
+        " epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us"
+        " FROM events"
+    ),
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): microsecond gap between consecutive events per user.
+    Time compared as unix microseconds (bigint) — no tz ambiguity."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "user_id", "event_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+# ------------------------------------------------------------------ sorts
+
+@query(
+    "topk_global",
+    oracle=(
+        "SELECT rk, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM ("
+        " SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk,"
+        "  o_orderkey, o_totalprice FROM orders) WHERE rk <= 10"
+    ),
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price. orderBy(...).limit(k) compiles to
+    TakeOrderedAndProject — per-partition heaps + driver merge, no
+    global sort. The rank column pins the order for the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top.select(
+        F.row_number().over(w).alias("rk"), "o_orderkey", "o_totalprice"
+    )
+
+
+# ----------------------------------------------------------------- setops
+
+_SRC_WORDS = (
+    "SELECT DISTINCT word FROM (SELECT unnest(string_split_regex(text,"
+    " '[^a-zA-Z]+')) AS word FROM documents WHERE source = '{src}')"
+    " WHERE word <> ''"
+)
+
+
+def _src_words(spark: SparkSession, sf_dir: str, src: str) -> DataFrame:
+    from dist_mapreduce_spark.operators.wordcount import tokenize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == src)
+    return tokenize(docs).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle=f"({_SRC_WORDS.format(src='src0')}) INTERSECT ({_SRC_WORDS.format(src='src1')})",
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary common to two sources (INTERSECT = semi-join on all
+    columns after distinct)."""
+    return _src_words(spark, sf_dir, "src0").intersect(
+        _src_words(spark, sf_dir, "src1")
+    )
+
+
+@query(
+    "setop_except",
+    oracle=f"({_SRC_WORDS.format(src='src0')}) EXCEPT ({_SRC_WORDS.format(src='src1')})",
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary unique to src0 (EXCEPT = anti-join after distinct)."""
+    return _src_words(spark, sf_dir, "src0").exceptAll(
+        _src_words(spark, sf_dir, "src1")
+    ).distinct()
+
+
+# --------------------------------------------------------------- distinct
+
+@query(
+    "distinct_exact",
+    oracle=(
+        "SELECT lang, count(DISTINCT source) AS n_sources,"
+        " count(DISTINCT n_chars) AS n_lengths FROM documents GROUP BY lang"
+    ),
+)
+def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expands to a two-level aggregate)."""
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("n_chars").alias("n_lengths"),
+    )
+
+
+@query("approx_distinct")  # no oracle: HLL estimates are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for
+    distinct-user-style metrics — one pass, bounded memory, mergeable
+    sketches instead of the exact two-level expansion. Rows-only check:
+    estimates are implementation-specific by design."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------- grouping sets / pivot
+
+@query(
+    "rollup_agg",
+    oracle=(
+        "SELECT coalesce(l_returnflag, 'ALL') AS returnflag,"
+        " coalesce(l_linestatus, 'ALL') AS linestatus,"
+        " CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n"
+        " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand). NULL grouping
+    markers are coalesced to 'ALL' in both engines — no NULL-vs-NULL
+    hash ambiguity. Quantities are integral doubles → exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    oracle=(
+        "SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,"
+        " coalesce(o_orderpriority, 'ALL') AS orderpriority,"
+        " count(*) AS n_orders"
+        " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "pivot_linestatus",
+    oracle=(
+        "SELECT l_returnflag,"
+        " CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS qty_O,"
+        " CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS qty_F"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = grouped conditional aggregation. Explicit pivot values
+    ('O','F') avoid the extra distinct-discovery job — required practice
+    at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity").cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )

@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events.parquet carries TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as raw nanos and normalize in
+        # sources.tables.load_table (truncate to micros, matching how
+        # DuckDB downcasts the same column).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -41,7 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw nanos (see session.py): truncate
+        # to microseconds — the same downcast DuckDB applies — so both
+        # engines see identical timestamp values.
+        # Integer DIV, not `/`: double division loses ulps on 19-digit
+        # nanos and shifts some timestamps by 1 µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

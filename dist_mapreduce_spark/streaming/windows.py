@@ -1,0 +1,80 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference has no streaming operators — its only "continuous"
+behavior is the coordinator's accept-jobs-forever loop
+(/root/reference/cmd/coordinator/main.go:40) and the worker poll loop
+(worker.go:50-72). The extension surface mandated by BASELINE.json
+gets real event-time semantics: watermarks, tumbling/sliding windows,
+session windows.
+
+Batch/stream unification is the design point: the batch queries in
+plans/events_windows.py and the streaming pipelines here share the
+same logical plan shapes, so the DuckDB-checked batch results certify
+the streaming transformations too (same Catalyst operators, different
+source/sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Schema of events.parquet under nanosAsLong (session.py): the nano
+#: timestamp arrives as a raw long and is normalized to micros below.
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the static events parquet — the standard
+    local harness for exercising a streaming plan to completion. In
+    production the source line changes to Kafka; the plan below it does
+    not (source/sink are the only non-portable lines in a Structured
+    Streaming job)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        # File stream sources take a directory; select just the events
+        # table out of the shared sf_dir.
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, width: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate: the state store drops
+    windows older than the watermark, bounding state at 100 TB/day
+    ingest; late events beyond it are discarded, within it they update
+    their window (append-mode emit on watermark passage)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_table(df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion against the static
+    source and return the materialized result (memory sink)."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = df.sparkSession
+    return spark.table(name)

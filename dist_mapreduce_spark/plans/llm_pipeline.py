@@ -1,1 +1,503 @@
-"""Filled in incrementally."""
+"""LLM-data-pipeline queries (SURVEY.md §2.12): text analysis, exact
+and near-duplicate detection, document fingerprinting — over the
+``documents`` table (doc_id bigint, text string, lang string,
+source string, n_chars bigint).
+
+Parity approach: integer counts and md5-derived hashes (identical in
+every engine); double arithmetic only as single shared expression
+trees; minhash constants generated once in Python and inlined into both
+the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.operators import text_analysis as ta
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# DuckDB token-array expression (whitespace tokens, empties dropped).
+_D_TOKS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+
+
+# ------------------------------------------------------------ text stats
+
+@query(
+    "text_stats",
+    oracle=(
+        f"SELECT doc_id,"
+        f" len({_D_TOKS}) AS n_tokens,"
+        f" length(text) AS n_chars_actual,"
+        f" length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,"
+        f" length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,"
+        f" CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)"
+        f"  / CAST(len({_D_TOKS}) AS DOUBLE) AS avg_token_len"
+        f" FROM documents"
+    ),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: token/char/alpha/punct counts and mean
+    token length. Map-side only — no shuffle; pipelines over the scan."""
+    text = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.n_tokens(text).alias("n_tokens"),
+        F.length(text).alias("n_chars_actual"),
+        ta.n_alpha_chars(text).alias("n_alpha"),
+        ta.n_punct_chars(text).alias("n_punct"),
+        (
+            F.length(F.regexp_replace(text, r"\s", "")).cast("double")
+            / ta.n_tokens(text).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+# -------------------------------------------------------------- lang id
+
+def _duck_marker_hits(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" w -> w <> ''), w -> w IN ({in_list})))"
+    )
+
+
+def _duck_lang_pred() -> str:
+    s = {lang: _duck_marker_hits(ms) for lang, ms in ta.LANG_MARKERS.items()}
+    return (
+        f"CASE"
+        f" WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']}"
+        f"  AND {s['en']} >= {s['fr']} AND {s['en']} > 0 THEN 'en'"
+        f" WHEN {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']}"
+        f"  AND {s['de']} > 0 THEN 'de'"
+        f" WHEN {s['es']} >= {s['fr']} AND {s['es']} > 0 THEN 'es'"
+        f" WHEN {s['fr']} > 0 THEN 'fr'"
+        f" ELSE 'und' END"
+    )
+
+
+@query(
+    "lang_id",
+    oracle=(
+        f"SELECT doc_id, {_duck_marker_hits(ta.LANG_MARKERS['en'])} AS en_hits,"
+        f" {_duck_lang_pred()} AS lang_pred FROM documents"
+    ),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count marker-token hits per
+    language, argmax with fixed tie order. The operator shape (array
+    set-membership counting, fully codegen'd) is the point; swap in a
+    real lexicon/n-gram table for production quality."""
+    text = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.marker_hits(text, ta.LANG_MARKERS["en"]).alias("en_hits"),
+        ta.lang_pred(text).alias("lang_pred"),
+    )
+
+
+# -------------------------------------------------------- quality score
+
+@query(
+    "quality_score",
+    oracle=(
+        f"SELECT doc_id,"
+        f" least(1.0, CAST(len({_D_TOKS}) AS DOUBLE) / 100.0) * 0.4"
+        f" + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f"    / CAST(length(text) AS DOUBLE)) * 0.3"
+        f" + least(1.0, ({_duck_marker_hits(ta.LANG_MARKERS['en'])} "
+        f"    / CAST(len({_D_TOKS}) AS DOUBLE)) * 5.0) * 0.3 AS quality"
+        f" FROM documents"
+    ),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality (length saturation, punctuation,
+    stopword presence) — the cheap first-pass filter of a training-data
+    pipeline. Identical IEEE expression tree on both engines."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", ta.quality_score(F.col("text")).alias("quality")
+    )
+
+
+# --------------------------------------------------------- token counts
+
+@query(
+    "token_count",
+    oracle=(
+        f"SELECT doc_id, len({_D_TOKS}) AS ws_tokens,"
+        f" len(regexp_extract_all(text, '{ta.BPE_ISH_RE}')) AS bpe_ish_tokens"
+        f" FROM documents"
+    ),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish-pretokenizer token counts per document —
+    the budget accounting pass of a training pipeline."""
+    text = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.n_tokens(text).alias("ws_tokens"),
+        ta.bpe_ish_token_count(text).alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------- fingerprint
+
+@query(
+    "fingerprint",
+    oracle=(
+        "SELECT doc_id,"
+        " md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"
+        " CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12))"
+        "  AS BIGINT) AS fp48"
+        " FROM documents"
+    ),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 of collapsed lowercase text)
+    as hex + 48-bit integer prefix — the join key for cross-corpus
+    exact dedup."""
+    fp = ta.normalized_fingerprint(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fp.alias("fp"),
+        F.conv(F.substring(fp, 1, 12), 16, 10).cast("bigint").alias("fp48"),
+    )
+
+
+# ---------------------------------------------------------- exact dedup
+
+@query(
+    "dedup_exact",
+    oracle=(
+        "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"
+        " min(doc_id) AS keep_doc_id, count(*) AS n_copies"
+        " FROM documents GROUP BY 1"
+    ),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized fingerprint, keep the smallest
+    doc_id. One hash-partial+final aggregate over the fingerprint — the
+    shuffle carries (fp, partial min, partial count), never document
+    text. At 100 TB, project fp + doc_id only before the shuffle."""
+    fp = ta.normalized_fingerprint(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+@query(
+    "dedup_simhash",
+    oracle=(
+        "WITH tok AS ("
+        " SELECT doc_id,"
+        "  CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h"
+        " FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),"
+        "        w -> w <> '')) AS w FROM documents)"
+        "), bits AS ("
+        " SELECT doc_id, j,"
+        "  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s"
+        " FROM tok, (SELECT unnest(range(0, 32)) AS j) js"
+        " GROUP BY doc_id, j"
+        ") SELECT doc_id,"
+        "  CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)"
+        "   AS simhash"
+        " FROM bits GROUP BY doc_id"
+    ),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — near-dup candidates are pairs with
+    small hamming distance (bit_count(a^b)). The Spark side computes it
+    as ONE fold over the token array with a 32-vector accumulator (no
+    explode, no shuffle: strictly map-side); the oracle cross-joins bit
+    positions, which is the same math in relational form."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", ta.simhash32(F.col("text")).alias("simhash")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+# Deterministic universal-hash parameters for MinHash, generated once
+# with a fixed seed and inlined into BOTH plans (Spark + oracle).
+_rng = random.Random(20260813)
+N_HASHES = 16
+# Universal hash family h_i(x) = (a_i * (x mod p) + b_i) mod p over the
+# Mersenne prime p = 2^31 - 1. The input must be reduced mod p BEFORE
+# the multiply and a_i must range over [1, p): with a small a_i and a
+# 48-bit x, a*x+b never exceeds a big p, the mod is a no-op, min() is
+# then monotone in x and every h_i degenerates to the same argmin
+# shingle. a*(x mod p) < 2^62 also keeps the arithmetic inside int64.
+MINHASH_P = (1 << 31) - 1
+MINHASH_AB = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(N_HASHES)
+]
+# 16 = 8 bands × 2 rows: recall-oriented banding (threshold s where
+# capture probability is ~50% is (1/8)^(1/2) ≈ 0.35) — dedup wants high
+# recall at jaccard ≥ 0.5; precision comes from the exact-verify stage.
+N_BANDS, ROWS_PER_BAND = 8, 2
+JACCARD_THRESHOLD = 0.1  # low: surface weak near-dups in the synthetic corpus
+
+# Word 3-shingles over a PRE-MATERIALIZED token column `t` (binding the
+# token array once per row matters: inlining the split expression makes
+# both engines re-run the regex split per index access — O(n²) regex
+# work per document).
+_D_SHINGLES_T = (
+    "list_transform(range(1, len(t) - 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+def _duck_minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min(({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band_id, md5({concat}) AS band_hash FROM mh".format(
+            band=band,
+            concat=" || '_' || ".join(
+                f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for band in range(N_BANDS)
+    )
+    return (
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents"
+        f"), shingle AS ("
+        f" SELECT DISTINCT doc_id,"
+        f"  CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h"
+        f" FROM (SELECT doc_id, unnest({_D_SHINGLES_T}) AS s FROM tk)"
+        f"), mh AS ("
+        f" SELECT doc_id, {mh_cols} FROM shingle GROUP BY doc_id"
+        f"), bands AS ({band_rows}"
+        f"), cand AS ("
+        f" SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM bands a JOIN bands b"
+        f"  ON a.band_id = b.band_id AND a.band_hash = b.band_hash"
+        f"  AND a.doc_id < b.doc_id"
+        f"), sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id)"
+        f" SELECT c.doc_a, c.doc_b,"
+        f"  CAST(count(*) AS DOUBLE)"
+        f"   / CAST(sa.n + sb.n - count(*) AS DOUBLE) AS jaccard"
+        f" FROM cand c"
+        f" JOIN shingle x ON x.doc_id = c.doc_a"
+        f" JOIN shingle y ON y.doc_id = c.doc_b AND x.h = y.h"
+        f" JOIN sizes sa ON sa.doc_id = c.doc_a"
+        f" JOIN sizes sb ON sb.doc_id = c.doc_b"
+        f" GROUP BY c.doc_a, c.doc_b, sa.n, sb.n"
+        f" HAVING CAST(count(*) AS DOUBLE)"
+        f"  / CAST(sa.n + sb.n - count(*) AS DOUBLE) >= {JACCARD_THRESHOLD}"
+    )
+
+
+@query("dedup_minhash", oracle=_duck_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, the 100 TB dedup path:
+
+    1. word 3-shingles per doc (distinct), hashed to 48-bit ints;
+    2. 16 universal minhashes per doc — ONE aggregation, not 16 passes;
+    3. 4 bands × 4 rows; band signature = md5 of the 4 minhashes;
+    4. candidate pairs = docs sharing any (band_id, band_hash) — an
+       equi-join on the band key, which is the shuffle-friendly trick:
+       candidate generation is a hash join, never an all-pairs product;
+    5. exact Jaccard on shingle sets for candidates only, filtered at
+       the threshold.
+
+    Skew note: a degenerate band bucket (e.g. thousands of identical
+    boilerplate docs) would explode step 4's join; AQE skew-join
+    handles moderate cases, and a production run adds a bucket-size cap
+    (count per band_hash, drop or sample buckets over the cap) — the
+    standard banding-cap mitigation from the dedup literature.
+    """
+    docs = _docs(spark, sf_dir)
+    # Materialize the token array as a real column first: inlining the
+    # split expression into every element_at makes codegen re-run the
+    # regex split per index access — O(n²) regex work per document.
+    tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
+    toks = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    # No .distinct() needed post-explode: the shingle array is already
+    # array_distinct per doc, so (doc_id, h) is unique (mod 48-bit hash
+    # collisions) — skipping it removes a full shuffle of the largest
+    # intermediate. Cached because four downstream consumers (minhash
+    # agg, set sizes, both sides of the intersection join) would each
+    # recompute the scan+explode otherwise; at 100 TB this materializes
+    # to a temp parquet instead.
+    shingle = (
+        tok_df.select("doc_id", F.explode(shingles).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+        )
+        .cache()
+    )
+    mh = shingle.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * (F.col("h") % F.lit(MINHASH_P)) + F.lit(b))
+                % F.lit(MINHASH_P)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
+    # All 8 band signatures in ONE pass: explode an array of
+    # (band_id, band_hash) structs. A per-band union would re-evaluate
+    # the whole shingle→minhash pipeline N_BANDS times.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = shingle.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = shingle.alias("x")
+    y = shingle.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.h") == F.col("y.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=(
+        "WITH grams AS ("
+        " SELECT DISTINCT doc_id, lang, g FROM ("
+        "  SELECT doc_id, lang,"
+        "   unnest(list_transform(range(1, length(text) - 1),"
+        "    i -> substr(text, i, 3))) AS g"
+        "  FROM documents)"
+        "), sizes AS ("
+        " SELECT doc_id, lang, count(*) AS n FROM grams GROUP BY doc_id, lang"
+        "), pairs AS ("
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb"
+        " FROM sizes a JOIN sizes b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+        "  AND a.doc_id % 50 = 0"
+        ") SELECT p.doc_a, p.doc_b,"
+        "  CAST(count(*) AS DOUBLE) / CAST(p.na + p.nb - count(*) AS DOUBLE)"
+        "   AS jaccard"
+        " FROM pairs p"
+        " JOIN grams x ON x.doc_id = p.doc_a"
+        " JOIN grams y ON y.doc_id = p.doc_b AND x.g = y.g"
+        " GROUP BY p.doc_a, p.doc_b, p.na, p.nb"
+        " HAVING CAST(count(*) AS DOUBLE) / CAST(p.na + p.nb - count(*) AS DOUBLE)"
+        "  >= 0.2"
+    ),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity. Candidate generation here is
+    blocking (same lang) with a deterministic probe subset
+    (doc_a % 50 = 0) to bound pair count; the scale path for unbounded
+    corpora is the MinHash banding of dedup_minhash — this operator is
+    the exact-verification stage layered on any candidate generator."""
+    docs = _docs(spark, sf_dir)
+    # substring() with a column start position needs SQL-expr form.
+    grams = (
+        docs.selectExpr(
+            "doc_id",
+            "lang",
+            "explode(array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)),"
+            " i -> substring(text, i, 3)))) AS g",
+        )
+    )
+    sizes = grams.groupBy("doc_id", "lang").agg(F.count("*").alias("n"))
+    a = sizes.alias("a")
+    b = sizes.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.doc_id") % 50 == 0),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    x = grams.alias("x")
+    y = grams.alias("y")
+    inter = (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.g") == F.col("y.g")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("common"))
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.2)

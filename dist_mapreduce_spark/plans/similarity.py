@@ -1,1 +1,256 @@
-"""Filled in incrementally."""
+"""Similarity search over embeddings + multimodal column queries
+(SURVEY.md §2.12 `sim_topk` / `multimodal_cols`).
+
+Embeddings table: (vec_id bigint, embedding array<float> dim 64,
+label int). Cosine scores are computed as the SAME sequential double
+fold on both engines (functions/vectors.py), so scores — and therefore
+rankings — are bit-identical; no rounding fudge needed.
+
+Scale design: brute-force top-k is one broadcast + one corpus scan per
+query batch (the correct dense baseline); the LSH variant buckets by
+deterministic random-hyperplane signs so candidate generation is an
+equi-join on bucket id — the same shuffle-friendly shape as MinHash
+banding.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.functions.vectors import cosine_duckdb_sql, cosine_spark_sql
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+N_QUERIES = 5        # query set: vec_id < 5
+TOP_K = 10
+NEAR_DUP_COS = 0.30  # p99 of the within-label cosine distribution
+
+# Deterministic random hyperplanes for LSH: 4 planes × 64 integer
+# components in [-3, 3] (seeded; inlined into both dialects). 4 planes
+# → 16 buckets over the corpus; enough selectivity for the test SFs
+# while keeping buckets non-trivial.
+_rng = random.Random(64_2026)
+N_PLANES = 4
+DIM = 64
+PLANES = [[_rng.randint(-3, 3) for _ in range(DIM)] for _ in range(N_PLANES)]
+
+
+def _dot_plane_spark(vec: str, plane: list[int]) -> str:
+    arr = ", ".join(str(v) for v in plane)
+    return (
+        f"aggregate(zip_with({vec}, array({arr}),"
+        f" (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_plane_duckdb(vec: str, plane: list[int]) -> str:
+    arr = ", ".join(str(v) for v in plane)
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {DIM} + 1),"
+        f"  i -> CAST({vec}[i] AS DOUBLE) * CAST(([{arr}])[i] AS DOUBLE))),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_spark(vec: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_plane_spark(vec, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    )
+    return f"({terms})"
+
+
+def _bucket_duckdb(vec: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_plane_duckdb(vec, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    )
+    return f"({terms})"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------ brute force topk
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        f"  WHERE vec_id < {N_QUERIES}),"
+        f" s AS (SELECT q.query_id, e.vec_id,"
+        f"  {cosine_duckdb_sql('q.qv', 'e.embedding')} AS score"
+        f"  FROM embeddings e, q WHERE e.vec_id <> q.query_id)"
+        f" SELECT query_id, vec_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+    ),
+)
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query batch, one scan of the
+    corpus, per-query heap via window row_number. At 100 TB this is the
+    gold-standard baseline: cost = one pass per query batch, perfectly
+    parallel, zero index maintenance."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+# ------------------------------------------------------------- LSH topk
+
+@query(
+    "sim_topk_lsh",
+    oracle=(
+        f"WITH e AS (SELECT vec_id, embedding,"
+        f"  {_bucket_duckdb('embedding')} AS bucket FROM embeddings),"
+        f" q AS (SELECT vec_id AS query_id, embedding AS qv, bucket"
+        f"  FROM e WHERE vec_id < {N_QUERIES}),"
+        f" s AS (SELECT q.query_id, e.vec_id,"
+        f"  {cosine_duckdb_sql('q.qv', 'e.embedding')} AS score"
+        f"  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)"
+        f" SELECT query_id, vec_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+    ),
+)
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: bucket = sign
+    pattern of 4 fixed hyperplane dot products; candidates share the
+    query's bucket, so candidate generation is an equi-join on bucket —
+    corpus scanned once, compared ~1/16th per query. Deterministic
+    planes make this approximate algorithm exactly oracle-checkable.
+
+    Scale path: more planes (and multiple plane-tables OR'd together)
+    tune recall vs. candidate count; bucket column can be precomputed
+    and partition-pruned on write for a 100 TB corpus."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_spark("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+# ----------------------------------------------------- embedding dedup
+
+@query(
+    "dedup_embedding",
+    oracle=(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        f" {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS cos_sim"
+        f" FROM embeddings a JOIN embeddings b"
+        f"  ON a.label = b.label AND a.vec_id < b.vec_id"
+        f" WHERE {cosine_duckdb_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}"
+    ),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with label blocking:
+    candidate pairs share a label (the blocking key — at 100 TB this is
+    a cluster/bucket id from LSH or k-means), exact cosine filters at
+    the threshold. Shape: self-equi-join on the block key, never an
+    unblocked cross product."""
+    emb = _emb(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_sim", F.expr(cosine_spark_sql("a.embedding", "b.embedding")))
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+
+
+# ---------------------------------------------------- multimodal columns
+
+@query(
+    "multimodal_cols",
+    oracle=(
+        "SELECT doc_id, 'text/utf-8' AS fmt, octet_length(encode(text)) AS n_bytes,"
+        " sha256(text) AS payload_sha FROM documents"
+    ),
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal layout: opaque binary payload + typed metadata struct
+    (the binaryFile shape). Returns the metadata projection plus a
+    content hash computed from the binary column."""
+    from dist_mapreduce_spark.operators.multimodal import attach_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("meta.fmt").alias("fmt"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=(
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+        " ascii(substr(text, 1, 1)) AS first_byte,"
+        " ascii(substr(text, length(text), 1)) AS last_byte,"
+        " CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "  list_transform(range(1, length(text) + 1),"
+        "   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),"
+        "  (a, b) -> (a + b) % 997) AS INT) AS byte_sum_mod"
+        " FROM documents"
+    ),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads through the Arrow
+    mapInPandas path (operators.multimodal.fake_decode_features). The
+    oracle recomputes the same features from the text (the corpus is
+    ASCII, so char codes == bytes) — proving the binary plumbing
+    preserves content exactly. Real decoders slot into the same UDF
+    signature (stubbed: decode_image / decode_audio_frames)."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        fake_decode_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_decode_features(attach_payload(docs))

@@ -1,0 +1,156 @@
+"""Behavioral tests for the LLM-pipeline extension operators: known
+duplicate/near-duplicate fixtures for dedup, recall checks for LSH,
+stub contracts for multimodal decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return registry.QUERIES[name]
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """documents ∪ exact copies ∪ near-copies (FIXTURES.md §4): doc 100
+    is an exact copy of doc 0; doc 101 is doc 1 with one word changed."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog and runs far away home"),
+        (1, "pack my box with five dozen liquor jugs before the long trip starts"),
+        (2, "sphinx of black quartz judge my vow while shadows dance at night"),
+    ]
+    extra = [
+        (100, base[0][1]),
+        (101, base[1][1].replace("liquor", "water")),
+    ]
+    return spark.createDataFrame(base + extra, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_known_copy(spark, dup_docs):
+    from dist_mapreduce_spark.operators.text_analysis import normalized_fingerprint
+
+    groups = (
+        dup_docs.select(normalized_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep"), F.count("*").alias("n"))
+        .collect()
+    )
+    dup_group = [g for g in groups if g["n"] == 2]
+    assert len(dup_group) == 1 and dup_group[0]["keep"] == 0
+    assert len(groups) == 4  # 5 docs, one exact pair
+
+
+def test_minhash_flags_exact_and_near_copy(spark, dup_docs, monkeypatch):
+    # Run the registered plan body against the fixture by monkeypatching
+    # the table loader — the plan logic itself is the unit under test.
+    import dist_mapreduce_spark.plans.llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_docs", lambda s, d: dup_docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _q("dedup_minhash")(spark, SF).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0  # exact copy
+    assert (1, 101) in pairs and pairs[(1, 101)] > 0.5   # near copy
+    assert (0, 1) not in pairs and (0, 2) not in pairs   # unrelated
+
+
+def test_simhash_near_dup_small_hamming(spark, dup_docs):
+    from dist_mapreduce_spark.operators.text_analysis import simhash32
+
+    h = {
+        r["doc_id"]: r["sh"]
+        for r in dup_docs.select(
+            "doc_id", simhash32(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert h[0] == h[100]  # identical text → identical simhash
+    ham = bin(h[1] ^ h[101]).count("1")
+    ham_unrelated = bin(h[0] ^ h[2]).count("1")
+    assert ham <= 10
+    assert ham < ham_unrelated
+
+
+def test_lsh_consistency_with_bruteforce(spark):
+    """LSH properties (recall on random near-orthogonal vectors is low
+    by nature — the corpus has no planted neighbors, so we assert
+    correctness, not recall): every query returns candidates, scores
+    strictly descend with rank, and any (query, vec) pair that also
+    appears in brute force carries the identical score (bit-equal —
+    same cosine fold)."""
+    bf = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in _q("sim_topk_bruteforce")(spark, SF).collect()
+    }
+    lsh = _q("sim_topk_lsh")(spark, SF).collect()
+    assert len(lsh) > 0
+    per_query: dict[int, list] = {}
+    for r in lsh:
+        per_query.setdefault(r["query_id"], []).append(r)
+    for rows in per_query.values():
+        rows.sort(key=lambda r: r["rk"])
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    overlapping = [r for r in lsh if (r["query_id"], r["vec_id"]) in bf]
+    assert all(bf[(r["query_id"], r["vec_id"])] == r["score"] for r in overlapping)
+
+
+def test_multimodal_decode_stubs_raise():
+    from dist_mapreduce_spark.operators.multimodal import decode_audio_frames, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio_frames(b"RIFF")
+
+
+def test_multimodal_roundtrip_bytes(spark, dup_docs):
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        fake_decode_features,
+    )
+
+    feats = {r["doc_id"]: r for r in fake_decode_features(attach_payload(dup_docs)).collect()}
+    text0 = dup_docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    assert feats[0]["n_bytes"] == len(text0.encode())
+    assert feats[0]["first_byte"] == text0.encode()[0]
+    assert feats[0]["byte_sum_mod"] == sum(text0.encode()) % 997
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    from dist_mapreduce_spark.operators.text_analysis import quality_score
+
+    df = spark.createDataFrame(
+        [
+            ("prose", "the cat sat on the mat and then the dog ran to the park"),
+            ("garbage", "@#$% ^&*() !!!! ~~~ ####"),
+        ],
+        "kind string, text string",
+    )
+    s = {r["kind"]: r["q"] for r in df.select("kind", quality_score(F.col("text")).alias("q")).collect()}
+    assert s["prose"] > s["garbage"]
+
+
+def test_lang_id_markers(spark):
+    from dist_mapreduce_spark.operators.text_analysis import lang_pred
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the house of the king and the queen is big"),
+            ("de", "der hund und die katze ist ein tier"),
+            ("es", "el perro y la casa es un lugar"),
+            ("und", "xylophone zebra quartz"),
+        ],
+        "expected string, text string",
+    )
+    got = {r["expected"]: r["p"] for r in df.select("expected", lang_pred(F.col("text")).alias("p")).collect()}
+    assert got["en"] == "en" and got["de"] == "de" and got["es"] == "es"
+    assert got["und"] == "und"

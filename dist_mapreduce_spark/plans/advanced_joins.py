@@ -1,0 +1,132 @@
+"""As-of and range joins (SURVEY.md §2.3's "expressible with non-equi
+conditions / window tricks" rows) plus the split UDF-surface queries
+(§2.10: udf_map and udf_reduce exercised independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "join_asof",
+    oracle=(
+        "WITH u AS ("
+        " SELECT o_custkey AS ukey, o_orderdate AS uts, 1 AS is_ref,"
+        "  o_orderkey, CAST(NULL AS BIGINT) AS event_id FROM orders"
+        " UNION ALL"
+        " SELECT user_id, ts, 0, NULL, event_id FROM events"
+        "), m AS ("
+        " SELECT *, last_value(o_orderkey IGNORE NULLS) OVER ("
+        "  PARTITION BY ukey ORDER BY uts, is_ref DESC, o_orderkey"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_o_orderkey"
+        " FROM u"
+        ") SELECT event_id, ukey AS user_id, asof_o_orderkey"
+        " FROM m WHERE is_ref = 0"
+    ),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the most recent order (by
+    o_orderdate <= event ts) of the customer with the same key.
+    Union-and-carry-forward: one shuffle on the key, one window pass —
+    the scale-correct distributed as-of (operators/asof_join.py)."""
+    from dist_mapreduce_spark.operators.asof_join import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "ukey")
+    out = asof_join(
+        left=events,
+        right=orders.withColumnRenamed("o_custkey", "ukey"),
+        key="ukey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+        left_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", F.col("ukey").alias("user_id"),
+        F.col("asof_o_orderkey").alias("asof_o_orderkey"),
+    )
+
+
+@query(
+    "join_range",
+    oracle=(
+        "SELECT s.s_suppkey, count(*) AS n_close_customers"
+        " FROM supplier s JOIN customer c"
+        "  ON c.c_acctbal BETWEEN s.s_acctbal - 100.0 AND s.s_acctbal + 100.0"
+        " GROUP BY s.s_suppkey"
+    ),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: customers whose balance is within ±100 of
+    each supplier's. Executed as a broadcast nested-loop on the small
+    side; the 100 TB formulation bucketizes the range key (floor(bal /
+    width)) and equi-joins on adjacent buckets — shown in
+    tests/test_advanced_joins.py to produce identical results."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(s),
+            (F.col("c_acctbal") >= F.col("s_acctbal") - 100.0)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + 100.0),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close_customers"))
+    )
+
+
+_WC_ORACLE = (
+    "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM"
+    " (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word"
+    "  FROM documents) WHERE word <> '' GROUP BY word"
+)
+
+
+@query("udf_map", oracle=_WC_ORACLE)
+def q_udf_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map half of the UDF surface in isolation (mapF, worker.go:75):
+    tokenization runs as user Python through mapInPandas (the UDTF
+    shape: one row in, N out), then the COUNT is built-in — proving
+    UDF output feeds native aggregation seamlessly."""
+    import re
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def tokenize_udtf(batches):
+        pat = re.compile("[^a-zA-Z]+")
+        for pdf in batches:
+            words = [w for t in pdf["text"] for w in pat.split(t or "") if w]
+            if words:
+                yield pd.DataFrame({"word": words})
+
+    tokens = docs.mapInPandas(tokenize_udtf, schema="word string")
+    return tokens.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+@query("udf_reduce", oracle=_WC_ORACLE)
+def q_udf_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reduce half in isolation (reduceF, worker.go:105):
+    tokenization is built-in (explode/split), the per-key reduction is
+    user Python through applyInPandas (grouped-map: key + all its rows
+    → one row), exactly doReduce's contract with a spillable grouped
+    exchange instead of an in-memory map[key][]string."""
+    import pandas as pd
+
+    from dist_mapreduce_spark.operators.wordcount import project_kv, tokenize
+
+    kv = project_kv(tokenize(load_table(spark, sf_dir, "documents")))
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [(pdf["word"].iloc[0], int(pdf["one"].sum()))], columns=["word", "cnt"]
+        )
+
+    return kv.groupBy("word").applyInPandas(reduce_fn, schema="word string, cnt long")

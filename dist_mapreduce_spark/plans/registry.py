@@ -45,6 +45,8 @@ def load_all() -> None:
     """Import every plan module so their @query decorators run."""
     import dist_mapreduce_spark.plans.reference_core  # noqa: F401
     import dist_mapreduce_spark.plans.relational  # noqa: F401
+    import dist_mapreduce_spark.plans.advanced_joins  # noqa: F401
+    import dist_mapreduce_spark.plans.scalar_functions  # noqa: F401
     import dist_mapreduce_spark.plans.events_windows  # noqa: F401
     import dist_mapreduce_spark.plans.llm_pipeline  # noqa: F401
     import dist_mapreduce_spark.plans.similarity  # noqa: F401

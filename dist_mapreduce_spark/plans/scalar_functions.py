@@ -1,0 +1,203 @@
+"""Scalar-function surface (SURVEY.md §2.8): the reference has exactly
+four scalar operations (tokenize-split, regex match, prefix test,
+int→string format — all covered in reference_core); Spark provides the
+full library. These queries pin the breadth — string, date/time, math,
+JSON, array aggregation, percentiles — with cross-engine-exact oracles.
+
+Parity rules used here:
+- no round() on doubles (Spark rounds HALF_UP, DuckDB HALF_EVEN) and
+  no libm transcendentals (ln/exp differ by 1 ulp across engines);
+  math stays in exact ints/decimals or IEEE-correctly-rounded ops
+  (sqrt, pow-of-2 on small ints);
+- collect_list order is pinned with sort_array ↔ ORDER BY in agg;
+- JSON extraction compared as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "fn_string",
+    oracle=(
+        "SELECT p_partkey,"
+        " upper(p_brand) AS brand_up,"
+        " lower(p_type) AS type_lo,"
+        " substr(p_name, 1, 10) AS name10,"
+        " length(p_name) AS name_len,"
+        " concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,"
+        " replace(p_type, ' ', '_') AS type_snake,"
+        " lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,"
+        " CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,"
+        " trim(p_name) AS name_trim"
+        " FROM part"
+    ),
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth over part."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle=(
+        "SELECT o_orderkey,"
+        " CAST(year(o_orderdate) AS INT) AS yr,"
+        " CAST(month(o_orderdate) AS INT) AS mo,"
+        " CAST(dayofmonth(o_orderdate) AS INT) AS dom,"
+        " strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,"
+        " strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')"
+        "  AS plus30,"
+        " CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))"
+        "  AS INT) AS days_since_2024"
+        " FROM orders"
+    ),
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions over orders (o_orderdate is a timestamp)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+    )
+
+
+@query(
+    "fn_math",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber,"
+        " abs(l_quantity - 25.0) AS dist25,"
+        " sqrt(l_quantity) AS root,"
+        " power(l_quantity, 2.0) AS q2,"
+        " floor(l_extendedprice) AS price_floor,"
+        " ceil(l_extendedprice) AS price_ceil,"
+        " CAST(l_quantity AS BIGINT) % 7 AS mod7,"
+        " greatest(l_tax, l_discount) AS gmax,"
+        " least(l_tax, l_discount) AS lmin"
+        " FROM lineitem"
+    ),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions. Parity-safe subset only: sqrt is IEEE-754
+    correctly-rounded everywhere and pow(x, 2) of small integers is
+    exact, but ln/exp are libm-dependent (JVM vs DuckDB differ by
+    1 ulp) — transcendentals beyond sqrt are excluded from the
+    oracle-checked surface. No round(): its tie behavior is
+    engine-specific (HALF_UP vs HALF_EVEN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25.0).alias("dist25"),
+        F.sqrt(q).alias("root"),
+        F.pow(q, 2.0).alias("q2"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        (q.cast("bigint") % 7).alias("mod7"),
+        F.greatest("l_tax", "l_discount").alias("gmax"),
+        F.least("l_tax", "l_discount").alias("lmin"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle=(
+        "SELECT event_id, json_extract_string(props, '$.k') AS k_str,"
+        " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num"
+        " FROM events"
+    ),
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column. The
+    reference uses JSON only as a wire format (worker.go:94); here it
+    is a queryable column type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id", k.alias("k_str"), k.cast("bigint").alias("k_num")
+    )
+
+
+@query(
+    "agg_collect",
+    oracle=(
+        "SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations,"
+        " count(*) AS n FROM nation GROUP BY n_regionkey"
+    ),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with pinned order: sort_array(collect_list())
+    ↔ list(x ORDER BY x) — collect order is nondeterministic in any
+    distributed engine, so the sort is part of the contract."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle=(
+        "SELECT l_returnflag,"
+        " quantile_cont(l_quantity, 0.5) AS median_qty,"
+        " quantile_cont(l_quantity, 0.9) AS p90_qty,"
+        " min(l_quantity) AS min_qty, max(l_quantity) AS max_qty"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — percentile() ↔
+    quantile_cont over integral quantities gives identical doubles).
+    The 100 TB path is approx_percentile (one-pass sketch), pinned
+    rows-only in agg_percentile_approx."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query("agg_percentile_approx")  # no oracle: sketch results are engine-specific
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the mergeable-sketch quantile for 100 TB
+    scans (Greenwald-Khanna); estimates are engine-specific → rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,92 @@
+"""Job façade lifecycle (SURVEY.md §2.13) + source/sink roundtrips
+(§2.1: the connector surface the reference lacks — parquet, csv, json,
+text — all built into Spark)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    # The reference's demo corpus as real text files
+    # (/root/reference/data/input/test{1,2,3}.txt).
+    (tmp_path / "test1.txt").write_text("Hello world hello")
+    (tmp_path / "test2.txt").write_text("World map reduce")
+    (tmp_path / "test3.txt").write_text("New job test")
+    return tmp_path
+
+
+def test_job_lifecycle(spark, corpus, tmp_path):
+    from dist_mapreduce_spark.api import COMPLETED, JobRunner
+
+    runner = JobRunner(spark)
+    job_id = runner.submit_job(
+        [str(corpus / f"test{i}.txt") for i in (1, 2, 3)],
+        n_reduce=2,
+        output_dir=str(tmp_path / "out"),
+    )
+    st = runner.wait(job_id)
+    assert st["status"] == COMPLETED and st["files_count"] == 3
+    lines = sorted(r["value"] for r in spark.read.text(st["output_dir"]).collect())
+    # Golden from FIXTURES.md §1.1 (case-sensitive counts, all 1).
+    assert lines == sorted(
+        f"{w} 1" for w in
+        ["Hello", "New", "World", "hello", "job", "map", "reduce", "test", "world"]
+    )
+    assert runner.health() == {"status": "ok"}
+
+
+def test_job_validation(spark):
+    from dist_mapreduce_spark.api import JobRunner
+
+    runner = JobRunner(spark)
+    with pytest.raises(ValueError):
+        runner.submit_job([])
+    with pytest.raises(ValueError):
+        runner.submit_job(["f"], n_reduce=0)
+    with pytest.raises(KeyError):
+        runner.job_status(999)
+
+
+def test_job_failure_surfaces(spark):
+    from dist_mapreduce_spark.api import FAILED, JobRunner
+
+    runner = JobRunner(spark)
+    job_id = runner.submit_job(["/nonexistent/nowhere.txt"], n_reduce=1)
+    st = runner.wait(job_id)
+    assert st["status"] == FAILED and st["error"]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_sink_roundtrip(spark, tmp_path, fmt, demo_docs):
+    from dist_mapreduce_spark.operators.wordcount import word_count
+
+    counts = word_count(demo_docs)
+    out = str(tmp_path / fmt)
+    writer = counts.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(out)
+        back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    else:
+        getattr(writer, fmt)(out)
+        back = getattr(spark.read, fmt)(out)
+    got = {(r["word"], int(r["cnt"])) for r in back.collect()}
+    want = {(r["word"], r["cnt"]) for r in counts.collect()}
+    assert got == want
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    """Partition-by on write → partition pruning on read: the scan of
+    one partition must not list the others (the layout that makes
+    100 TB tables queryable)."""
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "bylang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "de")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == docs.filter(F.col("lang") == "de").count()
+    assert "PartitionFilters: [isnotnull(lang" in plan

@@ -137,6 +137,70 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_stateful")  # no oracle: custom stateful op, rows-only check
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals with idle-state expiry — the operator class
+    the reference cannot express at all (streaming.stateful). The final
+    per-user totals must equal the batch groupBy — asserted in tests
+    (update-mode emits one row per user per touched micro-batch; the
+    single-batch local run emits exactly the final totals)."""
+    from dist_mapreduce_spark.streaming.stateful import running_user_totals
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    out = running_user_totals(events)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Update mode may emit multiple rows per user across micro-batches;
+    # keep the last (max n_events) per user.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table("stream_stateful_out")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+@query("stream_session")  # no oracle: streaming execution, rows-only check
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under Structured Streaming with a watermark —
+    the same session_window expression as the DuckDB-certified batch
+    query agg_window_session, executed through the streaming state
+    store (merge-on-overlap session state)."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_table(agg, "stream_session_out")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", _TS_FMT_SPARK).alias("session_start"),
+        "n_events",
+    )
+
+
 @query("stream_tumbling")  # no oracle: streaming execution, rows-only check
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregate executed through Structured Streaming

@@ -201,7 +201,15 @@ def q_sort_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's pre-sink key sort (sort.Strings, worker.go:128-132)
     surfaced as an auditable rank: global order by word. The driver's
     hash compare is order-insensitive, so sortedness is asserted via the
-    rank column, not row order (SURVEY.md §7 risk d)."""
+    rank column, not row order (SURVEY.md §7 risk d).
+
+    Scale note: an unpartitioned row_number() window is a single-
+    partition sort — acceptable only because this query's output is a
+    post-aggregation vocabulary (small by construction). The scale path
+    for sorted *output* is write_sorted_text (repartition +
+    sortWithinPartitions, exactly the reference's per-reduce-task sort);
+    a global dense rank over big data uses range partitioning +
+    per-partition offsets instead."""
     counts = word_count(_docs(spark, sf_dir))
     w = Window.orderBy("word")
     return counts.select(F.row_number().over(w).alias("rk"), "word", "cnt")

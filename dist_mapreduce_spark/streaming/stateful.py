@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator (SURVEY.md §2.9's Spark mapping:
+``applyInPandasWithState`` for operators the built-in windows can't
+express).
+
+Operator: per-user running activity counter with inactivity expiry —
+for each user, maintain (n_events, total_value) across micro-batches
+and emit an updated row per batch in which the user appears; state for
+idle users can be dropped via processing-time timeout. This is the
+canonical shape for enrichment/accumulator state at 100 TB ingest:
+state is partitioned by key in the state store, updates are
+Arrow-batched per key group, and expiry bounds the store.
+
+Timeout note: with ``ProcessingTimeTimeout`` the engine schedules
+extra micro-batches to evaluate expiry, so ``processAllAvailable`` on
+a finite file source never quiesces. Production (continuous Kafka
+ingest) wants the timeout; the bounded local harness runs with
+``NoTimeout`` — hence the ``idle_timeout_ms`` knob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n_events long, total_value double"
+
+#: 1 h idle expiry for production streams.
+DEFAULT_IDLE_TIMEOUT_MS = 60 * 60 * 1000
+
+
+def _make_update_user(idle_timeout_ms: int):
+    def _update_user(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return _update_user
+
+
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int = 0
+) -> DataFrame:
+    """events stream → per-user running (n_events, total_value).
+    ``idle_timeout_ms > 0`` (e.g. ``DEFAULT_IDLE_TIMEOUT_MS``) enables
+    processing-time state expiry for unbounded sources; 0 disables it
+    so bounded runs quiesce. Update output mode: one row per user per
+    micro-batch touched."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_user(idle_timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,62 @@
+"""Streaming surface tests: every streaming query must agree with its
+batch counterpart on the same static events data (batch/stream
+unification is the design point — same Catalyst plan shapes, different
+source/sink)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE as SF
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+def test_stream_stateful_matches_batch_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    batch = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in _q("stream_stateful")(spark, SF).collect()
+    }
+    assert stream == batch
+
+
+def test_stream_session_matches_batch_sessions(spark):
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in _q("agg_window_session")(spark, SF).collect()
+    }
+    stream = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in _q("stream_session")(spark, SF).collect()
+    }
+    assert stream == batch
+
+
+def test_stateful_state_expiry_branch():
+    """The timeout branch drops state without emitting (unit-level:
+    exercise _update_user's hasTimedOut path directly)."""
+    from dist_mapreduce_spark.streaming.stateful import _make_update_user
+
+    class FakeState:
+        hasTimedOut = True
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(_make_update_user(1000)((1,), iter([]), st))
+    assert out == [] and st.removed

@@ -1,0 +1,67 @@
+"""Plan-quality audit: runs .explain over every registered query and
+greps the physical plan for the properties that matter at 100 TB —
+column pruning (ReadSchema), predicate pushdown (PushedFilters),
+broadcast vs shuffle joins, whole-stage codegen coverage, Python
+(Arrow) exchanges, and shuffle counts.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(name: str, fn, spark, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return {
+        "query": name,
+        "shuffles": plan.count("Exchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "python_stages": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+        "scan_cols": [s[:80] for s in scans],
+        "pushed_filters": [p for p in pushed if p],
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from dist_mapreduce_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
+        if name.startswith("stream_"):
+            continue  # streaming plans need an active query
+        try:
+            info = audit(name, fn, spark, sf_dir)
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ERROR {ex}")
+            continue
+        print(
+            f"{info['query']:28s} shuffles={info['shuffles']} "
+            f"bcast={info['broadcast_joins']} smj={info['sortmerge_joins']} "
+            f"codegen={info['codegen_spans']} py={info['python_stages']} "
+            f"scans={info['scan_cols']}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -223,3 +223,34 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "stream_dedup",
+    oracle=(
+        "SELECT event_type, count(*) AS n_events FROM"
+        " (SELECT DISTINCT event_id, event_type FROM events)"
+        " GROUP BY event_type"
+    ),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on event_id keyed state
+    ahead of a windowless aggregate — the ingest-dedup stage of a
+    streaming pipeline (at-least-once sources emit duplicates; state
+    holds one key per seen id, bounded by the watermark in
+    production's dropDuplicatesWithinWatermark). The final complete-
+    mode counts are micro-batch-invariant, so this streaming query IS
+    oracle-checkable — stronger than the rows-only streaming checks."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_stream_to_table(agg, "stream_dedup_out")

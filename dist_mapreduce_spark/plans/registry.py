@@ -50,3 +50,4 @@ def load_all() -> None:
     import dist_mapreduce_spark.plans.events_windows  # noqa: F401
     import dist_mapreduce_spark.plans.llm_pipeline  # noqa: F401
     import dist_mapreduce_spark.plans.similarity  # noqa: F401
+    import dist_mapreduce_spark.plans.formats  # noqa: F401

@@ -410,3 +410,60 @@ def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("qty_O"),
         F.col("F").alias("qty_F"),
     )
+
+
+@query(
+    "window_rank_stats",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority,"
+        " rank() OVER w AS rnk,"
+        " dense_rank() OVER w AS drnk,"
+        " ntile(4) OVER w AS quartile,"
+        " percent_rank() OVER w AS prank,"
+        " cume_dist() OVER w AS cdist"
+        " FROM orders"
+        " WINDOW w AS (PARTITION BY o_orderpriority"
+        "              ORDER BY o_totalprice DESC, o_orderkey)"
+    ),
+)
+def q_window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-analytic breadth per priority class: rank, dense_rank,
+    ntile, percent_rank, cume_dist. percent_rank/cume_dist are exact
+    rationals evaluated with one IEEE division — engine-identical.
+    Total order pinned by the o_orderkey tiebreak (SURVEY.md §7 risk a
+    pattern: determinism is part of the query contract)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+_GROUPING_SETS_SQL = (
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag,"
+    " coalesce(l_linestatus, 'ALL') AS linestatus,"
+    " grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,"
+    " count(*) AS n,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
+    " FROM lineitem"
+    " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+)
+
+
+@query("grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of cube/rollup (§2.4 'absent'
+    rows): three aggregation granularities in ONE pass over lineitem
+    (Expand + single hash aggregate, not three scans), with grouping()
+    flags disambiguating real NULLs from grouping NULLs. Same SQL text
+    runs on both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -201,3 +201,115 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
         F.count("*").alias("n"),
     )
+
+
+# ------------------------------------------------- array / map / cond
+
+#: Shared token expressions — Spark filter(split()) ↔ DuckDB
+#: list_filter(string_split_regex()) — both drop the empty strings a
+#: leading/trailing separator produces.
+_D_TOKS_NONEMPTY = (
+    "list_filter(string_split_regex(text, '[^a-zA-Z]+'), x -> x <> '')"
+)
+
+
+@query(
+    "fn_array",
+    oracle=(
+        f"SELECT doc_id,"
+        f" len(t) AS n_tokens,"
+        f" CAST(list_contains(t, 'the') AS INT) AS has_the,"
+        f" array_to_string(t[1:3], ' ') AS first3,"
+        f" list_sort(t)[1] AS first_sorted,"
+        f" len(list_distinct(t)) AS n_uniq,"
+        f" list_reverse(t)[1] AS last_tok"
+        f" FROM (SELECT doc_id, {_D_TOKS_NONEMPTY} AS t FROM documents)"
+    ),
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth (size/contains/slice/sort/distinct/
+    reverse) over the tokenized documents — all higher-order /
+    collection functions evaluate JVM-side inside codegen, the 100 TB
+    alternative to a Python tokenizer UDF."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.col("text"), "[^a-zA-Z]+"), lambda x: x != F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.array_contains(t, "the").cast("int").alias("has_the"),
+        F.array_join(F.slice(t, 1, 3), " ").alias("first3"),
+        F.element_at(F.array_sort(t), 1).alias("first_sorted"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+        F.element_at(F.reverse(t), 1).alias("last_tok"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle=(
+        "SELECT n_regionkey,"
+        " array_to_string(list(n_name ORDER BY n_name), ',') AS keys_join,"
+        " count(*) AS n_entries,"
+        " max(CASE WHEN n_name = 'ALGERIA' THEN n_nationkey END) AS algeria_key,"
+        " sum(n_nationkey) AS key_sum"
+        " FROM nation GROUP BY n_regionkey"
+    ),
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build name→key maps per region
+    (map_from_entries over an order-pinned entry array), then read them
+    back with map_keys / element_at / aggregate-over-map_values. The
+    oracle computes the same scalars relationally — what is checked is
+    the values; what is exercised is Spark's map machinery."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("n_name", "n_nationkey")))
+    )
+    return (
+        n.groupBy("n_regionkey")
+        .agg(m.alias("m"))
+        .select(
+            "n_regionkey",
+            F.array_join(F.map_keys("m"), ",").alias("keys_join"),
+            F.size("m").cast("long").alias("n_entries"),
+            F.element_at(F.col("m"), F.lit("ALGERIA")).alias("algeria_key"),
+            F.aggregate(
+                F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("key_sum"),
+        )
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle=(
+        "SELECT c_custkey,"
+        " coalesce(nullif(c_mktsegment, 'BUILDING'), '<bldg>') AS seg_masked,"
+        " CASE WHEN c_acctbal < 0 THEN 'debt'"
+        "      WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,"
+        " CAST(nullif(c_mktsegment, 'BUILDING') IS NULL AS INT) AS seg_null,"
+        " if(c_acctbal >= 0, 'ok', 'neg') AS sign_flag"
+        " FROM customer"
+    ),
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling breadth: nullif, coalesce, CASE
+    chains, IS NULL, if() — the boolean algebra §2.2 marks absent in
+    the reference."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("<bldg>")
+        ).alias("seg_masked"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.isnull(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")))
+        .cast("int")
+        .alias("seg_null"),
+        F.when(F.col("c_acctbal") >= 0, "ok").otherwise("neg").alias("sign_flag"),
+    )

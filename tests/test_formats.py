@@ -1,0 +1,72 @@
+"""Format round-trip + partition-pruning tests (plans/formats.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE as SF
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+@pytest.mark.parametrize(
+    "name", ["sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip"]
+)
+def test_roundtrip_matches_parquet_agg(spark, name):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    direct = {
+        r["o_orderpriority"]: (r["n_orders"], r["total"])
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    via_format = {
+        r["o_orderpriority"]: (r["n_orders"], r["total"])
+        for r in _q(name)(spark, SF).collect()
+    }
+    assert via_format == direct
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """The read-back filter on the partition column must become a
+    PartitionFilter (directory-level pruning), not a data filter."""
+    df = _q("sink_parquet_partitioned")(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # The status filter must appear among the partition filters.
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in pf
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .select("event_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stream = {
+        r["event_type"]: r["n_events"]
+        for r in _q("stream_dedup")(spark, SF).collect()
+    }
+    assert stream == batch

@@ -18,7 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def audit(name: str, fn, spark, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
+    # Execute THIS DataFrame first (collect, not count — count spawns a
+    # different query execution): AQE's pre-execution plan hides
+    # codegen spans (isFinalPlan=false prints no *(n) markers) and
+    # shows FileScans that a materialized cache will replace.
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # The finalized adaptive plan prints "+- == Initial Plan ==" after
+    # the real one — drop it or every count doubles.
+    plan = plan.split("== Initial Plan ==")[0]
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     return {

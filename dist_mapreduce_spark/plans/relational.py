@@ -467,3 +467,74 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on both engines."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "join_left_outer",
+    oracle=(
+        "SELECT c.c_custkey, c.c_mktsegment,"
+        " count(o.o_orderkey) AS n_orders,"
+        " CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)"
+        "  AS DOUBLE) AS total_spent"
+        " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+        " GROUP BY c.c_custkey, c.c_mktsegment"
+    ),
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (count 0,
+    total 0) — count(col) skips the nulls the outer side introduces.
+    Broadcast of the smaller side still applies to outer joins (left
+    outer can broadcast the right side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle=(
+        "SELECT coalesce(o.d, e.d) AS day,"
+        " coalesce(o.n_orders, 0) AS n_orders,"
+        " coalesce(e.n_events, 0) AS n_events"
+        " FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,"
+        "        count(*) AS n_orders FROM orders GROUP BY 1) o"
+        " FULL OUTER JOIN"
+        "      (SELECT strftime(ts, '%Y-%m-%d') AS d,"
+        "        count(*) AS n_events FROM events GROUP BY 1) e"
+        " ON o.d = e.d"
+    ),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two daily-activity aggregates — the date
+    ranges of orders and events barely overlap, so both null sides are
+    exercised (coalesce to 0 keeps the result typed and checkable).
+    Shape note: full outer cannot broadcast either side; it is the one
+    join type that always shuffles both inputs — at scale, pre-
+    aggregate before the join (done here: join runs on the small
+    grouped outputs, not the fact tables)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return o.join(e, "d", "full").select(
+        F.col("d").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )

@@ -313,3 +313,48 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seg_null"),
         F.when(F.col("c_acctbal") >= 0, "ok").otherwise("neg").alias("sign_flag"),
     )
+
+
+@query(
+    "agg_stats",
+    oracle=(
+        "SELECT l_returnflag, n, avg_qty, var_qty, sqrt(var_qty) AS stddev_qty"
+        " FROM (SELECT l_returnflag, count(*) AS n,"
+        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / n AS avg_qty,"
+        "  (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
+        "            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        "   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        "     * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / n)"
+        "  / (n - 1) AS var_qty"
+        " FROM lineitem GROUP BY l_returnflag)"
+    ),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (avg/variance/stddev) per return flag.
+
+    Deliberately NOT the built-in stddev(): one-pass central-moment
+    aggregators are partition-order-dependent in their float error, so
+    a distributed Spark run and a single-threaded DuckDB run disagree
+    in the last ulps. Instead: exact DECIMAL sums of x and x² (order-
+    independent), then one fixed double expression — bit-identical on
+    both engines AND still a single map-side-combined aggregate pass.
+    That is also the right 100 TB shape: sum/sum² are tiny mergeable
+    state, same as the built-in, with none of the float drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    n = F.count("*")
+    sx = F.sum(qd).cast("double")
+    sxx = F.sum(qd * qd).cast("double")
+    base = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sx.alias("sx"), sxx.alias("sxx")
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return base.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / F.col("n")).alias("avg_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )

@@ -70,3 +70,20 @@ def test_stream_dedup_matches_batch_distinct(spark):
         for r in _q("stream_dedup")(spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key → the sort-merge join runs
+    with zero shuffle (the durable form of the reference's hash-bucket
+    co-partitioning, worker.go:84-88)."""
+    df = _q("join_bucketed")(spark, SF)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" in plan
+    # The join itself must be exchange-free; the final aggregate may
+    # still shuffle its (tiny) grouped output.
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part

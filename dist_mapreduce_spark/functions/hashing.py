@@ -29,13 +29,19 @@ MOD32 = 4294967296
 
 def fnv1a_spark_sql(col: str) -> str:
     """Spark SQL expression: FNV-1a-32 of an ASCII string column, masked
-    to 31 bits exactly like ihash (worker.go:167-171)."""
+    to 31 bits exactly like ihash (worker.go:167-171).
+
+    The empty string needs an explicit branch: Spark's sequence(1, 0)
+    counts DOWN ([1, 0]) rather than producing an empty array, which
+    would fold two spurious zero bytes. (The reference never hashes ''
+    — FieldsFunc drops empty tokens — but the function is total.)"""
     return (
-        f"(aggregate("
+        f"(CASE WHEN length({col}) = 0 THEN {FNV_OFFSET & MASK31}"
+        f" ELSE (aggregate("
         f"  transform(sequence(1, length({col})), i -> ascii(substring({col}, i, 1))),"
         f"  cast({FNV_OFFSET} as bigint),"
         f"  (h, b) -> ((h ^ b) * {FNV_PRIME}) % {MOD32}"
-        f") & {MASK31})"
+        f") & {MASK31}) END)"
     )
 
 

@@ -1,0 +1,48 @@
+"""Skew-mitigating salted join.
+
+AQE's skew-join splitting (enabled in session.py) handles moderate
+skew by subdividing oversized shuffle partitions at runtime. Salting is
+the explicit, planner-independent form for pathological keys (one user
+producing 1% of a 100 TB event stream): spread each hot key's rows over
+``n_salts`` sub-keys on the large side, replicate the small side once
+per salt, and join on (key, salt) — the hot key's work lands on
+``n_salts`` tasks instead of one. Cost: small side × n_salts, so keep
+the small side genuinely small (dimension-sized).
+
+Result equivalence: every large-side row joins exactly the same small-
+side rows as an unsalted join (the salt merely routes), proven by the
+oracle on join_skew_salted and the equivalence test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT_L = "__salt_l"
+_SALT_R = "__salt_r"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``large`` ⋈ ``small`` on the ``on`` condition with the
+    large side salted across ``n_salts`` sub-keys. The per-row salt is
+    monotonically_increasing_id mod n_salts — uniform within any hot
+    key and computed without a shuffle."""
+    l_salted = large.withColumn(
+        _SALT_L, (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    r_salted = small.withColumn(
+        _SALT_R, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        l_salted.join(
+            r_salted, on & (F.col(_SALT_L) == F.col(_SALT_R)), how
+        )
+        .drop(_SALT_L, _SALT_R)
+    )

@@ -130,3 +130,35 @@ def q_udf_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return kv.groupBy("word").applyInPandas(reduce_fn, schema="word string, cnt long")
+
+
+@query(
+    "join_skew_salted",
+    oracle=(
+        "SELECT c.c_mktsegment, count(*) AS n_events,"
+        " CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value"
+        " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        " GROUP BY c.c_mktsegment"
+    ),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim via an explicitly salted join (operators.skew): the
+    large side's rows spread over 16 sub-keys, the dim replicated per
+    salt — a hot key's probe work lands on 16 tasks instead of one.
+    The oracle is the PLAIN join: salting must be execution-only,
+    invisible in the result. (AQE skew splitting is the automatic
+    version; this is the operator for keys hot enough that you plan
+    for them.)"""
+    from dist_mapreduce_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        e, c, F.col("user_id") == F.col("c_custkey"), n_salts=16
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )

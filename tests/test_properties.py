@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) — the framework-backed version of
+the reference's hand-rolled property test ("same key should hash to
+same value", /root/reference/internal/worker/worker_test.go:57-70).
+
+Each property runs a small number of examples, batching all generated
+rows into ONE Spark job per example (per-row jobs would be ~1 s each).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+_EXAMPLES = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_tokenize(text: str) -> list[str]:
+    """Pure-Python model of the reference tokenizer (MapFunc,
+    worker.go:24-38): split on non-alphabetic runs, keep case, drop
+    empties."""
+    return [w for w in re.split("[^a-zA-Z]+", text) if w]
+
+
+def _py_fnv1a31(s: str) -> int:
+    """Pure-Python FNV-1a-32 masked to 31 bits (ihash, worker.go:167-171)."""
+    h = 2166136261
+    for ch in s.encode():
+        h = ((h ^ ch) * 16777619) % (1 << 32)
+    return h & 0x7FFFFFFF
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EXAMPLES)
+def test_tokenize_matches_python_model(spark, texts):
+    from collections import Counter
+
+    from dist_mapreduce_spark.operators.wordcount import tokenize, word_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["word"]: r["cnt"] for r in word_count(df).collect()}
+    want = Counter(w for t in texts for w in _py_tokenize(t))
+    assert got == dict(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EXAMPLES)
+def test_fnv1a_sql_matches_python_model(spark, texts):
+    from dist_mapreduce_spark.functions.hashing import fnv1a_spark_sql
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [
+        r["h"] for r in df.selectExpr(f"{fnv1a_spark_sql('s')} AS h").collect()
+    ]
+    assert got == [_py_fnv1a31(t) for t in texts]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is execution-only: identical result to the plain join,
+    any n_salts."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 7, i) for i in range(500)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "rk long, tag string"
+    )
+    for n_salts in (1, 4, 16):
+        got = sorted(
+            (r["k"], r["v"], r["tag"])
+            for r in salted_join(
+                left, right, F.col("k") == F.col("rk"), n_salts=n_salts
+            ).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["tag"])
+            for r in left.join(right, F.col("k") == F.col("rk")).collect()
+        )
+        assert got == want

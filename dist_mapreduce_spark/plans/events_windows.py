@@ -176,12 +176,32 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_session")  # no oracle: streaming execution, rows-only check
+@query(
+    "stream_session",
+    oracle=(
+        f"SELECT user_id,"
+        f" strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,"
+        f" count(*) AS n_events"
+        f" FROM ("
+        f"  SELECT *, sum(is_new) OVER"
+        f"   (PARTITION BY user_id ORDER BY ts, event_id"
+        f"    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+        f"  FROM ("
+        f"   SELECT user_id, event_id, ts,"
+        f"    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        f"     (PARTITION BY user_id ORDER BY ts, event_id) >= {_SESSION_GAP_US}"
+        f"     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+        f"    THEN 1 ELSE 0 END AS is_new FROM events))"
+        f" GROUP BY user_id, session_id"
+    ),
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows under Structured Streaming with a watermark —
     the same session_window expression as the DuckDB-certified batch
     query agg_window_session, executed through the streaming state
-    store (merge-on-overlap session state)."""
+    store (merge-on-overlap session state). The final complete-mode
+    session set is micro-batch-invariant → same oracle family as the
+    batch query (start + count; counts are exact)."""
     from dist_mapreduce_spark.streaming.windows import (
         read_events_stream,
         run_stream_to_table,
@@ -201,13 +221,23 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_tumbling")  # no oracle: streaming execution, rows-only check
+@query(
+    "stream_tumbling",
+    oracle=(
+        f"SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')"
+        f"  AS window_start, event_type, count(*) AS n_events,"
+        f" {_VAL_SUM_DUCK} AS total_value"
+        f" FROM events GROUP BY 1, 2"
+    ),
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregate executed through Structured Streaming
     (readStream → watermark → window agg → memory sink, driven to
-    completion). Same logical plan as agg_window_tumbling, so the
-    DuckDB-certified batch result vouches for the streaming one; tests
-    assert the two match row-for-row."""
+    completion). Same logical plan as agg_window_tumbling; the final
+    complete-mode result is micro-batch-invariant (counts exact,
+    money summed in DECIMAL), so the streaming query takes the same
+    DuckDB oracle as the batch one — a full value-hash gate on the
+    streaming path."""
     from dist_mapreduce_spark.streaming.windows import (
         read_events_stream,
         run_stream_to_table,

@@ -538,3 +538,72 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )
+
+
+# ------------------------------------------------------------ subqueries
+
+_SUBQ_IN_SQL = (
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " WHERE o_custkey IN (SELECT c_custkey FROM customer"
+    "                     WHERE c_mktsegment = 'BUILDING')"
+    " AND o_orderpriority = '1-URGENT'"
+)
+
+_SUBQ_SCALAR_SQL = (
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)))"
+    "                       FROM orders) * 1.5"
+)
+
+_SUBQ_EXISTS_SQL = (
+    "SELECT c_custkey, c_mktsegment FROM customer c"
+    " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "               AND o.o_totalprice > 300000)"
+)
+
+
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]):
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@query("subquery_in", oracle=_SUBQ_IN_SQL)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN subquery — Catalyst rewrites it to a left-semi
+    join (broadcast here: the subquery output is dim-sized). Same SQL
+    text on both engines."""
+    return _sql_query(spark, sf_dir, _SUBQ_IN_SQL, ("orders", "customer"))
+
+
+@query("subquery_scalar", oracle=_SUBQ_SCALAR_SQL)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery in a predicate — one extra aggregate
+    job whose single-row result folds into the filter (broadcast of a
+    scalar). DECIMAL avg: exact, so the 1.5× threshold is identical on
+    both engines."""
+    return _sql_query(spark, sf_dir, _SUBQ_SCALAR_SQL, ("orders",))
+
+
+@query("subquery_exists", oracle=_SUBQ_EXISTS_SQL)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated by Catalyst into a semi-join on
+    the correlation key with the extra predicate pushed beneath it."""
+    return _sql_query(spark, sf_dir, _SUBQ_EXISTS_SQL, ("customer", "orders"))
+
+
+@query(
+    "join_cross",
+    oracle=(
+        "SELECT r1.r_name AS from_region, r2.r_name AS to_region"
+        " FROM region r1 CROSS JOIN region r2 WHERE r1.r_name <> r2.r_name"
+    ),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (region × region route matrix, 5×5):
+    the nested-loop join §2.3 lists. Crossing is only ever sane on
+    tiny inputs — Spark guards accidental ones (broadcast NLJ chosen
+    here since both sides are small)."""
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("from_region") != F.col("to_region"))

@@ -53,7 +53,13 @@ def tumbling_counts_stream(events: DataFrame, width: str = "1 hour",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        # DECIMAL sum: exact money accumulation makes the streaming
+        # result bit-identical to the batch plan and the DuckDB oracle
+        # regardless of micro-batch boundaries or merge order.
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",

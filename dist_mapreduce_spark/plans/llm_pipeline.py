@@ -357,14 +357,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # Shingle-set size rides along in the SAME aggregation as the 16
+    # minhashes — one shuffle of the shingle table instead of two (the
+    # separate sizes groupBy this replaces was a full extra pass over
+    # the largest intermediate).
     mh = shingle.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
             F.min(
                 (F.lit(a) * (F.col("h") % F.lit(MINHASH_P)) + F.lit(b))
                 % F.lit(MINHASH_P)
             ).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
-        ]
+        ],
     )
     # All 8 band signatures in ONE pass: explode an array of
     # (band_id, band_hash) structs. A per-band union would re-evaluate
@@ -401,7 +406,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = shingle.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = mh.select("doc_id", "n")
     x = shingle.alias("x")
     y = shingle.alias("y")
     inter = (

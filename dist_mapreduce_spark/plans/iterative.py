@@ -1,0 +1,130 @@
+"""Deterministic sampling + iterative algorithms — the two remaining
+operator classes a 100 TB pipeline needs beyond one-pass SQL.
+
+Sampling: rand()-based TABLESAMPLE is irreproducible across runs,
+engines and partitionings. The scale-correct pattern is a hash-mod
+filter on a stable key — the same rows are selected on every engine,
+every run, every cluster size, and the predicate pushes down to the
+scan. (This is how training corpora hold out eval slices: membership
+is a pure function of the key.)
+
+Iteration: Lloyd's k-means over the embeddings table, expressed as a
+per-round Spark plan — broadcast centroids into a codegen'd
+assignment expression, recompute centroids with posexplode + a single
+(cluster, dim) aggregation. No Python touches row data; the driver
+loop only carries k×dim centroid floats per round. That is the 100 TB
+shape: per-iteration cost = one scan + one shuffle of (k·dim) partial
+sums, with deterministic seeding (first-k by vec_id) so results are
+reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+# ------------------------------------------------------------- sampling
+
+
+@query(
+    "sample_deterministic",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
+        "       AS BIGINT) % 100 < 10"
+    ),
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of orders: md5(key) mod 100 < 10.
+    Engine-portable (md5 is md5 everywhere), partition-invariant, and
+    rerunnable — unlike rand()/TABLESAMPLE. At 100 TB the same
+    predicate defines train/eval membership forever."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return o.filter(bucket < 10).select("o_orderkey", "o_totalprice")
+
+
+# -------------------------------------------------------------- k-means
+
+K = 8
+N_ITER = 5
+DIM = 64
+
+
+@query("kmeans_embeddings")  # no oracle: iterative algorithm (driver contract
+# allows rows-only for these); determinism is pinned by seeded init +
+# exact counts, asserted in tests.
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, k=8, 5 fixed rounds, over embeddings
+    (array<float>, dim 64).
+
+    Per round, entirely declarative:
+    1. assignment: squared-L2 to each broadcast centroid via an
+       aggregate() fold over the zipped arrays; argmin with
+       array_position — codegen'd, no Python, no UDF;
+    2. update: posexplode the vector, aggregate avg per
+       (cluster, dim) — ONE shuffle of k×dim partial sums thanks to
+       map-side combine — then collect k×dim floats to the driver and
+       rebuild the centroid literals for the next round.
+
+    Deterministic: init = first k vectors by vec_id, float math in a
+    fixed fold order. Returns per-cluster sizes + centroid L2 norm."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    init = emb.orderBy("vec_id").limit(K).collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in init]
+
+    def centroid_lit(c: list[float]):
+        return F.array(*[F.lit(x) for x in c])
+
+    def sqdist(vec, c: list[float]):
+        return F.aggregate(
+            F.zip_with(vec, centroid_lit(c), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(N_ITER):
+        dists = F.array(*[sqdist(F.col("embedding"), c) for c in centroids])
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean"))
+                ).alias("dims")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("dims"), lambda s: s["mean"]).alias("centroid"),
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [float(x) for x in r["centroid"]] for r in new_rows}
+        # Empty clusters keep their previous centroid.
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(K)]
+
+    norms = [sum(x * x for x in c) ** 0.5 for c in centroids]
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    norm_col = F.element_at(
+        F.array(*[F.lit(round(n, 6)) for n in norms]), F.col("cluster") + 1
+    )
+    return sizes.select("cluster", "n_vectors", norm_col.alias("centroid_norm"))

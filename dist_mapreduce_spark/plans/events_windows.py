@@ -284,3 +284,66 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return run_stream_to_table(agg, "stream_dedup_out")
+
+
+@query(
+    "stream_stream_join",
+    oracle=(
+        "SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id"
+        " FROM (SELECT event_id, user_id, ts FROM events"
+        "       WHERE event_type = 'view') v"
+        " JOIN (SELECT event_id, user_id, ts FROM events"
+        "       WHERE event_type = 'click') c"
+        " ON v.user_id = c.user_id"
+        " AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'"
+    ),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views ⋈ clicks of the same user
+    within 10 minutes, both sides watermarked — the streaming state
+    store buffers each side only as long as the interval + watermark
+    requires (bounded state; the non-negotiable condition for a
+    fact⋈fact join over unbounded input). The 10-min interval sits
+    well inside the 2-h watermark, so no in-range match is dropped and
+    the append-mode output equals the batch interval join — hence a
+    full DuckDB oracle, not a rows-only check."""
+    from dist_mapreduce_spark.streaming.windows import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_stream_join_out").select(
+        "view_id", "click_id", F.col("v_user").alias("user_id")
+    )

@@ -60,3 +60,35 @@ def test_stateful_state_expiry_branch():
     st = FakeState()
     out = list(_make_update_user(1000)((1,), iter([]), st))
     assert out == [] and st.removed
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = sorted(
+        (r["view_id"], r["click_id"])
+        for r in v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    )
+    stream = sorted(
+        (r["view_id"], r["click_id"])
+        for r in _q("stream_stream_join")(spark, SF).collect()
+    )
+    assert stream == batch

@@ -162,3 +162,45 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+_WC_ORACLE_NGRAM = (
+    "SELECT bigram, count(*) AS cnt FROM ("
+    " SELECT t[i] || ' ' || t[i+1] AS bigram"
+    " FROM (SELECT list_filter(string_split_regex(text, '[^a-zA-Z]+'),"
+    "              x -> x <> '') AS t FROM documents),"
+    "      LATERAL (SELECT unnest(range(1, len(t))) AS i) ix"
+    ") GROUP BY bigram"
+)
+
+
+@query("udtf_ngrams", oracle=_WC_ORACLE_NGRAM)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 @udtf, arrow-optimized): one input
+    row → N output rows, the exact contract of the reference's map
+    function (mapF: one file → many KVs, worker.go:75-81) as a
+    first-class table function invoked per-row via lateral join —
+    emits word bigrams per document, aggregated downstream by a
+    regular JVM-side groupBy.
+
+    This completes the §2.10 triple: scalar UDF (elsewhere), grouped
+    UDAF (udf_reduce), and table UDTF (here). Python runs ONLY the
+    row-expansion; counting stays in codegen."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [w for w in _re.split("[^a-zA-Z]+", text or "") if w]
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT bigram, count(*) AS cnt"
+        " FROM documents, LATERAL bigrams_udtf(text)"
+        " GROUP BY bigram"
+    )

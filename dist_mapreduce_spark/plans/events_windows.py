@@ -347,3 +347,44 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stream_join_out").select(
         "view_id", "click_id", F.col("v_user").alias("user_id")
     )
+
+
+@query(
+    "stream_sliding",
+    oracle=(
+        f"SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start, event_type,"
+        f" count(*) AS n_events, {_VAL_SUM_DUCK} AS total_value FROM ("
+        f"  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value"
+        f"   FROM events"
+        f"  UNION ALL"
+        f"  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',"
+        f"   event_type, value FROM events"
+        f" ) GROUP BY 1, 2"
+    ),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h / 30 min) under Structured Streaming with a
+    watermark — each event updates two window states. Complete-mode
+    finals with DECIMAL money are micro-batch-invariant → same oracle
+    as the batch sliding query."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    out = run_stream_to_table(agg, "stream_sliding_out")
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

@@ -90,3 +90,40 @@ def fake_decode_features(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(
         extract, schema=FEATURE_SCHEMA
     )
+
+
+#: Output schema of the frame sampler.
+FRAME_SCHEMA = "doc_id long, n_frames long, n_sampled long, sampled_bytes long"
+
+
+def frame_sample(
+    payloads: DataFrame, frame_bytes: int = 1024, every: int = 4
+) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas: split each
+    payload into fixed-size frames (the byte-level stand-in for video
+    frame extraction — a real codec changes only the slicing line) and
+    keep every ``every``-th frame. Emits per-doc frame accounting;
+    map-side only, no shuffle — at 100 TB the sampler runs inside the
+    scan pipeline and the downstream sees a ``sampled`` fraction of
+    the bytes."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [
+                    b[i : i + frame_bytes] for i in range(0, len(b), frame_bytes)
+                ]
+                sampled = frames[::every]
+                rows.append(
+                    (doc_id, len(frames), len(sampled), sum(map(len, sampled)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_sampled", "sampled_bytes"],
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )

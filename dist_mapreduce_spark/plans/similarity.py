@@ -254,3 +254,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fake_decode_features(attach_payload(docs))
+
+
+@query(
+    "multimodal_frames",
+    oracle=(
+        "SELECT doc_id, n_frames,"
+        " CASE WHEN n_frames = 0 THEN 0 ELSE (n_frames + 3) // 4 END AS n_sampled,"
+        " CASE WHEN n_frames = 0 THEN 0 ELSE"
+        "  1024 * ((n_frames + 3) // 4)"
+        "  - (CASE WHEN r > 0 AND (n_frames - 1) % 4 = 0 THEN 1024 - r ELSE 0 END)"
+        " END AS sampled_bytes"
+        " FROM (SELECT doc_id,"
+        "        (octet_length(encode(text)) + 1023) // 1024 AS n_frames,"
+        "        octet_length(encode(text)) % 1024 AS r"
+        "       FROM documents)"
+    ),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (operators.multimodal.
+    frame_sample): 1 KiB frames, keep every 4th — the video-frame-
+    sampling shape with byte slicing standing in for a codec. The
+    Python sampler's per-doc accounting must land exactly on the
+    oracle's closed-form arithmetic (frame count, sampled count,
+    sampled byte total incl. the short final frame) — any off-by-one
+    in the chunking shows up as a hash mismatch."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(docs))

@@ -607,3 +607,24 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
     r2 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
     return r1.crossJoin(r2).filter(F.col("from_region") != F.col("to_region"))
+
+
+_NULL_SAFE_SQL = (
+    "SELECT a.event_id AS id_a, b.event_id AS id_b FROM"
+    " (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL"
+    "   ELSE event_type END AS et FROM events WHERE event_id % 97 = 0) a"
+    " JOIN"
+    " (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL"
+    "   ELSE event_type END AS et FROM events WHERE event_id % 89 = 0) b"
+    " ON a.et IS NOT DISTINCT FROM b.et AND a.event_id < b.event_id"
+)
+
+
+@query("join_null_safe", oracle=_NULL_SAFE_SQL)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the join variant plain
+    equality silently drops. Same SQL text on both engines; the %-mod
+    prefilters keep the pair count bounded."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_NULL_SAFE_SQL)

@@ -90,3 +90,29 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == docs.filter(F.col("lang") == "de").count()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_connector_builders_construct(spark):
+    """Connector wiring is valid construction-wise; execution needs a
+    cluster runtime (no broker/driver jar here — errors only at load)."""
+    from dist_mapreduce_spark.sources.connectors import (
+        jdbc_table,
+        kafka_sink,
+        kafka_stream,
+    )
+
+    r = kafka_stream(spark, "broker:9092", "events", min_partitions=64)
+    assert r is not None
+    j = jdbc_table(
+        spark, "jdbc:postgresql://db/x", "orders", "o_orderkey", 0, 10**9
+    )
+    assert j is not None
+    df = spark.createDataFrame([("k", "v")], "key string, value string")
+    # writeStream on a batch frame raises; use a readStream frame shape
+    # check instead: the sink builder is exercised on a streaming frame.
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    s = kafka_sink(stream, "broker:9092", "out", "/tmp/ckpt")
+    assert s is not None

@@ -628,3 +628,42 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilters keep the pair count bounded."""
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_NULL_SAFE_SQL)
+
+
+_UNPIVOT_SQL = (
+    "WITH agg AS (SELECT o_orderpriority,"
+    " CAST(count(*) AS DOUBLE) AS n_orders,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,"
+    " CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price"
+    " FROM orders GROUP BY o_orderpriority)"
+    " SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM agg"
+    " UNION ALL"
+    " SELECT o_orderpriority, 'total', total FROM agg"
+    " UNION ALL"
+    " SELECT o_orderpriority, 'max_price', max_price FROM agg"
+)
+
+
+@query("unpivot_measures", oracle=_UNPIVOT_SQL)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — the inverse of pivot_linestatus: wide per-priority
+    measures back to long (measure, value) rows via Spark's native
+    unpivot (an Expand node — one pass, no join/union re-scan; the
+    oracle's UNION ALL re-scans, which is why engines grew a dedicated
+    operator)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total", "max_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

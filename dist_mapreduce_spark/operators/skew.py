@@ -23,6 +23,14 @@ _SALT_L = "__salt_l"
 _SALT_R = "__salt_r"
 
 
+#: Join types whose results are invariant under small-side replication
+#: (every result row is anchored to a large-side row, which carries
+#: exactly one salt). right/full outer would emit unmatched small-side
+#: rows once PER REPLICA — wrong — so they are rejected.
+_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "semi",
+             "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -33,7 +41,15 @@ def salted_join(
     """Join ``large`` ⋈ ``small`` on the ``on`` condition with the
     large side salted across ``n_salts`` sub-keys. The per-row salt is
     monotonically_increasing_id mod n_salts — uniform within any hot
-    key and computed without a shuffle."""
+    key and computed without a shuffle. Only large-side-anchored join
+    types are allowed (see _SAFE_HOW); for right/full outer, swap the
+    inputs or salt the other side."""
+    if how.lower() not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "small side would duplicate its unmatched rows in right/full "
+            "outer results"
+        )
     l_salted = large.withColumn(
         _SALT_L, (F.monotonically_increasing_id() % n_salts).cast("int")
     )

@@ -89,3 +89,32 @@ def test_salted_join_equals_plain_join(spark):
             for r in left.join(right, F.col("k") == F.col("rk")).collect()
         )
         assert got == want
+
+
+def test_salted_join_rejects_small_side_outer(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 1)], "k long, v long")
+    right = spark.createDataFrame([(1, "a")], "rk long, tag string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, F.col("k") == F.col("rk"), how=how)
+
+
+def test_salted_join_left_outer_keeps_unmatched_large_rows(spark):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    right = spark.createDataFrame([(1, "a")], "rk long, tag string")
+    rows = sorted(
+        (r["k"], r["tag"])
+        for r in salted_join(
+            left, right, F.col("k") == F.col("rk"), n_salts=4, how="left"
+        ).collect()
+    )
+    assert rows == [(1, "a"), (2, None)]

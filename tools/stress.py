@@ -1,0 +1,61 @@
+"""Scale-up stress probe: replicate the documents corpus N× (default
+20× of sf0.1 → 100k docs) into a scratch sf-dir and run the heavy
+pipeline queries against it, timing each.
+
+Replication makes every document an exact 20-way duplicate, which is
+the ADVERSARIAL case for MinHash banding: every band bucket holds all
+20 copies, so candidate generation emits C(20,2) pairs per band per
+original — the skew shape a boilerplate-heavy 100 TB crawl produces.
+Surviving it (bounded memory, time scaling ~ pairs) is the evidence
+the banding-join design holds under load.
+
+Usage: python tools/stress.py [replication] [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = ("dedup_exact", "dedup_simhash", "text_stats", "dedup_minhash")
+
+
+def main() -> int:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    names = sys.argv[3:] or list(DEFAULT_QUERIES)
+
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.session import get_spark
+
+    spark = get_spark("stress")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stress_dir = os.path.join(repo, ".scratch", f"stress_x{rep}")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_src = docs.count()
+    (
+        docs.crossJoin(spark.range(rep).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") * rep + F.col("rep"))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{stress_dir}/documents.parquet")
+    )
+    n = spark.read.parquet(f"{stress_dir}/documents.parquet").count()
+    print(f"# corpus: {n_src} docs x{rep} -> {n} docs", file=sys.stderr)
+
+    qs = e.queries()
+    for name in names:
+        t0 = time.time()
+        rows = qs[name](spark, stress_dir).count()
+        print(f"{name:20s} {rows:>10} rows  {time.time() - t0:7.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

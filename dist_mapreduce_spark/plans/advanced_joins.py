@@ -5,6 +5,7 @@ conditions / window tricks" rows) plus the split UDF-surface queries
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,4 +204,37 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT bigram, count(*) AS cnt"
         " FROM documents, LATERAL bigrams_udtf(text)"
         " GROUP BY bigram"
+    )
+
+
+@query(
+    "udf_scalar",
+    oracle=(
+        "SELECT doc_id,"
+        " length(text) - length(replace(text, ' ', '')) + 1 AS approx_words,"
+        " upper(substr(text, 1, 8)) AS head_up"
+        " FROM documents"
+    ),
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (§2.10's third shape: the Writable-style
+    per-record function, WordCount.java:36-50): Arrow-batched,
+    vectorized pandas string ops — one Python stage, everything else
+    codegen. The oracle recomputes the same scalars in SQL, pinning
+    the UDF's semantics, not just its plumbing."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def approx_words(s: pd.Series) -> pd.Series:
+        return s.str.count(" ").astype("int64") + 1
+
+    @pandas_udf("string")
+    def head_up(s: pd.Series) -> pd.Series:
+        return s.str.slice(0, 8).str.upper()
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        approx_words("text").alias("approx_words"),
+        head_up("text").alias("head_up"),
     )

@@ -667,3 +667,24 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "join_right_outer",
+    oracle=(
+        "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders"
+        " FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey"
+        " GROUP BY c.c_custkey"
+    ),
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (§2.3's remaining literal variant — left's
+    mirror; Spark broadcasts the LEFT side under a right outer, the
+    symmetric rule to join_left_outer)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

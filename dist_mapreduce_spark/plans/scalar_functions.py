@@ -358,3 +358,66 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_qty"),
         F.sqrt(var).alias("stddev_qty"),
     )
+
+
+@query(
+    "fn_string2",
+    oracle=(
+        "SELECT p_partkey,"
+        " levenshtein(p_brand, 'Brand#13') AS lev_brand,"
+        " translate(p_type, 'aeiou', '-----') AS type_devowel,"
+        " split_part(p_type, ' ', 1) AS type_first,"
+        " reverse(p_name) AS name_rev,"
+        " repeat('*', p_size % 5) AS stars,"
+        " instr(p_name, 'red') AS red_at,"
+        " left(p_name, 5) AS name_left,"
+        " right(p_name, 5) AS name_right"
+        " FROM part"
+    ),
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche: edit distance, translate,
+    split_part, reverse, repeat, instr, left/right — all exact-integer
+    or pure-string ops, parity-safe across engines."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#13")).alias("lev_brand"),
+        F.translate(F.col("p_type"), "aeiou", "-----").alias("type_devowel"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.instr(F.col("p_name"), "red").alias("red_at"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name_left"),
+        F.right(F.col("p_name"), F.lit(5)).alias("name_right"),
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle=(
+        "SELECT o_orderpriority,"
+        " arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 1000000000"
+        "         + o_orderkey) AS top_order,"
+        " arg_min(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 1000000000"
+        "         + o_orderkey) AS bottom_order,"
+        " max(o_totalprice) AS top_price"
+        " FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates (max_by/min_by ↔ arg_max/arg_min):
+    which order, not just which price. The ordering scalar folds the
+    2-decimal price (exact ×100 int) with the key as tiebreak, so the
+    winner is unique and engine-independent — max_by on a tied column
+    is otherwise nondeterministic in any distributed engine."""
+    o = _t(spark, sf_dir, "orders")
+    ordkey = (
+        (F.col("o_totalprice") * 100).cast("bigint") * F.lit(1_000_000_000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordkey).alias("top_order"),
+        F.min_by("o_orderkey", ordkey).alias("bottom_order"),
+        F.max("o_totalprice").alias("top_price"),
+    )

@@ -84,3 +84,31 @@ def run_stream_to_table(df: DataFrame, name: str) -> DataFrame:
         q.stop()
     spark = df.sparkSession
     return spark.table(name)
+
+
+def run_stream_foreach_batch(df: DataFrame, sink_path: str) -> int:
+    """Drive a streaming frame through a foreachBatch sink — the
+    production pattern for sinks Spark lacks natively (JDBC upserts,
+    merges): each micro-batch arrives as a BATCH DataFrame with a
+    monotonically increasing batch_id for idempotent writes (replaying
+    batch N overwrites batch N's partition, never duplicates it).
+    Writes hive-partitioned parquet by batch id; returns the number of
+    micro-batches committed."""
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_path)
+        )
+        n_batches["n"] += 1
+
+    q = df.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return n_batches["n"]

@@ -92,3 +92,34 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
         for r in _q("stream_stream_join")(spark, SF).collect()
     )
     assert stream == batch
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_foreach_batch,
+    )
+
+    sink = str(tmp_path / "fb_sink")
+    agg = (
+        read_events_stream(spark, SF)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    n_batches = run_stream_foreach_batch(agg, sink)
+    assert n_batches >= 1
+    out = spark.read.parquet(sink)
+    # Batch-partitioned layout; the union of the last updates per key
+    # must contain the final counts of the batch groupBy.
+    batch = {
+        (r["event_type"], r["n"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r["event_type"], r["n_events"]) for r in out.collect()}
+    assert batch <= got

@@ -95,3 +95,31 @@ def test_setops_disjoint_union(spark, name):
     inter = {r["word"] for r in _q("setop_intersect")(spark, SF).collect()}
     exc = {r["word"] for r in _q("setop_except")(spark, SF).collect()}
     assert not (inter & exc)
+
+
+def test_dim_joins_broadcast(spark):
+    """Dimension joins must be broadcast (no shuffle of the fact side's
+    join key) — the claim in README/docs/EXPLAIN.md, pinned here."""
+    for name in ("join_inner", "join_broadcast", "join_multiway"):
+        df = _q(name)(spark, SF)
+        df.collect()
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderpriority" in pushed

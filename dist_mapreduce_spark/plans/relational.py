@@ -688,3 +688,81 @@ def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@query(
+    "window_range_frame",
+    oracle=(
+        "SELECT o_orderkey, o_custkey,"
+        " count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_days"
+        "   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS orders_30d"
+        " FROM (SELECT o_orderkey, o_custkey,"
+        "        date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))"
+        "         AS epoch_days FROM orders)"
+    ),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames used elsewhere):
+    per customer, how many orders landed in the trailing 30 days —
+    peer rows with equal ordering values enter the frame together,
+    the semantic ROWS cannot express."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.alias("epoch_days"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("orders_30d"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle=(
+        "SELECT l_returnflag,"
+        " bool_and(l_quantity > 0) AS all_positive,"
+        " bool_or(l_discount > 0.09) AS any_high_discount,"
+        " count_if(l_tax = 0) AS n_taxfree"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: bool_and / bool_or / count_if."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+    )
+
+
+@query(
+    "dedup_latest",
+    oracle=(
+        "SELECT user_id, event_id, event_type FROM ("
+        " SELECT user_id, event_id, event_type,"
+        "  row_number() OVER (PARTITION BY user_id"
+        "   ORDER BY ts DESC, event_id DESC) AS rn FROM events)"
+        " WHERE rn = 1"
+    ),
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key — the CDC/compaction pattern (a change
+    stream reduces to current state): row_number over (key, recency)
+    = 1. One shuffle on the key; at 100 TB this is the standard
+    log-to-snapshot compactor."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )

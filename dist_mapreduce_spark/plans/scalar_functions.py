@@ -421,3 +421,33 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", ordkey).alias("bottom_order"),
         F.max("o_totalprice").alias("top_price"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle=(
+        "SELECT event_id,"
+        " event_id & 255 AS low_byte,"
+        " event_id | 4096 AS with_flag,"
+        " xor(event_id, 65535) AS xored,"
+        " event_id << 2 AS shl2,"
+        " event_id >> 3 AS shr3,"
+        " CAST(bit_count(event_id) AS INT) AS popcount"
+        " FROM events"
+    ),
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise functions (&, |, xor, shifts, popcount) — exact int
+    ops, engine-identical. (Spark spells xor ^; DuckDB's ^ is POWER —
+    the same dialect gap functions/hashing.py documents.)"""
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    return e.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(65535)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )

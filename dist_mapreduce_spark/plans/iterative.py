@@ -20,7 +20,7 @@ reproducible run-to-run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_mapreduce_spark.plans.registry import query
@@ -128,3 +128,70 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(round(n, 6)) for n in norms]), F.col("cluster") + 1
     )
     return sizes.select("cluster", "n_vectors", norm_col.alias("centroid_norm"))
+
+
+# ------------------------------------------------- connected components
+
+CC_MAX_ITERS = 20
+
+
+@query(
+    "graph_components",
+    oracle=(
+        "SELECT s_suppkey AS node,"
+        " min(s_suppkey) OVER (PARTITION BY s_nationkey) AS component"
+        " FROM supplier"
+    ),
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    Pregel/GraphX pattern as plain DataFrame rounds).
+
+    Graph: suppliers are nodes; each supplier links to the supplier at
+    half its rank within its nation — a binary tree per nation, so the
+    TRUE components are exactly the nation groups and the oracle can
+    state them in closed form, while the Spark side runs the general
+    algorithm with no knowledge of that structure.
+
+    Per round: join labels into the symmetric edge list (one shuffle on
+    node id), union with self-labels, min-aggregate — converged when
+    sum(label) stops falling (it is monotone non-increasing).
+    localCheckpoint truncates lineage each round so the plan does not
+    grow with iterations. Tree diameter is O(log n), so rounds stay
+    single-digit at any SF; at 100 TB scale the same loop runs with the
+    edge list pre-partitioned by src and AQE handling skew."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rk_w = F.row_number().over(
+        Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    )
+    ranked = s.select(
+        F.col("s_suppkey").alias("node"), "s_nationkey", rk_w.alias("rk")
+    )
+    child = ranked.filter(F.col("rk") >= 2).alias("c")
+    parent = ranked.alias("p")
+    edges = child.join(
+        parent,
+        (F.col("c.s_nationkey") == F.col("p.s_nationkey"))
+        & (F.col("p.rk") == F.expr("c.rk DIV 2")),
+    ).select(F.col("c.node").alias("src"), F.col("p.node").alias("dst"))
+    edges_sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = ranked.select("node", F.col("node").alias("label")).localCheckpoint()
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        msgs = edges_sym.join(labels, edges_sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_mapreduce_spark.operators import text_analysis as ta
@@ -506,3 +506,67 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.2)
+
+
+# ----------------------------------------------------------- TF-IDF topk
+
+TFIDF_TOPK = 3
+IDF_SCALE = 1_000_000
+
+
+@query(
+    "text_tfidf",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, word AS term FROM"
+        f"  (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word"
+        f"   FROM documents) WHERE word <> ''),"
+        f" t AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),"
+        f" d AS (SELECT term, count(*) AS df FROM t GROUP BY term),"
+        f" nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)"
+        f" SELECT doc_id, term, tf, df, score_scaled, rk FROM ("
+        f"  SELECT t.doc_id, t.term, t.tf, d.df,"
+        f"   t.tf * ((nd.n_docs * {IDF_SCALE}) // d.df) AS score_scaled,"
+        f"   row_number() OVER (PARTITION BY t.doc_id ORDER BY"
+        f"    t.tf * ((nd.n_docs * {IDF_SCALE}) // d.df) DESC, t.term) AS rk"
+        f"  FROM t JOIN d USING (term), nd)"
+        f" WHERE rk <= {TFIDF_TOPK}"
+    ),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled TF-IDF, top-3 terms per document.
+
+    idf is the integer-scaled ratio n_docs*1e6 DIV df — exact bigint
+    arithmetic on every engine, so rankings are bit-reproducible (a
+    float log() idf would drift between libm implementations; ranking
+    by the scaled rational preserves the same order for fixed n_docs).
+
+    Scale shape: tf is one (doc, term) hash aggregate with map-side
+    combine; df is a second aggregate over tf's (already-distinct)
+    output — no count-distinct shuffle of raw tokens; n_docs broadcasts
+    as a 1-row literal. The hot path shuffles only (term, partial
+    counts), never document text."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score_scaled",
+            F.expr(f"tf * ((n_docs * {IDF_SCALE}) DIV df)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_scaled", "rk")
+    )

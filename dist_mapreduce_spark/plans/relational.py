@@ -766,3 +766,78 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
     )
+
+
+# ------------------------------------------------------ mode / histogram
+
+@query(
+    "agg_mode",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM ("
+        " SELECT o_orderstatus, o_orderpriority, count(*) AS n,"
+        "  row_number() OVER (PARTITION BY o_orderstatus"
+        "   ORDER BY count(*) DESC, o_orderpriority) AS rk"
+        " FROM orders GROUP BY o_orderstatus, o_orderpriority)"
+        " WHERE rk = 1"
+    ),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group (mode), tie-broken by value so the
+    answer is total-order deterministic — the builtin mode() leaves
+    ties engine-defined. Shape: one (group, value) hash aggregate with
+    map-side combine, then a window over the (small) distinct-value
+    set; the raw fact rows shuffle once."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle=(
+        "SELECT bin, count(*) AS n_orders,"
+        " CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_min,"
+        " CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_max"
+        " FROM (SELECT o_totalprice,"
+        "   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        "        // 2500000 AS INT) AS bin"
+        "  FROM orders) GROUP BY bin"
+    ),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (25k-wide bins) via exact
+    integer bucket arithmetic (cents DIV bin-width-in-cents) — the same
+    bin on every engine, unlike float width_bucket at boundaries.
+    Map-side: bin is computed in the scan projection, then one tiny
+    (n_bins) aggregate. The 100 TB profile: histogram of a column =
+    one pass, shuffle of n_bins rows."""
+    o = _t(spark, sf_dir, "orders")
+    binned = o.select(
+        "o_totalprice",
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 2500000 AS INT)"
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bin_min"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bin_max"),
+    )

@@ -165,6 +165,88 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- IVF topk
+
+CENT_MOD = 41   # deterministic "sampled" centroid set: vec_id % 41 == 3
+CENT_REM = 3
+N_PROBE = 2
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=(
+        f"WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec"
+        f"  FROM embeddings WHERE vec_id % {CENT_MOD} = {CENT_REM}),"
+        f" sc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
+        f"  {cosine_duckdb_sql('e.embedding', 'c.cvec')} AS cscore"
+        f"  FROM embeddings e, cent c),"
+        f" rkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        f"  ORDER BY cscore DESC, cent_id) AS crk FROM sc),"
+        f" cells AS (SELECT vec_id, embedding, cent_id AS cell"
+        f"  FROM rkd WHERE crk = 1),"
+        f" probes AS (SELECT vec_id AS query_id, embedding AS qv,"
+        f"  cent_id AS pcell FROM rkd"
+        f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),"
+        f" s AS (SELECT p.query_id, cl.vec_id,"
+        f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+        f"  FROM cells cl JOIN probes p"
+        f"   ON cl.cell = p.pcell AND cl.vec_id <> p.query_id)"
+        f" SELECT query_id, vec_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+    ),
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a deterministic centroid subset
+    (vec_id % 41 == 3, the 'trained coarse quantizer'), every vector
+    assigned to its nearest centroid cell (argmax cosine, centroid-id
+    tiebreak), queries probe their N_PROBE closest cells and run exact
+    cosine only inside them.
+
+    Scale shape: assignment is one corpus scan against a broadcast
+    centroid table (k ≪ N, so N·k codegen'd folds — the real IVF build
+    cost); search is an equi-join on cell id, touching ~N_PROBE/k of
+    the corpus per query. At 100 TB the cell id is precomputed at
+    ingest and the table is partitioned by it, so probing = partition
+    pruning. Deterministic centroids make the approximate result
+    exactly oracle-checkable."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") % CENT_MOD == CENT_REM).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    scores = (
+        emb.join(F.broadcast(cent))
+        .withColumn("cscore", F.expr(cosine_spark_sql("embedding", "cvec")))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
+    ranked = scores.withColumn("crk", F.row_number().over(wc))
+    cells = ranked.filter(F.col("crk") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cent_id").alias("pcell"),
+    )
+    scored = (
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
 # ----------------------------------------------------- embedding dedup
 
 @query(

@@ -388,3 +388,39 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle=(
+        "SELECT event_type, count(*) AS n_events FROM"
+        " (SELECT DISTINCT event_id, event_type FROM events)"
+        " GROUP BY event_type"
+    ),
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup: the stream is unioned with
+    itself (every event arrives twice — the at-least-once delivery
+    profile), then dropDuplicatesWithinWatermark(event_id) removes the
+    duplicates while holding per-key state only WITHIN the watermark
+    horizon — the production-safe form of stream_dedup whose state is
+    bounded instead of growing forever. Without the dedup the counts
+    would be exactly doubled, so the oracle genuinely certifies the
+    operator. Complete-mode finals are micro-batch-invariant → full
+    DuckDB oracle."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "ts"
+    )
+    doubled = events.union(events)
+    agg = (
+        doubled.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_stream_to_table(agg, "stream_dedup_wm_out")

@@ -570,3 +570,66 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "score_scaled", "rk")
     )
+
+
+# ------------------------------------------- end-to-end corpus pipeline
+
+QUALITY_GATE = 0.5
+
+
+def _duck_quality() -> str:
+    return (
+        f"least(1.0, CAST(len({_D_TOKS}) AS DOUBLE) / 100.0) * 0.4"
+        f" + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f"    / CAST(length(text) AS DOUBLE)) * 0.3"
+        f" + least(1.0, ({_duck_marker_hits(ta.LANG_MARKERS['en'])} "
+        f"    / CAST(len({_D_TOKS}) AS DOUBLE)) * 5.0) * 0.3"
+    )
+
+
+@query(
+    "pipeline_corpus",
+    oracle=(
+        f"WITH scored AS (SELECT doc_id, lang, len({_D_TOKS}) AS n_tokens,"
+        f"  {_duck_quality()} AS quality,"
+        f"  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp"
+        f"  FROM documents),"
+        f" kept AS (SELECT * FROM scored WHERE quality >= {QUALITY_GATE}),"
+        f" winners AS (SELECT *, row_number() OVER (PARTITION BY fp"
+        f"   ORDER BY doc_id) AS rn FROM kept)"
+        f" SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,"
+        f"  min(quality) AS min_quality, max(quality) AS max_quality"
+        f" FROM winners WHERE rn = 1 GROUP BY lang"
+    ),
+)
+def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus preparation pipeline as ONE plan:
+    score quality → gate → exact-dedup survivors (keep lowest doc_id
+    per normalized fingerprint) → per-language corpus accounting.
+
+    This is the composition test: every stage reuses the operators
+    proven individually (quality_score, dedup_exact, token_count) and
+    Catalyst fuses them — scan once, compute fingerprint+quality in the
+    projection, one shuffle for the dedup window, one for the final
+    aggregate. Per-group stats are order-independent (counts, integer
+    token sums, min/max of an identical IEEE expression tree) so the
+    whole pipeline stays bit-reproducible at any parallelism."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        ta.n_tokens(F.col("text")).alias("n_tokens"),
+        ta.quality_score(F.col("text")).alias("quality"),
+        ta.normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.filter(F.col("quality") >= QUALITY_GATE)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    winners = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return winners.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )

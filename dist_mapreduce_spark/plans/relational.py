@@ -841,3 +841,34 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bin_max"),
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle=(
+        "SELECT user_id, event_id, event_type,"
+        " strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,"
+        " strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,"
+        " (lead(ts) OVER w IS NULL) AS is_current"
+        " FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval building: each
+    change event is valid from its timestamp until the user's next
+    event; the latest row per user is open-ended (is_current). This is
+    the log→dimension-table compactor: one shuffle on the key, one
+    ordered window pass — lead() with an (ts, event_id) total order so
+    interval edges are deterministic under timestamp ties."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

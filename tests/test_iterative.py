@@ -32,3 +32,22 @@ def test_kmeans_deterministic_and_total(spark):
     assert sum(r[1] for r in run1) == total
     # All centroids finite and non-degenerate.
     assert all(r[2] > 0 for r in run1)
+
+
+def test_graph_components_match_nations(spark):
+    """Label propagation must converge to the nation partition (the
+    synthetic per-nation trees are the true components)."""
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    got = {
+        r["node"]: r["component"]
+        for r in _q("graph_components")(spark, SF).collect()
+    }
+    s = load_table(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    rows = s.collect()
+    want_min = {}
+    for r in rows:
+        k = r["s_nationkey"]
+        want_min[k] = min(want_min.get(k, r["s_suppkey"]), r["s_suppkey"])
+    want = {r["s_suppkey"]: want_min[r["s_nationkey"]] for r in rows}
+    assert got == want

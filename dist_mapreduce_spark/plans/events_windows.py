@@ -424,3 +424,109 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return run_stream_to_table(agg, "stream_dedup_wm_out")
+
+
+@query(
+    "sessionize_gaps",
+    oracle=(
+        f"WITH g AS (SELECT user_id, ts, event_id,"
+        f"  CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'"
+        f"       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess"
+        f"  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        f" s AS (SELECT user_id, ts,"
+        f"  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        f"   ROWS UNBOUNDED PRECEDING) AS session_id FROM g)"
+        f" SELECT user_id, session_id, count(*) AS n_events,"
+        f"  strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,"
+        f"  strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end"
+        f" FROM s GROUP BY user_id, session_id"
+    ),
+)
+def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization — the manual form of
+    session_window (30-minute inactivity gap): flag session starts with
+    lag(), running-sum the flags into session ids, aggregate. One
+    shuffle on user_id serves both window passes AND the final
+    aggregate (same partitioning reused across stages); total order
+    (ts, event_id) pins tie handling. This is the pattern when session
+    logic needs custom rules (per-user gap, campaign boundaries) that
+    session_window can't express."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Microsecond-exact gap test (a seconds-granularity cast would
+    # truncate and disagree with the oracle's interval comparison at
+    # the 30-minute boundary).
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    s = e.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
+    )
+
+
+@query(
+    "events_funnel",
+    oracle=(
+        f"WITH v AS (SELECT user_id, min(ts) AS tv FROM events"
+        f"  WHERE event_type = 'view' GROUP BY user_id),"
+        f" c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e"
+        f"  JOIN v ON e.user_id = v.user_id"
+        f"  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),"
+        f" p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e"
+        f"  JOIN c ON e.user_id = c.user_id"
+        f"  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)"
+        f" SELECT v.user_id,"
+        f"  strftime(v.tv, '{_TS_FMT_DUCK}') AS first_view,"
+        f"  strftime(c.tc, '{_TS_FMT_DUCK}') AS first_click_after,"
+        f"  strftime(p.tp, '{_TS_FMT_DUCK}') AS first_purchase_after"
+        f" FROM v JOIN c ON v.user_id = c.user_id"
+        f" JOIN p ON v.user_id = p.user_id"
+    ),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: earliest view
+    per user, earliest click AFTER that view, earliest purchase AFTER
+    that click; only fully-converted users survive. Three stage
+    aggregates, each joined to the previous stage's (small, per-user)
+    output — the stage tables shrink monotonically, so at 100 TB each
+    later stage probes a broadcastable survivors table instead of
+    re-scanning the full log."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            F.date_format("tv", _TS_FMT_SPARK).alias("first_view"),
+            F.date_format("tc", _TS_FMT_SPARK).alias("first_click_after"),
+            F.date_format("tp", _TS_FMT_SPARK).alias("first_purchase_after"),
+        )
+    )

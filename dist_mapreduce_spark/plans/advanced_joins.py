@@ -238,3 +238,62 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx_words("text").alias("approx_words"),
         head_up("text").alias("head_up"),
     )
+
+
+@query(
+    "udf_arrow",
+    oracle=(
+        "SELECT doc_id, length(text) AS n_chars_py,"
+        " len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))"
+        "  AS n_tokens_py"
+        " FROM documents"
+    ),
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy tier of the Python data plane: batches
+    arrive as pyarrow RecordBatch, computed on with Arrow kernels
+    (utf8_length, split+list_value_length), never converted to pandas
+    objects. For numeric/string kernels this skips the Arrow→pandas
+    materialization mapInPandas pays; same physical exchange shape
+    (ArrowEvalPython) otherwise. Token semantics match the whitespace
+    tokenizer exactly (split on \\s+, drop empties)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def arrow_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            toks = pc.split_pattern_regex(text, r"\s+")
+            # Per-row token counts excluding the empty strings that
+            # leading/trailing whitespace runs produce: total list
+            # lengths minus per-row empty counts (via parent indices
+            # of the flattened list).
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            parents = pc.list_parent_indices(toks)
+            empty_parents = pc.filter(parents, pc.invert(keep))
+            import numpy as np
+
+            n_rows = batch.num_rows
+            empties = np.zeros(n_rows, dtype=np.int64)
+            if len(empty_parents) > 0:
+                idx, cnt = np.unique(empty_parents.to_numpy(), return_counts=True)
+                empties[idx] = cnt
+            n_tokens = pc.subtract(
+                pc.list_value_length(toks).cast(pa.int64()),
+                pa.array(empties),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.utf8_length(text).cast(pa.int64()),
+                    n_tokens,
+                ],
+                names=["doc_id", "n_chars_py", "n_tokens_py"],
+            )
+
+    return docs.mapInArrow(
+        arrow_stats, schema="doc_id long, n_chars_py long, n_tokens_py long"
+    )

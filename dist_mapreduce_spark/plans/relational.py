@@ -872,3 +872,56 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "merge_upsert",
+    oracle=(
+        "WITH changes AS ("
+        " SELECT o_orderkey AS k,"
+        "  CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(18,2)) AS p"
+        " FROM orders WHERE o_orderkey % 10 = 3"
+        " UNION ALL"
+        " SELECT -o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p"
+        " FROM orders WHERE o_orderkey % 10 = 7)"
+        " SELECT coalesce(b.o_orderkey, c.k) AS o_orderkey,"
+        "  CASE WHEN b.o_orderkey IS NULL THEN 'insert'"
+        "       WHEN c.k IS NULL THEN 'keep' ELSE 'update' END AS action,"
+        "  CAST(coalesce(c.p, CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        "   AS final_price"
+        " FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.k"
+    ),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert) emulated with a full-outer join +
+    coalesce — the engine-level core of what Delta/Iceberg MERGE
+    compiles to: matched rows take the change's value, unmatched
+    source rows insert, unmatched target rows carry forward. The change
+    set derives deterministically from orders (key%10==3 → updates,
+    negated key%10==7 → inserts). At 100 TB the join shuffles on the
+    key both sides — or neither, if target and changelog share a
+    bucketing; AQE handles the usual changelog-much-smaller skew."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    updates = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        F.col("o_orderkey").alias("k"),
+        (dec + F.lit("10.00").cast("decimal(18,2)")).alias("p"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        (-F.col("o_orderkey")).alias("k"), dec.alias("p")
+    )
+    changes = updates.union(inserts)
+    b = o.alias("b")
+    c = changes.alias("c")
+    return b.join(c, F.col("b.o_orderkey") == F.col("c.k"), "full_outer").select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("c.k")).alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), "insert")
+        .when(F.col("c.k").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce(
+            F.col("c.p"), F.col("b.o_totalprice").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("final_price"),
+    )

@@ -530,3 +530,64 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("tp", _TS_FMT_SPARK).alias("first_purchase_after"),
         )
     )
+
+
+def _transform_with_state_available() -> bool:
+    """transformWithStateInPandas drives a separate StreamingPythonRunner
+    that imports protobuf; gate registration on it so the registry never
+    exposes a query the runtime cannot execute (this container ships a
+    broken google.protobuf)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def _def_stream_transform_state():
+    return query(
+        "stream_transform_state",
+        oracle=(
+            "SELECT user_id, count(*) AS n_events,"
+            " CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))"
+            "  AS BIGINT) AS total_cents"
+            " FROM events GROUP BY user_id"
+        ),
+    )(q_stream_transform_state)
+
+
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (StatefulProcessor) — typed
+    ValueState per user accumulating (count, integer cents). Exact
+    integer state makes the finals micro-batch-invariant, so this
+    custom stateful operator gets a FULL DuckDB oracle (the older
+    applyInPandasWithState float version stays rows-only). Update mode
+    emits a row per touched user per batch; the last emission per user
+    (max n_events — monotone) is the final state."""
+    from dist_mapreduce_spark.streaming.stateful import running_user_cents
+    from dist_mapreduce_spark.streaming.windows import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    out = running_user_cents(events)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table("stream_tws_out")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
+if _transform_with_state_available():
+    _def_stream_transform_state()

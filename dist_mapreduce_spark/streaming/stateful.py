@@ -79,3 +79,59 @@ def running_user_totals(
             timeoutConf=timeout,
         )
     )
+
+
+# ---------------------------------------------------------------------
+# transformWithState (Spark 4 StatefulProcessor API)
+
+def running_user_cents(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_cents) via the Spark 4
+    ``transformWithStateInPandas`` StatefulProcessor API — the successor
+    to applyInPandasWithState: typed state handles (ValueState here;
+    ListState/MapState/timers available), explicit init/close lifecycle,
+    and Arrow-batched row groups per key.
+
+    Totals are integer cents (value is 2-decimal money), so state
+    updates are exact and order-independent → the finals are
+    micro-batch-invariant and fully oracle-checkable, unlike a float
+    accumulator."""
+    import pandas as pd  # noqa: PLC0415 (worker-side import)
+    from pyspark.sql.streaming import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class RunningCents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf["value"].mul(100).round().astype("int64").sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCents(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -123,3 +123,38 @@ def test_foreach_batch_sink_idempotent_layout(spark, tmp_path):
     }
     got = {(r["event_type"], r["n_events"]) for r in out.collect()}
     assert batch <= got
+
+
+def test_transform_with_state_gated_or_correct(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) registers
+    only when the streaming Python runner's protobuf dependency is
+    importable; when it runs, finals must equal the batch aggregate."""
+    import __spark_entry__ as e
+    from dist_mapreduce_spark.plans.events_windows import (
+        _transform_with_state_available,
+    )
+
+    qs = e.queries()
+    if not _transform_with_state_available():
+        assert "stream_transform_state" not in qs
+        return
+    from pyspark.sql import functions as F
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in qs["stream_transform_state"](spark, SF).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want

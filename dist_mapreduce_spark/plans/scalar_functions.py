@@ -451,3 +451,62 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+# --------------------------------------------------- correlation (exact)
+
+@query(
+    "agg_corr",
+    oracle=(
+        "SELECT l_returnflag, n, cov_qty_price,"
+        " (sxy - sx * sy / n)"
+        "  / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))"
+        "  AS corr_qty_price"
+        " FROM (SELECT l_returnflag, count(*) AS n,"
+        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,"
+        "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,"
+        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
+        "           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,"
+        "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+        "           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,"
+        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
+        "           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,"
+        "  (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
+        "            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        "   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        "     * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / n)"
+        "   / (n - 1) AS cov_qty_price"
+        " FROM lineitem GROUP BY l_returnflag)"
+    ),
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation of quantity vs price
+    per return flag — from EXACT decimal sums (sx, sy, sxx, syy, sxy)
+    combined in one shared double expression tree, never the builtin
+    corr()/covar_samp() whose float accumulation order varies with
+    partitioning. One aggregate pass, five exact sums riding the same
+    shuffle; bit-identical on any engine and any parallelism."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        cov.alias("cov_qty_price"),
+        corr.alias("corr_qty_price"),
+    )

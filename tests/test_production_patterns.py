@@ -81,3 +81,45 @@ def test_streaming_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # Restart from the same checkpoint: the sink gains ONLY id 3 —
     # batch1's rows are not reprocessed (no duplicates = exactly-once).
     assert run_once() == [1, 2, 3]
+
+
+def test_runtime_bloom_filter_prunes_probe_side():
+    """Runtime bloom-filter join pruning: when a selective filter sits
+    on the build side of a shuffle join, the optimizer injects a
+    might_contain(bloom) predicate into the probe-side scan — at 100 TB
+    this skips most fact rows before the shuffle. The feature keys off
+    session confs, so the probe runs in its own subprocess (one
+    SparkContext per JVM; reconfiguring the shared test session would
+    poison it for the other test files)."""
+    import os
+    import subprocess
+    import sys
+
+    code = f"""
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from dist_mapreduce_spark.session import get_spark
+from pyspark.sql import functions as F
+
+spark = get_spark("bloom_test", master="local[4]", shuffle_partitions=4, extra_conf={{
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}})
+li = spark.read.parquet({SF!r} + "/lineitem.parquet")
+o = spark.read.parquet({SF!r} + "/orders.parquet").filter(
+    F.col("o_orderpriority") == "1-URGENT")
+j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+assert j.collect(), "join produced no groups"
+plan = j._jdf.queryExecution().executedPlan().toString()
+assert "might_contain" in plan, "bloom filter not injected"
+print("BLOOM_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "BLOOM_OK" in out.stdout, out.stderr[-2000:]

@@ -137,14 +137,22 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stateful")  # no oracle: custom stateful op, rows-only check
+@query(
+    "stream_stateful",
+    oracle=(
+        "SELECT user_id, count(*) AS n_events,"
+        " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value"
+        " FROM events GROUP BY user_id"
+    ),
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running totals with idle-state expiry — the operator class
-    the reference cannot express at all (streaming.stateful). The final
-    per-user totals must equal the batch groupBy — asserted in tests
-    (update-mode emits one row per user per touched micro-batch; the
-    single-batch local run emits exactly the final totals)."""
+    the reference cannot express at all (streaming.stateful). State
+    accumulates integer cents, so the per-user finals are exact and
+    micro-batch-invariant — giving this custom operator a FULL DuckDB
+    oracle (update-mode emits one row per user per touched micro-batch;
+    the last emission per user is the final state)."""
     from dist_mapreduce_spark.streaming.stateful import running_user_totals
     from dist_mapreduce_spark.streaming.windows import (
         read_events_stream,
@@ -561,8 +569,8 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 transformWithStateInPandas (StatefulProcessor) — typed
     ValueState per user accumulating (count, integer cents). Exact
     integer state makes the finals micro-batch-invariant, so this
-    custom stateful operator gets a FULL DuckDB oracle (the older
-    applyInPandasWithState float version stays rows-only). Update mode
+    custom stateful operator gets a FULL DuckDB oracle, same as the
+    applyInPandasWithState form of the operator. Update mode
     emits a row per touched user per batch; the last emission per user
     (max n_events — monotone) is the final state."""
     from dist_mapreduce_spark.streaming.stateful import running_user_cents

@@ -169,6 +169,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CENT_MOD = 41   # deterministic "sampled" centroid set: vec_id % 41 == 3
 CENT_REM = 3
+CENT_CAP = CENT_MOD * 64  # ≤64 centroids: k is FIXED, not ∝ corpus size
 N_PROBE = 2
 
 
@@ -176,7 +177,8 @@ N_PROBE = 2
     "sim_topk_ivf",
     oracle=(
         f"WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec"
-        f"  FROM embeddings WHERE vec_id % {CENT_MOD} = {CENT_REM}),"
+        f"  FROM embeddings WHERE vec_id % {CENT_MOD} = {CENT_REM}"
+        f"  AND vec_id < {CENT_CAP}),"
         f" sc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
         f"  {cosine_duckdb_sql('e.embedding', 'c.cvec')} AS cscore"
         f"  FROM embeddings e, cent c),"
@@ -203,17 +205,27 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak), queries probe their N_PROBE closest cells and run exact
     cosine only inside them.
 
-    Scale shape: assignment is one corpus scan against a broadcast
-    centroid table (k ≪ N, so N·k codegen'd folds — the real IVF build
-    cost); search is an equi-join on cell id, touching ~N_PROBE/k of
-    the corpus per query. At 100 TB the cell id is precomputed at
+    Scale shape: k is CAPPED (≤64) so the N·k assignment cost stays
+    linear in the corpus — a k that grows with N makes the build
+    quadratic (measured: 1000 s at 20×sf0.1 before the cap vs seconds
+    after). Assignment is one corpus scan against a broadcast centroid
+    table, repartitioned first so the CPU-bound scoring spreads across
+    the cluster even when the source arrives as few splits; search is
+    an equi-join on cell id, touching ~N_PROBE/k of the corpus per
+    query. At 100 TB the cell id is precomputed at
     ingest and the table is partitioned by it, so probing = partition
     pruning. Deterministic centroids make the approximate result
     exactly oracle-checkable."""
-    emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") % CENT_MOD == CENT_REM).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    # Repartition before the N·k scoring join: the corpus parquet may
+    # arrive as a handful of splits, and broadcast joins add no
+    # exchange — without this the CPU-bound assignment runs on those
+    # few tasks regardless of cluster width.
+    emb = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    cent = emb.filter(
+        (F.col("vec_id") % CENT_MOD == CENT_REM) & (F.col("vec_id") < CENT_CAP)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     scores = (
         emb.join(F.broadcast(cent))
         .withColumn("cscore", F.expr(cosine_spark_sql("embedding", "cvec")))

@@ -41,15 +41,26 @@ def _make_update_user(idle_timeout_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        # State holds integer cents (value is 2-decimal money): exact
+        # and order-independent, so the final per-user totals are
+        # micro-batch-invariant — which is what makes this custom
+        # stateful operator fully oracle-checkable instead of
+        # rows-only. Emitted total_value = cents/100.0 is the
+        # correctly-rounded double, identical to DuckDB's
+        # CAST(DECIMAL sum AS DOUBLE).
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
         if idle_timeout_ms > 0:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
         )
 
     return _update_user

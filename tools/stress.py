@@ -37,17 +37,25 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     stress_dir = os.path.join(repo, ".scratch", f"stress_x{rep}")
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_src = docs.count()
-    (
-        docs.crossJoin(spark.range(rep).withColumnRenamed("id", "rep"))
-        .withColumn("doc_id", F.col("doc_id") * rep + F.col("rep"))
-        .drop("rep")
-        .write.mode("overwrite")
-        .parquet(f"{stress_dir}/documents.parquet")
-    )
-    n = spark.read.parquet(f"{stress_dir}/documents.parquet").count()
-    print(f"# corpus: {n_src} docs x{rep} -> {n} docs", file=sys.stderr)
+    # Replicate every table a stress query touches; key remaps keep ids
+    # unique (documents/embeddings) while events keep their user_id so
+    # per-user event volume grows rep× (the sessionization stress).
+    for table, key in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+    ):
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        n_src = src.count()
+        (
+            src.crossJoin(spark.range(rep).withColumnRenamed("id", "rep"))
+            .withColumn(key, F.col(key) * rep + F.col("rep"))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{stress_dir}/{table}.parquet")
+        )
+        n = spark.read.parquet(f"{stress_dir}/{table}.parquet").count()
+        print(f"# {table}: {n_src} x{rep} -> {n} rows", file=sys.stderr)
 
     qs = e.queries()
     for name in names:

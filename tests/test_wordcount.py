@@ -134,3 +134,31 @@ def test_read_text_files_whole_file_identity(spark, tmp_path):
     assert df.count() == 2
     counts = _counts(word_count(df))
     assert counts["hello"] == 1 and counts["Hello"] == 1 and counts["World"] == 1
+
+
+def test_core_operators_handle_empty_input(spark, tmp_path):
+    """Zero-row inputs must produce zero-row outputs (not errors) for
+    the core families — the degenerate partitions every 100 TB run
+    contains somewhere."""
+    import __spark_entry__ as e
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    empty_dir = str(tmp_path / "empty_sf")
+    for t in ("documents", "orders", "customer", "events", "embeddings"):
+        load_table(spark, sf, t).limit(0).write.parquet(f"{empty_dir}/{t}.parquet")
+
+    qs = e.queries()
+    for name in (
+        "tokenize",
+        "agg_count",
+        "window_topk",
+        "join_inner",
+        "dedup_exact",
+        "dedup_minhash",
+        "sim_topk_bruteforce",
+        "sessionize_gaps",
+        "text_tfidf",
+        "pipeline_corpus",
+    ):
+        assert qs[name](spark, empty_dir).count() == 0, name

@@ -123,3 +123,39 @@ print("BLOOM_OK")
         timeout=300,
     )
     assert "BLOOM_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_dynamic_partition_pruning_skips_fact_partitions(spark, tmp_path):
+    """Dynamic partition pruning: joining a disk-partitioned fact table
+    with a filtered dimension on the partition column injects a
+    dynamicpruningexpression into the fact scan's PartitionFilters, so
+    only the matching directories are read. At 100 TB with a
+    date/shipmode-partitioned fact this is the difference between
+    scanning 7 partitions and scanning 1. DPP is on by default
+    (spark.sql.optimizer.dynamicPartitionPruning.enabled) and reuses the
+    broadcast exchange of the dim side — no extra job."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    fact_dir = str(tmp_path / "lineitem_by_returnflag")
+    load_table(spark, SF, "lineitem").write.partitionBy("l_returnflag").parquet(
+        fact_dir
+    )
+
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("R", "returned"), ("N", "kept")],
+        "flag string, disposition string",
+    ).filter(F.col("disposition") == "returned")
+
+    fact = spark.read.parquet(fact_dir)
+    j = (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = {r["l_returnflag"]: r["n"] for r in j.collect()}
+    assert set(rows) == {"A", "R"}, rows
+
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]

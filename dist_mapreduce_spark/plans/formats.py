@@ -132,3 +132,68 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return _agg_orders(back)
+
+
+def _zvalue(a, b):  # noqa: ANN001 - Column-in, Column-out
+    """Interleave the low 16 bits of two int columns into a 32-bit
+    Morton (Z-order) value. Built from shift/and/or primitives only, so
+    the whole expression stays inside whole-stage codegen — no UDF."""
+    from functools import reduce
+
+    bits = []
+    for i in range(16):
+        bits.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        bits.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda x, y: x.bitwiseOR(y), bits)
+
+
+@query(
+    "sink_zorder",
+    oracle=(
+        "SELECT count(*) AS n_rows,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty"
+        " FROM lineitem"
+        " WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40"
+    ),
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write: interleave (l_partkey, l_suppkey) bits
+    into a Morton code, range-partition + sort by it, write parquet,
+    then read back with a 2-D box filter and aggregate. Unlike a plain
+    sort on one column, Z-ordering makes the per-row-group min/max
+    stats tight on BOTH dimensions, so parquet row-group skipping works
+    for either predicate — at 100 TB this is the standard multi-column
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER does the same).
+    The written z column is layout-only; the read-back path drops it,
+    so the DuckDB oracle checks pure roundtrip + filter + agg parity.
+    Reference parity: the reference's only layout control is key-hash
+    bucketing of shuffle files (worker.go:84-88); Z-order is its
+    scale-era successor for scan pruning."""
+    path = _sink_dir("lineitem_zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+    )
+    clustered = li.withColumn(
+        "z",
+        _zvalue(
+            F.pmod(F.col("l_partkey"), F.lit(65536)).cast("int"),
+            F.pmod(F.col("l_suppkey"), F.lit(65536)).cast("int"),
+        ),
+    )
+    (
+        clustered.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 400) & F.col("l_suppkey").between(10, 40)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+    )

@@ -87,3 +87,31 @@ def test_bucketed_join_has_no_exchange(spark):
     # still shuffle its (tiny) grouped output.
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in join_part
+
+
+def test_zorder_files_are_range_disjoint(spark):
+    """sink_zorder's layout claim: after repartitionByRange+sort on the
+    Morton code, each parquet file owns a disjoint z-range, so a 2-D box
+    predicate maps to a handful of files/row-groups instead of the whole
+    table. Verified by reading each written file alone and checking the
+    [min(z), max(z)] intervals never overlap."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    _q("sink_zorder")(spark, SF).collect()
+    scratch = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    files = sorted(glob.glob(os.path.join(scratch, "lineitem_zorder", "*.parquet")))
+    assert len(files) >= 2, files
+    spans = []
+    for f in files:
+        lo, hi = (
+            spark.read.parquet(f)
+            .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+            .first()
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= nxt_lo, spans

@@ -437,12 +437,14 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: the canonical view-with-scalar-subquery.
-    The per-supplier revenue aggregate is computed once and reused for
-    both sides: its global max (a one-row aggregate) broadcast-joins
-    back against it — NOT an unpartitioned window, which would drag
-    every per-supplier row to a single partition (millions of suppliers
-    at 100 TB). Equality against the max is on the exact decimal, so
-    ties are engine-independent."""
+    The global max (a one-row aggregate) broadcast-joins back against
+    the per-supplier revenue — NOT an unpartitioned window, which would
+    drag every per-supplier row to a single partition (millions of
+    suppliers at 100 TB). The physical plan evaluates the revenue view
+    twice (once under the max, once as the join probe) — both scans are
+    quarter-pruned; a production run at 100 TB would persist the tiny
+    per-supplier aggregate instead. Equality against the max is on the
+    exact decimal, so ties are engine-independent."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))

@@ -635,3 +635,137 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+# -------------------------------------------------- repetition quality
+
+# Gopher-style repetition gates (Rae et al. 2021, public): documents
+# dominated by repeated words or repeated bigrams are boilerplate/spam.
+MIN_WORDS, MAX_WORDS = 5, 100_000
+MIN_DISTINCT_RATIO = 0.2
+MAX_DUP_BIGRAM_FRAC = 0.5
+
+_D_BIGRAMS_T = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+
+
+@query(
+    "quality_repetition",
+    oracle=(
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents)"
+        f" SELECT doc_id, len(t) AS n_words,"
+        f"  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)"
+        f"   AS distinct_ratio,"
+        f"  CAST(len({_D_BIGRAMS_T}) - len(list_distinct({_D_BIGRAMS_T})) AS DOUBLE)"
+        f"   / CAST(len({_D_BIGRAMS_T}) AS DOUBLE) AS dup_bigram_frac,"
+        f"  (len(t) BETWEEN {MIN_WORDS} AND {MAX_WORDS})"
+        f"   AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)"
+        f"       > {MIN_DISTINCT_RATIO}"
+        f"   AND CAST(len({_D_BIGRAMS_T}) - len(list_distinct({_D_BIGRAMS_T}))"
+        f"            AS DOUBLE) / CAST(len({_D_BIGRAMS_T}) AS DOUBLE)"
+        f"       < {MAX_DUP_BIGRAM_FRAC} AS keep"
+        f" FROM tk WHERE len(t) >= 2"
+    ),
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates: distinct-word ratio and
+    duplicate-bigram fraction per document, plus the boolean keep
+    decision. Entirely map-side array math inside codegen — no shuffle,
+    no Python — so at 100 TB it runs at scan speed and composes with
+    the corpus pipeline as a free extra projection. Docs under two
+    words are excluded (no bigram denominator)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    t = F.col("t")
+    n = F.size(t)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n.cast("double")
+    n_bi = F.size(bigrams)
+    dup_frac = (n_bi - F.size(F.array_distinct(bigrams))).cast("double") / n_bi.cast(
+        "double"
+    )
+    keep = (
+        n.between(MIN_WORDS, MAX_WORDS)
+        & (distinct_ratio > MIN_DISTINCT_RATIO)
+        & (dup_frac < MAX_DUP_BIGRAM_FRAC)
+    )
+    return tok.select(
+        "doc_id",
+        n.alias("n_words"),
+        distinct_ratio.alias("distinct_ratio"),
+        dup_frac.alias("dup_bigram_frac"),
+        keep.alias("keep"),
+    )
+
+
+# ------------------------------------------------- contamination check
+
+# Train/eval overlap detection: eval set = every 50th doc_id (the same
+# deterministic split dedup_ngram_jaccard samples); a train doc is
+# contaminated if it shares >= MIN_SHARED_SHINGLES distinct word
+# 3-shingles with an eval doc.
+EVAL_MOD = 50
+MIN_SHARED_SHINGLES = 3
+
+
+@query(
+    "contamination_ngram",
+    oracle=(
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),"
+        f" shingle AS (SELECT DISTINCT doc_id,"
+        f"  CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h"
+        f"  FROM (SELECT doc_id, unnest({_D_SHINGLES_T}) AS s FROM tk))"
+        f" SELECT x.doc_id AS eval_doc, y.doc_id AS train_doc,"
+        f"  count(*) AS n_shared"
+        f" FROM shingle x JOIN shingle y"
+        f"  ON x.h = y.h AND x.doc_id % {EVAL_MOD} = 0"
+        f"  AND y.doc_id % {EVAL_MOD} <> 0"
+        f" GROUP BY x.doc_id, y.doc_id"
+        f" HAVING count(*) >= {MIN_SHARED_SHINGLES}"
+    ),
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the benchmark-leakage audit of
+    a training-data pipeline. Word 3-shingles are hashed to 48-bit ints
+    (same family as dedup_minhash), deduplicated per doc, and the
+    eval-side joins the train-side on the shingle hash: candidate
+    generation is an equi-join keyed on content, never an all-pairs
+    product. At 100 TB the eval side is small (benchmarks are KBs), so
+    Catalyst broadcasts it and contamination becomes a map-side probe
+    of every train shingle against the eval hash set; stop-shingle
+    capping (drop hashes appearing in > X docs) bounds the skew the
+    same way banding caps do for minhash."""
+    docs = _docs(spark, sf_dir)
+    tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
+    toks = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    shingle = tok_df.select("doc_id", F.explode(shingles).alias("s")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+    )
+    ev = shingle.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "h"
+    )
+    tr = shingle.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    return (
+        ev.join(tr, "h")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
+    )

@@ -19,7 +19,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family — word-count core, partitioning,
-# relational (joins/windows/rollup), events windows, LLM-pipeline ops.
+# relational (joins/windows/rollup), events windows, LLM-pipeline ops,
+# plus the four canonical TPC-H shapes (scan-agg, selective-join top-k,
+# pure-scan predicate, semi-join + having).
 HEADLINE = [
     "tokenize",
     "filter_regex",
@@ -33,6 +35,10 @@ HEADLINE = [
     "dedup_minhash",
     "sim_topk_bruteforce",
     "text_stats",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q18",
 ]
 
 

@@ -27,7 +27,12 @@ def audit(name: str, fn, spark, sf_dir: str) -> dict:
     # The finalized adaptive plan prints "+- == Initial Plan ==" after
     # the real one — drop it or every count doubles.
     plan = plan.split("== Initial Plan ==")[0]
-    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # toString truncates long schema lists mid-entry ("struct<a:int,b..."
+    # with no closing '>'), so capture to end-of-line and trim.
+    scans = [
+        s.rstrip(">").rstrip(".")
+        for s in re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    ]
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     return {
         "query": name,

@@ -50,6 +50,41 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(bucket < 10).select("o_orderkey", "o_totalprice")
 
 
+# Per-language sampling rates (percent): downsample the dominant
+# language, keep the tails — the standard corpus-rebalancing move.
+STRATA_PCT = {"en": 20, "zh": 50, "es": 80, "de": 80, "fr": 80}
+DEFAULT_PCT = 100
+
+
+@query(
+    "sample_stratified",
+    oracle=(
+        "SELECT doc_id, lang FROM documents WHERE"
+        " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+        " % 100 < CASE lang"
+        + "".join(f" WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items())
+        + f" ELSE {DEFAULT_PCT} END"
+    ),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates applied
+    through the same md5-bucket predicate as sample_deterministic, so
+    membership is reproducible and partition-invariant. This is the
+    language-rebalancing pass of a corpus pipeline; unlike
+    df.sampleBy (seeded RNG per partition — resample on any repartition)
+    the hash-mod predicate gives the same sample on any cluster
+    topology. Map-side only: a filter over the scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.lit(DEFAULT_PCT)
+    for k, v in reversed(STRATA_PCT.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
 # -------------------------------------------------------------- k-means
 
 K = 8

@@ -769,3 +769,58 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
     )
+
+
+# ---------------------------------------------------- sequence packing
+
+# GPT-style concat-and-chunk packing: documents are laid end-to-end in
+# a deterministic order and cut into fixed token-budget packs. Packing
+# is sharded (doc_id mod N_PACK_SHARDS) so the cumulative sum — a
+# sequential dependency — parallelizes: each shard packs independently,
+# which is how a 100 TB corpus packs on 1000 executors (per-shard
+# window, never a global single-partition cumsum).
+PACK_BUDGET = 2048
+N_PACK_SHARDS = 16
+
+
+@query(
+    "pack_sequences",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,"
+        f"  len(regexp_extract_all(text, '{{re}}')) AS n_tokens FROM documents)"
+        f" SELECT doc_id, shard, n_tokens,"
+        f"  COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+        f"   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start,"
+        f"  COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+        f"   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        f"   // {PACK_BUDGET} AS pack_id"
+        f" FROM toks"
+    ).format(re=ta.BPE_ISH_RE),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: per shard, an exclusive
+    running sum of BPE-ish token counts assigns each document a byte-
+    exact start offset, and integer division by the pack budget yields
+    its pack id (concat-and-chunk semantics — a document may straddle a
+    pack boundary, as GPT-style pretraining does). One shuffle on the
+    shard key; shards are balanced by construction (mod on a dense id),
+    so the window never sees a skewed partition."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        ta.bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("token_start"),
+        F.floor(start / PACK_BUDGET).alias("pack_id"),
+    )

@@ -193,3 +193,53 @@ def test_tfidf_rare_term_outranks_common(spark):
         doc_rows.sort(key=lambda r: r["rk"])
         for a, b in zip(doc_rows, doc_rows[1:]):
             assert a["score_scaled"] >= b["score_scaled"]
+
+
+def test_pack_sequences_invariants(spark):
+    """Within each shard: token_start is the exclusive cumsum in doc_id
+    order and pack_id = token_start // budget; shards partition docs."""
+    import __spark_entry__ as e
+    from dist_mapreduce_spark.plans import llm_pipeline as lp
+
+    rows = e.queries()["pack_sequences"](spark, SF).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % lp.N_PACK_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert r["token_start"] == cum
+            assert r["pack_id"] == cum // lp.PACK_BUDGET
+            cum += r["n_tokens"]
+
+
+def test_contamination_split_is_disjoint(spark):
+    """Every reported pair crosses the eval/train boundary: eval doc_ids
+    are ≡0 (mod EVAL_MOD), train are not, and n_shared ≥ the floor."""
+    import __spark_entry__ as e
+    from dist_mapreduce_spark.plans import llm_pipeline as lp
+
+    rows = e.queries()["contamination_ngram"](spark, SF).collect()
+    for r in rows:
+        assert r["eval_doc"] % lp.EVAL_MOD == 0
+        assert r["train_doc"] % lp.EVAL_MOD != 0
+        assert r["n_shared"] >= lp.MIN_SHARED_SHINGLES
+
+
+def test_quality_repetition_keep_matches_gates(spark):
+    """The keep flag is exactly the conjunction of the three gates."""
+    import __spark_entry__ as e
+    from dist_mapreduce_spark.plans import llm_pipeline as lp
+
+    rows = e.queries()["quality_repetition"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            lp.MIN_WORDS <= r["n_words"] <= lp.MAX_WORDS
+            and r["distinct_ratio"] > lp.MIN_DISTINCT_RATIO
+            and r["dup_bigram_frac"] < lp.MAX_DUP_BIGRAM_FRAC
+        )
+        assert r["keep"] == expect, r

@@ -510,3 +510,27 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.alias("cov_qty_price"),
         corr.alias("corr_qty_price"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle=(
+        "SELECT event_id,"
+        " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,"
+        " json_extract_string(props, '$.k') IS NOT NULL AS has_k"
+        " FROM events"
+    ),
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path over the same JSON column fn_json reads
+    with string functions: parse_json builds the binary variant once,
+    variant_get extracts typed values without re-parsing. At 100 TB
+    this is the semi-structured scale story — variant decode is
+    vectorized and column-pruned, where repeated get_json_object calls
+    re-parse the string per extraction."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id", k.alias("k_num"), k.isNotNull().alias("has_k")
+    )

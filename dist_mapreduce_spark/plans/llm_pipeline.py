@@ -707,9 +707,14 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Train/eval overlap detection: eval set = every 50th doc_id (the same
 # deterministic split dedup_ngram_jaccard samples); a train doc is
 # contaminated if it shares >= MIN_SHARED_SHINGLES distinct word
-# 3-shingles with an eval doc.
+# 3-shingles with an eval doc. Stop-shingles — hashes appearing in more
+# than MAX_DF_FRAC of all documents — are dropped before the join: they
+# are boilerplate, not leakage, and they are exactly the hot keys that
+# would skew the probe. The cap is a FRACTION of the corpus (not an
+# absolute count) so it is invariant to corpus size.
 EVAL_MOD = 50
 MIN_SHARED_SHINGLES = 3
+MAX_DF_FRAC = 0.2
 
 
 @query(
@@ -718,10 +723,13 @@ MIN_SHARED_SHINGLES = 3
         f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),"
         f" shingle AS (SELECT DISTINCT doc_id,"
         f"  CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h"
-        f"  FROM (SELECT doc_id, unnest({_D_SHINGLES_T}) AS s FROM tk))"
+        f"  FROM (SELECT doc_id, unnest({_D_SHINGLES_T}) AS s FROM tk)),"
+        f" hot AS (SELECT h FROM shingle GROUP BY h"
+        f"  HAVING count(*) > {MAX_DF_FRAC} * (SELECT count(*) FROM documents)),"
+        f" cold AS (SELECT * FROM shingle WHERE h NOT IN (SELECT h FROM hot))"
         f" SELECT x.doc_id AS eval_doc, y.doc_id AS train_doc,"
         f"  count(*) AS n_shared"
-        f" FROM shingle x JOIN shingle y"
+        f" FROM cold x JOIN cold y"
         f"  ON x.h = y.h AND x.doc_id % {EVAL_MOD} = 0"
         f"  AND y.doc_id % {EVAL_MOD} <> 0"
         f" GROUP BY x.doc_id, y.doc_id"
@@ -736,9 +744,14 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equi-join keyed on content, never an all-pairs
     product. At 100 TB the eval side is small (benchmarks are KBs), so
     Catalyst broadcasts it and contamination becomes a map-side probe
-    of every train shingle against the eval hash set; stop-shingle
-    capping (drop hashes appearing in > X docs) bounds the skew the
-    same way banding caps do for minhash."""
+    of every train shingle against the eval hash set.
+
+    Stop-shingle capping is implemented, not just documented: hashes
+    whose document frequency exceeds MAX_DF_FRAC of the corpus are
+    anti-joined away (the hot set is tiny — it broadcasts) before the
+    probe. These are boilerplate n-grams, not leakage signal, and they
+    are precisely the skewed join keys; the 20× replication stress
+    (tools/stress.py) is the adversarial case this bounds."""
     docs = _docs(spark, sf_dir)
     tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
     toks = F.col("t")
@@ -757,10 +770,19 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
     )
-    ev = shingle.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    hot = (
+        shingle.join(F.broadcast(n_docs))
+        .groupBy("h", "_n_docs")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > F.lit(MAX_DF_FRAC) * F.col("_n_docs"))
+        .select("h")
+    )
+    cold = shingle.join(F.broadcast(hot), "h", "left_anti")
+    ev = cold.filter(F.col("doc_id") % EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc"), "h"
     )
-    tr = shingle.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+    tr = cold.filter(F.col("doc_id") % EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_doc"), "h"
     )
     return (

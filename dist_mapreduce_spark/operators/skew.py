@@ -62,3 +62,29 @@ def salted_join(
         )
         .drop(_SALT_L, _SALT_R)
     )
+
+
+def salted_sum_count(
+    df: DataFrame, keys: list[str], value: Column, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: groupBy(keys + salt) computes
+    partial sums/counts, then groupBy(keys) combines them. Correct for
+    any decomposable aggregate (sum/count/min/max); pass an exact type
+    (decimal/int) for ``value`` so the two-phase regrouping cannot
+    drift the way float partial sums would.
+
+    Spark's hash aggregate already does partial+final combining per
+    PARTITION; salting additionally splits one hot KEY's final-stage
+    work across ``n_salts`` reducers — the explicit form of what AQE
+    skew handling cannot do for aggregations (it only splits joins).
+    Returns columns: keys + sum_value + n_rows.
+    """
+    salt = (F.monotonically_increasing_id() % n_salts).cast("int")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(value).alias("__psum"), F.count(F.lit(1)).alias("__pcnt"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__psum").alias("sum_value"), F.sum("__pcnt").alias("n_rows")
+    )

@@ -230,3 +230,58 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+# Temperature-based language rebalancing (the multilingual-corpus
+# mixing rule): sample language l with probability ∝ p_l^alpha, here
+# alpha = 0.5 so the weight is sqrt — chosen deliberately because sqrt
+# and division are IEEE correctly-rounded in every engine, while pow()
+# is not; the acceptance threshold is therefore bit-identical on Spark
+# and DuckDB. Acceptance rate a_l = sqrt(n_min / n_l) (the rarest
+# language keeps 100%), quantized to a 1e6-bucket integer threshold.
+TEMP_BUCKETS = 1_000_000
+
+
+@query(
+    "sample_temperature",
+    oracle=(
+        "WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),"
+        " m AS (SELECT min(n_l) AS n_min FROM c),"
+        " r AS (SELECT lang,"
+        "   CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE))"
+        f"        * {TEMP_BUCKETS}) AS BIGINT) AS thresh"
+        "  FROM c, m)"
+        " SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang"
+        " WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))"
+        f"       AS BIGINT) % {TEMP_BUCKETS} < r.thresh"
+    ),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha=0.5) over the documents corpus:
+    per-language acceptance rate sqrt(n_min/n_l), membership decided by
+    the same md5-bucket predicate as sample_deterministic — so the
+    sample is reproducible on any engine, run, or cluster topology.
+
+    Plan shape at 100 TB: one tiny groupBy(lang) to get counts (a few
+    hundred rows), a broadcast join of the per-language threshold back
+    onto the corpus, and a map-side filter. No large shuffle; the only
+    pass over the data is the final filtered scan."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double"))
+            * TEMP_BUCKETS
+        ).alias("thresh"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % TEMP_BUCKETS
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("thresh"))
+        .select("doc_id", "lang")
+    )

@@ -846,3 +846,73 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("token_start"),
         F.floor(start / PACK_BUDGET).alias("pack_id"),
     )
+
+
+# ------------------------------------------------- dedup clustering
+
+CLUSTER_MAX_ITERS = 20
+
+
+def _duck_cluster_oracle() -> str:
+    # Transitive closure of the minhash near-dup graph via a recursive
+    # CTE (fine at oracle scale: components are tiny), min reachable
+    # doc_id = canonical. The Spark side runs min-label propagation —
+    # the scalable form of the same fixpoint.
+    return (
+        f"WITH RECURSIVE pairs AS ({_duck_minhash_oracle()}),"
+        " edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs),"
+        " reach AS ("
+        "  SELECT doc_id AS node, doc_id AS m FROM documents"
+        "  UNION"
+        "  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m)"
+        " SELECT node AS doc_id, min(m) AS canonical_id,"
+        "  min(m) <> node AS is_dup"
+        " FROM reach GROUP BY node"
+    )
+
+
+@query("dedup_cluster", oracle=_duck_cluster_oracle())
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: dedup_minhash emits pairs, but a dedup pass
+    must pick one survivor per connected group of pairs (A~B, B~C →
+    {A,B,C} keep one), not per pair. Edges = the jaccard-verified
+    minhash pairs; components by iterative min-label propagation (the
+    graph_components loop); canonical = min doc_id of the component.
+    Every document appears in the output — singletons are their own
+    canonical — so `WHERE NOT is_dup` IS the deduplicated corpus.
+
+    Scale: the edge list is the already-thresholded near-dup graph —
+    orders of magnitude smaller than the corpus — and components of
+    boilerplate dups have tiny diameter, so the loop converges in a
+    handful of rounds of joins on that small edge list; each round is
+    localCheckpoint-truncated so the plan stays flat."""
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(CLUSTER_MAX_ITERS):
+        msgs = edges.join(labels, edges["doc_a"] == labels["node"]).select(
+            F.col("doc_b").alias("node"), "label"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        (F.col("node") != F.col("label")).alias("is_dup"),
+    )

@@ -925,3 +925,33 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("final_price"),
     )
+
+
+@query(
+    "agg_salted",
+    oracle=(
+        "SELECT l_suppkey,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,"
+        " count(*) AS n_rows"
+        " FROM lineitem GROUP BY l_suppkey"
+    ),
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_sum_count):
+    per-supplier quantity totals where each key's rows are first
+    partially aggregated under a salt, then combined. The oracle is the
+    PLAIN group-by — salting must be execution-only, invisible in the
+    result (guaranteed here because the partial sums are exact
+    decimals, so regrouping cannot reorder float error). This is the
+    aggregation counterpart of join_skew_salted: AQE splits skewed JOIN
+    partitions but not skewed aggregation keys; at 100 TB a key holding
+    1% of all rows lands on one final-stage task unless salted."""
+    from dist_mapreduce_spark.operators.skew import salted_sum_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li, ["l_suppkey"], F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return out.select(
+        "l_suppkey", F.col("sum_value").cast("double").alias("sum_value"), "n_rows"
+    )

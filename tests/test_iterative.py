@@ -51,3 +51,49 @@ def test_graph_components_match_nations(spark):
         want_min[k] = min(want_min.get(k, r["s_suppkey"]), r["s_suppkey"])
     want = {r["s_suppkey"]: want_min[r["s_nationkey"]] for r in rows}
     assert got == want
+
+
+def test_sample_temperature_keeps_rarest_lang_fully(spark):
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    kept = _q("sample_temperature")(spark, SF).groupBy("lang").count().collect()
+    kept_by_lang = {r["lang"]: r["count"] for r in kept}
+    totals = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, SF, "documents").groupBy("lang").count().collect()
+    }
+    n_min = min(totals.values())
+    # The rarest language is kept at 100%; no language gains documents.
+    for lang, n in totals.items():
+        assert kept_by_lang.get(lang, 0) <= n
+        if n == n_min:
+            assert kept_by_lang[lang] == n
+    # Acceptance RATE is monotone non-increasing in language size.
+    import math
+
+    for lang, n in totals.items():
+        expected = math.floor(math.sqrt(n_min / n) * 1_000_000) / 1_000_000
+        rate = kept_by_lang.get(lang, 0) / n
+        assert abs(rate - expected) < 0.25  # hash-uniform slack on small SF
+
+
+def test_agg_salted_equals_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    salted = {
+        r["l_suppkey"]: (r["sum_value"], r["n_rows"])
+        for r in _q("agg_salted")(spark, SF).collect()
+    }
+    plain = {
+        r["l_suppkey"]: (float(r["s"]), r["n"])
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert salted == plain

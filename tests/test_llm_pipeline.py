@@ -243,3 +243,23 @@ def test_quality_repetition_keep_matches_gates(spark):
             and r["dup_bigram_frac"] < lp.MAX_DUP_BIGRAM_FRAC
         )
         assert r["keep"] == expect, r
+
+
+def test_dedup_cluster_is_consistent_with_pairs(spark):
+    labels = {
+        r["doc_id"]: r["canonical_id"]
+        for r in _q("dedup_cluster")(spark, SF).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in _q("dedup_minhash")(spark, SF).collect()
+    ]
+    # Every doc labeled; canonical is a component minimum (<= doc_id).
+    for d, c in labels.items():
+        assert c <= d
+        assert labels[c] == c  # canonical points to itself
+    # Both endpoints of every near-dup pair share a canonical.
+    for a, b in pairs:
+        assert labels[a] == labels[b]
+    # Survivors (NOT is_dup) = distinct canonicals = one per component.
+    survivors = {d for d, c in labels.items() if d == c}
+    assert survivors == set(labels.values())

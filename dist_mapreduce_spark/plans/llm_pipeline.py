@@ -361,6 +361,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhashes — one shuffle of the shingle table instead of two (the
     # separate sizes groupBy this replaces was a full extra pass over
     # the largest intermediate).
+    # Cached: three consumers (both sides of the band self-join, the
+    # set-size lookup) would each re-run the 16-minhash aggregation —
+    # the heaviest single pass — otherwise. One signature row per doc,
+    # far smaller than the shingle table it summarizes.
     mh = shingle.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[
@@ -370,7 +374,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
         ],
-    )
+    ).cache()
     # All 8 band signatures in ONE pass: explode an array of
     # (band_id, band_hash) structs. A per-band union would re-evaluate
     # the whole shingle→minhash pipeline N_BANDS times.

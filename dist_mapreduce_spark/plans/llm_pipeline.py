@@ -920,3 +920,36 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("canonical_id"),
         (F.col("node") != F.col("label")).alias("is_dup"),
     )
+
+
+# -------------------------------------------------- decontamination
+
+from dist_mapreduce_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=(
+        f"WITH flagged AS ({_ORACLES['contamination_ngram']})"
+        f" SELECT d.doc_id, d.lang FROM documents d"
+        f" WHERE d.doc_id % {EVAL_MOD} <> 0"
+        f"  AND d.doc_id NOT IN (SELECT train_doc FROM flagged)"
+    ),
+)
+def q_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination step itself: contamination_ngram flags
+    (eval_doc, train_doc) overlaps; this query returns the TRAIN corpus
+    with every flagged document anti-joined away — what actually ships
+    to the tokenizer. The flagged set is tiny relative to the corpus,
+    so the anti-join broadcasts; the only full pass over the data is
+    the train-side scan (doc_id % EVAL_MOD <> 0 filters eval holdout
+    at the scan)."""
+    flagged = (
+        q_contamination_ngram(spark, sf_dir).select("train_doc").distinct()
+    )
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % EVAL_MOD != 0)
+    return d.join(
+        F.broadcast(flagged),
+        d["doc_id"] == flagged["train_doc"],
+        "left_anti",
+    ).select("doc_id", "lang")

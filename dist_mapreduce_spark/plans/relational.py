@@ -955,3 +955,33 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_suppkey", F.col("sum_value").cast("double").alias("sum_value"), "n_rows"
     )
+
+
+# ONE string, two engines: this SQL is executed verbatim by Spark SQL
+# AND by the DuckDB oracle — the parity claim with zero translation
+# layer. Stays inside the ANSI subset both dialects share exactly
+# (GROUP BY, decimal casts/sums, CASE, HAVING, scalar arithmetic).
+_SHARED_DIALECT_SQL = (
+    "SELECT l_returnflag, l_linestatus,"
+    " count(*) AS n_items,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,"
+    " sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted"
+    " FROM lineitem"
+    " GROUP BY l_returnflag, l_linestatus"
+    " HAVING count(*) > 10"
+)
+
+
+@query("sql_shared_dialect", oracle=_SHARED_DIALECT_SQL)
+def q_sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-entry-point surface: registers the parquet tables as
+    temp views and runs ONE SQL string through spark.sql — the
+    IDENTICAL string the DuckDB oracle executes (the oracle above IS
+    this query's text, not a translation). Catalyst plans it exactly
+    like the DataFrame dialect: pruned scan, partial+final hash
+    aggregate, HAVING as a post-aggregate filter."""
+    from dist_mapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_DIALECT_SQL)

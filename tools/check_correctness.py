@@ -75,9 +75,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -112,7 +114,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    print(f"\n{n_run - len(failures)}/{n_run} ok")
     return 1 if failures else 0
 
 

@@ -33,8 +33,10 @@ HEADLINE = [
     "agg_window_tumbling",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_cluster",
     "sim_topk_bruteforce",
     "text_stats",
+    "sample_temperature",
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",

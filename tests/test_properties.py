@@ -118,3 +118,33 @@ def test_salted_join_left_outer_keeps_unmatched_large_rows(spark):
         ).collect()
     )
     assert rows == [(1, "a"), (2, None)]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key (few → collisions)
+            st.integers(min_value=-10_000, max_value=10_000),  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_salted_sum_equals_plain_groupby(spark, rows):
+    """salted_sum_count is result-invariant: the salt only routes work.
+    Exact integer values, so equality is bitwise."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.operators.skew import salted_sum_count
+
+    df = spark.createDataFrame(rows, ["k", "cents"])
+    got = {
+        r["k"]: (r["sum_value"], r["n_rows"])
+        for r in salted_sum_count(df, ["k"], F.col("cents"), n_salts=4).collect()
+    }
+    want = {}
+    for k, c in rows:
+        s, n = want.get(k, (0, 0))
+        want[k] = (s + c, n + 1)
+    assert got == want

@@ -53,7 +53,12 @@ def n_punct_chars(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    return n_punct_chars(text).cast("double") / F.length(text).cast("double")
+    # try_divide: NULL for zero-length docs (ANSI mode would otherwise
+    # abort the whole job on one empty document) — the same NULL DuckDB
+    # produces for x/0, so degenerate docs stay engine-identical.
+    return F.try_divide(
+        n_punct_chars(text).cast("double"), F.length(text).cast("double")
+    )
 
 
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
@@ -65,7 +70,9 @@ def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
 
 
 def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
-    return marker_hits(text, markers).cast("double") / n_tokens(text).cast("double")
+    return F.try_divide(
+        marker_hits(text, markers).cast("double"), n_tokens(text).cast("double")
+    )
 
 
 def lang_scores(text: Column) -> dict[str, Column]:

@@ -54,9 +54,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(text).alias("n_chars_actual"),
         ta.n_alpha_chars(text).alias("n_alpha"),
         ta.n_punct_chars(text).alias("n_punct"),
-        (
-            F.length(F.regexp_replace(text, r"\s", "")).cast("double")
-            / ta.n_tokens(text).cast("double")
+        F.try_divide(
+            F.length(F.regexp_replace(text, r"\s", "")).cast("double"),
+            ta.n_tokens(text).cast("double"),
         ).alias("avg_token_len"),
     )
 

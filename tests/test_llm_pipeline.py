@@ -263,3 +263,32 @@ def test_dedup_cluster_is_consistent_with_pairs(spark):
     # Survivors (NOT is_dup) = distinct canonicals = one per component.
     survivors = {d for d, c in labels.items() if d == c}
     assert survivors == set(labels.values())
+
+
+def test_text_ops_tolerate_null_and_empty_docs(spark):
+    """A 100 TB crawl has empty/whitespace-only/NULL documents; one of
+    them must not abort the job (ANSI divide-by-zero). Degenerate docs
+    yield NULL ratios — the same NULL DuckDB produces for x/0."""
+    from dist_mapreduce_spark.operators import text_analysis as ta
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "the text is plain and ok")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ta.quality_score(F.col("text")).alias("q"),
+            ta.punct_ratio(F.col("text")).alias("pr"),
+            ta.stopword_ratio(F.col("text")).alias("sr"),
+            ta.normalized_fingerprint(F.col("text")).alias("fp"),
+            ta.simhash32(F.col("text")).alias("sh"),
+            ta.lang_pred(F.col("text")).alias("lp"),
+        ).collect()
+    }
+    assert rows[1]["q"] is None and rows[1]["fp"] is None
+    assert rows[2]["q"] is None  # zero chars AND zero tokens -> NULL
+    assert rows[3]["sr"] is None  # whitespace-only: zero tokens
+    assert rows[4]["q"] is not None and 0.0 <= rows[4]["q"] <= 1.0
+    assert rows[4]["lp"] == "en"

@@ -348,8 +348,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.groupBy("l_returnflag").agg(
         n.alias("n"), sx.alias("sx"), sxx.alias("sxx")
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
-        F.col("n") - 1
+    # try_divide: a single-row group has n-1 = 0; ANSI mode would abort
+    # the job where DuckDB (and SQL var_samp) yield NULL.
+    var = F.try_divide(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.col("n") - 1
     )
     return base.select(
         "l_returnflag",
@@ -497,12 +499,15 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).cast("double").alias("syy"),
         F.sum(x * y).cast("double").alias("sxy"),
     )
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("n") - 1
+    # try_divide on both: n-1 = 0 for single-row groups, and a constant
+    # column makes corr's denominator 0 — NULL (as DuckDB), not abort.
+    cov = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"), F.col("n") - 1
     )
-    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+    corr = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
         F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
     )
     return agg.select(
         "l_returnflag",

@@ -160,5 +160,7 @@ def test_core_operators_handle_empty_input(spark, tmp_path):
         "sessionize_gaps",
         "text_tfidf",
         "pipeline_corpus",
+        "sample_temperature",
+        "dedup_cluster",
     ):
         assert qs[name](spark, empty_dir).count() == 0, name

@@ -315,16 +315,28 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact decimal sum rendered to DOUBLE via VARCHAR: decimal→string is
+# exact and string→double is correctly rounded in every engine, so the
+# resulting bits are engine-independent. A direct decimal→double CAST
+# is NOT: DuckDB converts (int128 unscaled)/(10^scale) with two float
+# roundings while Spark's BigDecimal conversion rounds once — they can
+# (and at sf0.001 did) differ in the last ulp.
+def _dsum(expr: str) -> str:
+    return f"CAST(CAST(sum({expr}) AS VARCHAR) AS DOUBLE)"
+
+
+_QTY_D = "CAST(l_quantity AS DECIMAL(18,2))"
+_PRICE_D = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
+
 @query(
     "agg_stats",
     oracle=(
         "SELECT l_returnflag, n, avg_qty, var_qty, sqrt(var_qty) AS stddev_qty"
         " FROM (SELECT l_returnflag, count(*) AS n,"
-        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / n AS avg_qty,"
-        "  (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
-        "            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-        "   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-        "     * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / n)"
+        f"  {_dsum(_QTY_D)} / n AS avg_qty,"
+        f"  ({_dsum(f'{_QTY_D} * {_QTY_D}')}"
+        f"   - {_dsum(_QTY_D)} * {_dsum(_QTY_D)} / n)"
         "  / (n - 1) AS var_qty"
         " FROM lineitem GROUP BY l_returnflag)"
     ),
@@ -343,8 +355,9 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qd = F.col("l_quantity").cast("decimal(18,2)")
     n = F.count("*")
-    sx = F.sum(qd).cast("double")
-    sxx = F.sum(qd * qd).cast("double")
+    # string-routed decimal→double: see _dsum above (ulp parity).
+    sx = F.sum(qd).cast("string").cast("double")
+    sxx = F.sum(qd * qd).cast("string").cast("double")
     base = li.groupBy("l_returnflag").agg(
         n.alias("n"), sx.alias("sx"), sxx.alias("sxx")
     )
@@ -465,18 +478,13 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))"
         "  AS corr_qty_price"
         " FROM (SELECT l_returnflag, count(*) AS n,"
-        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,"
-        "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,"
-        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
-        "           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,"
-        "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
-        "           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,"
-        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
-        "           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,"
-        "  (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))"
-        "            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-        "   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-        "     * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / n)"
+        f"  {_dsum(_QTY_D)} AS sx,"
+        f"  {_dsum(_PRICE_D)} AS sy,"
+        f"  {_dsum(f'{_QTY_D} * {_QTY_D}')} AS sxx,"
+        f"  {_dsum(f'{_PRICE_D} * {_PRICE_D}')} AS syy,"
+        f"  {_dsum(f'{_QTY_D} * {_PRICE_D}')} AS sxy,"
+        f"  ({_dsum(f'{_QTY_D} * {_PRICE_D}')}"
+        f"   - {_dsum(_QTY_D)} * {_dsum(_PRICE_D)} / n)"
         "   / (n - 1) AS cov_qty_price"
         " FROM lineitem GROUP BY l_returnflag)"
     ),
@@ -491,13 +499,14 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
+    # string-routed decimal→double: see _dsum above (ulp parity).
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x).cast("string").cast("double").alias("sx"),
+        F.sum(y).cast("string").cast("double").alias("sy"),
+        F.sum(x * x).cast("string").cast("double").alias("sxx"),
+        F.sum(y * y).cast("string").cast("double").alias("syy"),
+        F.sum(x * y).cast("string").cast("double").alias("sxy"),
     )
     # try_divide on both: n-1 = 0 for single-row groups, and a constant
     # column makes corr's denominator 0 — NULL (as DuckDB), not abort.

@@ -953,3 +953,57 @@ def q_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["doc_id"] == flagged["train_doc"],
         "left_anti",
     ).select("doc_id", "lang")
+
+
+# ----------------------------------------------------- vocabulary
+
+VOCAB_K = 50
+
+
+@query(
+    "vocab_topk",
+    oracle=(
+        f"WITH tok AS (SELECT unnest({_D_TOKS}) AS token FROM documents),"
+        " counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),"
+        " ranked AS (SELECT token, n,"
+        "   row_number() OVER (ORDER BY n DESC, token) AS rk,"
+        "   sum(n) OVER (ORDER BY n DESC, token"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,"
+        "   sum(n) OVER () AS total_n"
+        "  FROM counts)"
+        " SELECT token, n, rk,"
+        "  CAST(cum_n AS DOUBLE) / CAST(total_n AS DOUBLE) AS coverage"
+        f" FROM ranked WHERE rk <= {VOCAB_K}"
+    ),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: top-K corpus tokens by frequency with
+    exact cumulative coverage (what fraction of all token occurrences
+    the first rk vocab entries explain) — the tokenizer-budget curve of
+    a training pipeline. Integer counts and cumulative sums are exact;
+    coverage is ONE double division, so bits match on every engine.
+    Ties broken by token so both engines rank identically.
+
+    Scale shape: explode+count is a partial+final hash aggregate (the
+    word-count shuffle); the window runs over the tiny distinct-token
+    table, not the corpus."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(ta.ws_tokens(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w_order = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w_order).alias("rk"),
+        F.sum("n").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+    )
+    return ranked.filter(F.col("rk") <= VOCAB_K).select(
+        "token",
+        "n",
+        "rk",
+        (F.col("cum_n").cast("double") / F.col("total_n").cast("double")).alias(
+            "coverage"
+        ),
+    )

@@ -148,3 +148,38 @@ def test_salted_sum_equals_plain_groupby(spark, rows):
         s, n = want.get(k, (0, 0))
         want[k] = (s + c, n + 1)
     assert got == want
+
+
+_UNICODE_EXAMPLES = st.lists(
+    st.text(
+        # Latin-1/Latin-Extended letters, CJK, emoji, combining marks —
+        # everything the ASCII-only [a-zA-Z] tokenizer must treat as a
+        # separator, exactly as the reference's strings.FieldsFunc does
+        # (worker.go:27-29 keeps only a-z/A-Z runes).
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "S", "Zs", "M")
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_UNICODE_EXAMPLES)
+def test_tokenize_matches_python_model_on_unicode(spark, texts):
+    """Java regex (Spark) and Python re agree that [^a-zA-Z]+ means
+    ASCII letters only — é, ß, CJK, emoji all split. The corpus tables
+    are ASCII so the oracle gate never exercises this; a real crawl is
+    not."""
+    from collections import Counter
+
+    from dist_mapreduce_spark.operators.wordcount import word_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["word"]: r["cnt"] for r in word_count(df).collect()}
+    want = Counter(w for t in texts for w in _py_tokenize(t))
+    assert got == dict(want)

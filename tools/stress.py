@@ -20,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_QUERIES = ("dedup_exact", "dedup_simhash", "text_stats", "dedup_minhash")
+DEFAULT_QUERIES = ("dedup_exact", "dedup_simhash", "text_stats", "dedup_minhash", "dedup_cluster")
 
 
 def main() -> int:

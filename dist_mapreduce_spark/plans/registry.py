@@ -53,5 +53,6 @@ def load_all() -> None:
     import dist_mapreduce_spark.plans.formats  # noqa: F401
     import dist_mapreduce_spark.plans.bucketed  # noqa: F401
     import dist_mapreduce_spark.plans.iterative  # noqa: F401
+    import dist_mapreduce_spark.plans.text_index  # noqa: F401
     import dist_mapreduce_spark.plans.tpch  # noqa: F401
     import dist_mapreduce_spark.plans.tpch_extended  # noqa: F401

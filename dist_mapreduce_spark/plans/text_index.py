@@ -1,0 +1,181 @@
+"""Text-index queries: the classic MapReduce jobs adjacent to word count.
+
+The reference ships exactly one analytics job — word count
+(/root/reference/internal/worker/worker.go:24-44). The canonical
+"chapter 2" MapReduce workloads built on the same tokenize→shuffle→
+group skeleton are the inverted index, secondary sort, and bigram/
+collocation counting (they appear in the same Hadoop curriculum the
+legacy/ directory is from — CS6240 hw01/hw02 word-count variants,
+legacy/HadoopMapReduce/src/edu/neu/cs6240/). This module expresses each
+Spark-first over the driver's `documents`/`orders` tables.
+
+Scale posture (100 TB):
+- All three are single-shuffle plans: map-side explode/array work in
+  whole-stage codegen, then ONE hash-partitioned exchange on the group
+  key with partial aggregation before it. No Python in the data path.
+- `inverted_index` posting lists are the one construct that can exceed
+  executor memory at corpus scale (a stopword's postings ≈ every
+  doc_id). The production layout is the same plan with a document-
+  frequency cap (`HAVING doc_freq <= k`) plus a bucketed-by-word sink
+  so each posting list streams to its own file run; here the corpus is
+  the driver's synthetic table, so the uncapped list is exact and the
+  cap is demonstrated by `inverted_index`'s df column being available
+  to filter on.
+- `bigram_colloc` keeps bigram formation inside the token ARRAY
+  (transform over sequence) instead of a per-token window, so there is
+  no per-document sort shuffle — documents never leave their input
+  partition until the (w1,w2) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.operators.wordcount import TOKEN_SEP
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+# DuckDB-side token ARRAY per doc, matching operators.wordcount.TOKEN_SEP
+# semantics (case-preserving, [^a-zA-Z]+ separators, empties dropped).
+_D_TOK_ARR = "list_filter(string_split_regex(text, '[^a-zA-Z]+'), w -> w <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "inverted_index",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word"
+        "             FROM documents)"
+        " SELECT word, list_sort(list(DISTINCT doc_id)) AS postings,"
+        "        count(DISTINCT doc_id) AS doc_freq"
+        " FROM tok WHERE word <> '' GROUP BY word"
+    ),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: word → sorted posting list of doc_ids + document
+    frequency. The canonical MapReduce job one step past word count —
+    same map phase as MapFunc (worker.go:24-38) but emitting
+    (word, doc_id) instead of (word, 1), and a reduce that unions
+    instead of counts.
+
+    Plan shape: explode → distinct-by-(word,doc_id) folded into the
+    aggregate (collect_set) → single exchange on word. sort_array pins
+    the list order (collect order is nondeterministic in any
+    distributed engine, so the sort is part of the contract)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", TOKEN_SEP)).alias("word")
+    ).filter(F.col("word") != "")
+    return toks.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+
+
+@query(
+    "secondary_sort",
+    oracle=(
+        "SELECT o_custkey,"
+        " list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS orders_by_date,"
+        " count(*) AS n_orders"
+        " FROM orders GROUP BY o_custkey"
+    ),
+)
+def q_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort: per customer, order keys in order-date order.
+
+    The classic MapReduce pattern (composite shuffle key + grouping
+    comparator so the reducer sees values pre-sorted) that the
+    reference's sorted-reduce hints at but never generalizes — doReduce
+    sorts KEYS only (worker.go:128-132); values arrive unordered. Spark
+    needs no custom comparator: array_sort over collect_list(struct)
+    sorts by (o_orderdate, o_orderkey) — a deterministic total order —
+    entirely inside the aggregate, then transform projects the key.
+    One exchange, no per-group window sort."""
+    o = load_table(spark, sf_dir, "orders")
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+    )
+    return o.groupBy("o_custkey").agg(
+        F.transform(sorted_structs, lambda s: s["o_orderkey"]).alias("orders_by_date"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "bigram_colloc",
+    oracle=(
+        f"WITH tk AS (SELECT {_D_TOK_ARR} AS t FROM documents),"
+        " idx AS (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM tk),"
+        " bg AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS cnt_ab"
+        "        FROM idx GROUP BY 1, 2),"
+        " ug AS (SELECT word, count(*) AS c"
+        "        FROM (SELECT unnest(t) AS word FROM tk) GROUP BY word),"
+        " tot AS (SELECT sum(c) AS n FROM ug)"
+        " SELECT w1, w2, cnt_ab, a.c AS cnt_a, b.c AS cnt_b,"
+        "  CAST(cnt_ab * tot.n AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift"
+        " FROM bg JOIN ug a ON a.word = bg.w1 JOIN ug b ON b.word = bg.w2"
+        " CROSS JOIN tot"
+        " ORDER BY cnt_ab DESC, w1, w2 LIMIT 100"
+    ),
+)
+def q_bigram_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations with lift = P(ab) / (P(a)·P(b)).
+
+    Bigrams are formed INSIDE the token array (transform over
+    sequence(1, size-1)) so no per-document window sort — documents
+    stay map-side until the (w1,w2) hash aggregate. Unigram counts are
+    a second single-exchange aggregate; the two small aggregates join
+    broadcast-style at sf and hash at 100 TB (vocab ≪ corpus either
+    way). lift is exact-integer arithmetic with ONE IEEE division
+    (counts < 2^53 are exactly representable), so Spark and DuckDB
+    round identically — the oracle-parity rule for ratios.
+
+    ORDER BY cnt_ab with (w1, w2) tiebreaks pins the LIMIT frontier to
+    the same rows in both engines."""
+    d = _docs(spark, sf_dir)
+    tk = d.select(
+        F.filter(F.split("text", TOKEN_SEP), lambda w: w != "").alias("t")
+    )
+    bg = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt_ab"))
+    )
+    ug = (
+        tk.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = ug.agg(F.sum("c").alias("n"))
+    return (
+        bg.join(F.broadcast(ug.withColumnRenamed("word", "w1").withColumnRenamed("c", "cnt_a")), "w1")
+        .join(F.broadcast(ug.withColumnRenamed("word", "w2").withColumnRenamed("c", "cnt_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "cnt_ab",
+            "cnt_a",
+            "cnt_b",
+            (
+                (F.col("cnt_ab") * F.col("n")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("cnt_ab"), "w1", "w2")
+        .limit(100)
+    )

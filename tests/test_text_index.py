@@ -1,0 +1,77 @@
+"""Golden-fixture tests for the text-index plans (inverted index,
+secondary sort, bigram collocations) — hand-computed expectations on
+tiny corpora, mirroring the reference's golden-style unit tests
+(/root/reference/internal/worker/worker_test.go:7-43)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dist_mapreduce_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return registry.QUERIES[name]
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a"),
+            (2, "b c"),
+            (3, "a,a!a"),  # punctuation separates tokens (worker.go:27-29)
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_inverted_index_postings(spark, tiny_docs, monkeypatch):
+    import dist_mapreduce_spark.plans.text_index as ti
+
+    monkeypatch.setattr(ti, "_docs", lambda s, d: tiny_docs)
+    rows = {r["word"]: r for r in _q("inverted_index")(spark, SF).collect()}
+    assert list(rows["a"]["postings"]) == [1, 3]
+    assert list(rows["b"]["postings"]) == [1, 2]
+    assert list(rows["c"]["postings"]) == [2]
+    assert rows["a"]["doc_freq"] == 2 and rows["c"]["doc_freq"] == 1
+
+
+def test_secondary_sort_orders_values_by_date(spark, monkeypatch):
+    import dist_mapreduce_spark.plans.text_index as ti
+
+    orders = spark.createDataFrame(
+        [
+            (10, 7, "1995-03-02"),
+            (11, 7, "1995-01-15"),
+            (12, 7, "1995-01-15"),  # date tie → orderkey tiebreak
+            (20, 8, "1996-06-01"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).selectExpr("o_orderkey", "o_custkey", "CAST(o_orderdate AS DATE) AS o_orderdate")
+    monkeypatch.setattr(ti, "load_table", lambda s, d, t: orders)
+    rows = {r["o_custkey"]: r for r in _q("secondary_sort")(spark, SF).collect()}
+    assert list(rows[7]["orders_by_date"]) == [11, 12, 10]
+    assert rows[7]["n_orders"] == 3
+    assert list(rows[8]["orders_by_date"]) == [20]
+
+
+def test_bigram_colloc_counts_and_lift(spark, tiny_docs, monkeypatch):
+    import dist_mapreduce_spark.plans.text_index as ti
+
+    monkeypatch.setattr(ti, "_docs", lambda s, d: tiny_docs)
+    rows = {(r["w1"], r["w2"]): r for r in _q("bigram_colloc")(spark, SF).collect()}
+    # Tokens: doc1 [a b a], doc2 [b c], doc3 [a a a] → unigrams a=5,
+    # b=2, c=1, N=8. Bigrams: (a,b),(b,a) in doc1; (b,c); (a,a)×2 in doc3.
+    assert rows[("a", "a")]["cnt_ab"] == 2
+    assert rows[("a", "b")]["cnt_ab"] == 1
+    assert rows[("b", "c")]["cnt_ab"] == 1
+    r = rows[("a", "a")]
+    assert r["cnt_a"] == 5 and r["cnt_b"] == 5
+    assert r["lift"] == pytest.approx(2 * 8 / 25)
+    # single-token docs produce no bigrams; no (c, *) pairs exist
+    assert not any(w1 == "c" for (w1, _) in rows)

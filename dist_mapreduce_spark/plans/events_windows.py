@@ -599,3 +599,52 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _transform_with_state_available():
     _def_stream_transform_state()
+
+
+@query(
+    "events_retention",
+    oracle=(
+        "WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d"
+        "                FROM events GROUP BY user_id),"
+        " act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)"
+        " SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,"
+        "        date_diff('day', cohort_d, day) AS offset_days,"
+        "        count(DISTINCT act.user_id) AS n_users"
+        " FROM act JOIN cohort USING (user_id)"
+        " GROUP BY cohort_d, offset_days"
+    ),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each later active day as a day offset. The standard
+    product-analytics rollup a pipeline engine must express; all-integer
+    outputs so the oracle is exact.
+
+    Plan: two aggregates over one scan lineage — per-user first day,
+    distinct (user, day) activity — then a join keyed on user_id. The
+    cohort side is |users| rows (tiny relative to events at any scale),
+    so Catalyst broadcasts it; the only big shuffle is the distinct on
+    (user_id, day), which AQE coalesces. At 100 TB the cohort frame is
+    the classic "profile" dimension — still broadcastable (one row per
+    user). cohort_day is emitted as a yyyy-MM-dd string (module
+    convention: date/window keys cross the oracle as strings)."""
+    ev = _events(spark, sf_dir)
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_d")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            "cohort_d",
+            F.datediff("day", "cohort_d").alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_d", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_users",
+        )
+    )

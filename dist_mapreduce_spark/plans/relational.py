@@ -985,3 +985,44 @@ def q_sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_DIALECT_SQL)
+
+
+_PROFILE_COLS = (
+    "o_orderkey o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority"
+).split()
+
+
+@query(
+    "profile_table",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count(*) - count({c}) AS n_nulls,"
+        f" count(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null count + exact distinct count over
+    orders, in long format — the schema-inspection primitive a pipeline
+    engine runs before ingesting a new 100 TB corpus.
+
+    Single pass: ONE aggregate computes every (nulls, distinct) pair,
+    then stack() unpivots the 1-row wide result to long — versus the
+    oracle's 6 UNION ALL scans, which is what profiling looks like
+    without a columnar multi-aggregate. Multiple exact count_distincts
+    expand the aggregate input (one duplicate per measure — Spark's
+    Expand operator); at 100 TB swap count_distinct for
+    approx_count_distinct (HLL, no expand) and keep the same plan
+    shape."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(c).alias(f"{c}__distinct"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (column_name, n_nulls, n_distinct)"
+    )

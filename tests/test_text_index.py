@@ -75,3 +75,51 @@ def test_bigram_colloc_counts_and_lift(spark, tiny_docs, monkeypatch):
     assert r["lift"] == pytest.approx(2 * 8 / 25)
     # single-token docs produce no bigrams; no (c, *) pairs exist
     assert not any(w1 == "c" for (w1, _) in rows)
+
+
+def test_events_retention_triangle(spark, monkeypatch):
+    import dist_mapreduce_spark.plans.events_windows as ew
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+            (1, "2024-01-03 09:00:00"),
+            (2, "2024-01-02 08:00:00"), (2, "2024-01-03 08:00:00"),
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    monkeypatch.setattr(ew, "_events", lambda s, d: ev)
+    rows = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in registry.QUERIES["events_retention"](spark, SF).collect()
+    }
+    # user 1 cohort Jan 1, active offsets {0, 2}; user 2 cohort Jan 2,
+    # active offsets {0, 1}. Same-day repeat events collapse.
+    assert rows == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
+    }
+
+
+def test_profile_table_counts_nulls_and_distincts(spark, monkeypatch):
+    import dist_mapreduce_spark.plans.relational as rel
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, "2024-01-01", "1-URGENT"),
+            (2, 10, None, 5.0, "2024-01-02", "1-URGENT"),
+            (3, None, "F", None, "2024-01-02", "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    monkeypatch.setattr(rel, "_t", lambda s, d, t: orders)
+    rows = {
+        r["column_name"]: (r["n_nulls"], r["n_distinct"])
+        for r in registry.QUERIES["profile_table"](spark, SF).collect()
+    }
+    assert rows["o_orderkey"] == (0, 3)
+    assert rows["o_custkey"] == (1, 1)
+    assert rows["o_orderstatus"] == (1, 2)
+    assert rows["o_totalprice"] == (1, 1)
+    assert rows["o_orderpriority"] == (0, 2)

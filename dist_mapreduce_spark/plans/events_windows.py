@@ -620,28 +620,22 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics rollup a pipeline engine must express; all-integer
     outputs so the oracle is exact.
 
-    Plan: two aggregates over one scan lineage — per-user first day,
-    distinct (user, day) activity — then a join keyed on user_id. The
-    cohort side is |users| rows (tiny relative to events at any scale),
-    so Catalyst broadcasts it; the only big shuffle is the distinct on
-    (user_id, day), which AQE coalesces. At 100 TB the cohort frame is
-    the classic "profile" dimension — still broadcastable (one row per
-    user). cohort_day is emitted as a yyyy-MM-dd string (module
-    convention: date/window keys cross the oracle as strings)."""
+    Plan: ONE big shuffle — the distinct on (user_id, day) — then the
+    cohort day is a window-min over that already-small frame (repartition
+    by user_id of |users×days| rows, not a join back to raw events), and
+    because each (user, day) appears exactly once after the distinct,
+    n_users is a plain count(*) — no count_distinct Expand. Audited:
+    5 shuffles + broadcast join → 3 small exchanges. cohort_day is
+    emitted as a yyyy-MM-dd string (module convention: date/window keys
+    cross the oracle as strings)."""
     ev = _events(spark, sf_dir)
-    cohort = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_d")
-    )
     act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    act = act.withColumn(
+        "cohort_d", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return (
-        act.join(cohort, "user_id")
-        .select(
-            "cohort_d",
-            F.datediff("day", "cohort_d").alias("offset_days"),
-            "user_id",
-        )
-        .groupBy("cohort_d", "offset_days")
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        act.groupBy("cohort_d", F.datediff("day", "cohort_d").alias("offset_days"))
+        .agg(F.count("*").alias("n_users"))
         .select(
             F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
             "offset_days",

@@ -65,15 +65,18 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → distinct-by-(word,doc_id) folded into the
     aggregate (collect_set) → single exchange on word. sort_array pins
     the list order (collect order is nondeterministic in any
-    distributed engine, so the sort is part of the contract)."""
+    distributed engine, so the sort is part of the contract).
+
+    doc_freq is size(postings), not count_distinct — the collect_set
+    already deduplicates, so a separate count_distinct would only add
+    an Expand operator and a second exchange (audited: 2 shuffles → 1)."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split("text", TOKEN_SEP)).alias("word")
     ).filter(F.col("word") != "")
     return toks.groupBy("word").agg(
         F.sort_array(F.collect_set("doc_id")).alias("postings"),
-        F.count_distinct("doc_id").alias("doc_freq"),
-    )
+    ).select("word", "postings", F.size("postings").cast("long").alias("doc_freq"))
 
 
 @query(

@@ -285,3 +285,95 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("thresh"))
         .select("doc_id", "lang")
     )
+
+
+# ------------------------------------------------------------- pagerank
+
+#: Fixed-point scale for integer PageRank: ranks are stored as
+#: rank * 1e12 in BIGINT. Integer sums are order-independent and floor
+#: division is identical across engines, so an ITERATIVE float-free
+#: PageRank gets a full value-hash oracle — no rows-only escape hatch.
+PR_SCALE = 10**12
+PR_ITERS = 5
+
+
+def _pr_oracle() -> str:
+    """Unrolled DuckDB mirror of the Spark loop (recursive CTEs cannot
+    aggregate in the recursive term, and the iteration count is a fixed
+    constant, so unrolling is both legal and clearer)."""
+    s = PR_SCALE
+    parts = [
+        "WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,"
+        " l_suppkey * 2 + 1 AS dst FROM lineitem),"
+        " edges AS (SELECT src, dst FROM e0"
+        "           UNION ALL SELECT dst AS src, src AS dst FROM e0),"
+        " deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),"
+        " nn AS (SELECT count(*) AS n FROM deg),"
+        f" r0 AS (SELECT src AS node, {s} // n AS rank FROM deg, nn)"
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f", r{i} AS (SELECT e.dst AS node,"
+            f" (SELECT (15 * {s}) // (100 * n) FROM nn)"
+            f" + sum((85 * r.rank) // (100 * d.d)) AS rank"
+            f" FROM edges e JOIN r{i-1} r ON r.node = e.src"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+    parts.append(
+        f" SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{PR_ITERS}"
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pr_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 rounds) over the bipartite
+    part↔supplier graph from distinct lineitem pairs, in FIXED-POINT
+    integer arithmetic: rank_fp = rank·1e12 as BIGINT, contributions
+    (85·r) DIV (100·outdeg), teleport (15·SCALE) DIV (100·N).
+
+    Why fixed-point: float PageRank is partition-order-dependent (FP
+    addition does not commute), which would force a rows-only check.
+    Integer sums commute and DIV is floor on both engines, so every bit
+    of the result is deterministic — the oracle-parity discipline
+    applied to an iterative algorithm.
+
+    Scale shape: per round = one join of the edge list with the rank
+    frame (both hash-partitioned on src — co-partitioned after round 1)
+    + one (dst) aggregation; lineage cut per round with localCheckpoint
+    so the plan stays O(1). The symmetric bipartite graph has no
+    dangling nodes (in-degree = out-degree ≥ 1), so no lost-mass term.
+    N is a driver-side scalar (one count per job, like the k-means
+    centroid fetch). Part/supplier ids interleave as 2k / 2k+1 to make
+    the node-id space disjoint."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    e0 = (
+        li.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+
+    n = deg.count()
+    base = (15 * PR_SCALE) // (100 * n)
+    ranks = deg.select("src", F.lit(PR_SCALE // n).cast("long").alias("rank"))
+    ranks = ranks.withColumnRenamed("src", "node").localCheckpoint()
+
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(85 * rank) DIV (100 * d)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select("node", (F.lit(base) + F.col("s")).cast("long").alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").alias("rank_fp"))

@@ -97,3 +97,23 @@ def test_agg_salted_equals_plain_groupby(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_pagerank_symmetry_mass_and_determinism(spark, monkeypatch):
+    """On part 1 ↔ suppliers {1,2}: supplier nodes are symmetric so
+    their ranks must be EXACTLY equal; the hub part node outranks them;
+    total fixed-point mass stays within N ulps of PR_SCALE (floor
+    divisions only ever drop mass); and a rerun is bit-identical."""
+    import dist_mapreduce_spark.plans.iterative as it
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 1)], "l_partkey long, l_suppkey long"
+    )
+    monkeypatch.setattr(it, "load_table", lambda s, d, t: li)
+    q = _q("graph_pagerank")
+    rows = {r["node"]: r["rank_fp"] for r in q(spark, SF).collect()}
+    part, s1, s2 = rows[2], rows[3], rows[5]
+    assert s1 == s2
+    assert part > s1
+    assert 0 < it.PR_SCALE - (part + s1 + s2) < 100 * (it.PR_ITERS + 1)
+    assert {r["node"]: r["rank_fp"] for r in q(spark, SF).collect()} == rows

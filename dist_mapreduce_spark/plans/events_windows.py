@@ -642,3 +642,72 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query(
+    "ts_gapfill",
+    oracle=(
+        "WITH agg AS ("
+        "  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bucket,"
+        f"        count(*) AS n, {_VAL_SUM_DUCK} AS v"
+        "  FROM events GROUP BY 1, 2),"
+        " spine AS ("
+        "  SELECT t.event_type, g.ts AS bucket"
+        "  FROM (SELECT DISTINCT event_type FROM events) t"
+        "  CROSS JOIN (SELECT unnest(generate_series("
+        "     (SELECT time_bucket(INTERVAL '1 day', min(ts)) FROM events),"
+        "     (SELECT time_bucket(INTERVAL '1 day', max(ts)) FROM events),"
+        "     INTERVAL '1 day')) AS ts) g)"
+        f" SELECT strftime(s.bucket, '{_TS_FMT_DUCK}') AS bucket, s.event_type,"
+        "        coalesce(a.n, 0) AS n_events,"
+        "        last_value(a.v IGNORE NULLS) OVER ("
+        "          PARTITION BY s.event_type ORDER BY s.bucket"
+        "          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value"
+        " FROM spine s LEFT JOIN agg a"
+        "   ON a.event_type = s.event_type AND a.bucket = s.bucket"
+    ),
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup with gap fill: a dense daily
+    spine per event type (generated, not scanned), zero-filled counts,
+    and last-observation-carried-forward sums for missing buckets.
+
+    The spine is sequence(min_day, max_day) exploded from a 1-row
+    bounds aggregate cross-joined with the distinct type dimension —
+    both broadcast (a spine is calendar-sized, never data-sized, so at
+    100 TB it is still a few thousand rows against a pre-aggregated
+    frame, NOT a join against raw events). LOCF is last(ignorenulls)
+    over an unbounded-preceding frame; the filled values are copied
+    decimal-exact doubles, so the oracle stays bit-exact."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"), _val_sum().alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("lo"),
+        F.date_trunc("DAY", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("bucket")
+    )
+    spine = ev.select("event_type").distinct().crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .select(
+            F.date_format("bucket", _TS_FMT_SPARK).alias("bucket"),
+            "event_type",
+            "n_events",
+            "filled_value",
+        )
+    )

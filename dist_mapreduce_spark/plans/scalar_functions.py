@@ -548,3 +548,39 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", k.alias("k_num"), k.isNotNull().alias("has_k")
     )
+
+
+@query(
+    "fn_similarity",
+    oracle=(
+        "WITH cs AS (SELECT s_suppkey, s_name, n_name,"
+        "   list_distinct(string_split(s_name, '')) AS ca,"
+        "   list_distinct(string_split(n_name, '')) AS cb"
+        "  FROM supplier JOIN nation ON s_nationkey = n_nationkey)"
+        " SELECT s_suppkey, levenshtein(s_name, n_name) AS edit_dist,"
+        "  CAST(len(list_intersect(ca, cb)) AS DOUBLE)"
+        "   / CAST(len(list_distinct(ca || cb)) AS DOUBLE) AS char_jaccard"
+        " FROM cs"
+    ),
+)
+def q_fn_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity primitives for fuzzy matching / entity
+    resolution: Levenshtein edit distance (built-in both engines,
+    classic DP definition) and character-set Jaccard spelled out
+    explicitly on BOTH sides (set intersect / set union, ONE integer
+    division) rather than trusting engine-specific jaccard() variants.
+    All-codegen string kernels — the cheap pre-filter tier of a dedup
+    cascade (cf. dedup_ngram_jaccard for the shingled version)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = s.join(n, s["s_nationkey"] == n["n_nationkey"])
+    ca = F.array_distinct(F.split("s_name", ""))
+    cb = F.array_distinct(F.split("n_name", ""))
+    return j.select(
+        "s_suppkey",
+        F.levenshtein("s_name", "n_name").alias("edit_dist"),
+        (
+            F.size(F.array_intersect(ca, cb)).cast("double")
+            / F.size(F.array_union(ca, cb)).cast("double")
+        ).alias("char_jaccard"),
+    )

@@ -123,3 +123,40 @@ def test_profile_table_counts_nulls_and_distincts(spark, monkeypatch):
     assert rows["o_orderstatus"] == (1, 2)
     assert rows["o_totalprice"] == (1, 1)
     assert rows["o_orderpriority"] == (0, 2)
+
+
+def test_ts_gapfill_zero_fills_and_carries_forward(spark, monkeypatch):
+    import dist_mapreduce_spark.plans.events_windows as ew
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", "2024-01-01 05:00:00", 10.0),
+            (2, "click", "2024-01-03 06:00:00", 7.5),  # Jan 2 is a gap
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).selectExpr("event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    monkeypatch.setattr(ew, "_events", lambda s, d: ev)
+    rows = {
+        r["bucket"]: (r["n_events"], r["filled_value"])
+        for r in registry.QUERIES["ts_gapfill"](spark, SF).collect()
+    }
+    assert rows["2024-01-01 00:00:00"] == (1, 10.0)
+    assert rows["2024-01-02 00:00:00"] == (0, 10.0)  # gap: zero count, LOCF sum
+    assert rows["2024-01-03 00:00:00"] == (1, 7.5)
+
+
+def test_fn_similarity_known_distances(spark, monkeypatch):
+    import dist_mapreduce_spark.plans.scalar_functions as sf
+
+    sup = spark.createDataFrame(
+        [(1, "kitten", 7)], "s_suppkey long, s_name string, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(7, "sitting")], "n_nationkey long, n_name string"
+    )
+    tables = {"supplier": sup, "nation": nat}
+    monkeypatch.setattr(sf, "_t", lambda s, d, t: tables[t])
+    r = registry.QUERIES["fn_similarity"](spark, SF).collect()[0]
+    assert r["edit_dist"] == 3
+    # chars kitten={k,i,t,e,n}, sitting={s,i,t,n,g}: |∩|=3, |∪|=7
+    assert r["char_jaccard"] == pytest.approx(3 / 7)

@@ -711,3 +711,41 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_value",
         )
     )
+
+
+@query(
+    "rolling_active_users",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),"
+        " days AS (SELECT DISTINCT day FROM ud)"
+        " SELECT strftime(d.day, '%Y-%m-%d') AS day,"
+        "        count(DISTINCT u.user_id) AS active_7d"
+        " FROM days d JOIN ud u"
+        "   ON u.day BETWEEN d.day - INTERVAL '6 days' AND d.day"
+        " GROUP BY d.day"
+    ),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the sliding
+    DISTINCT aggregate, which no engine's window frames do exactly.
+    Exact formulation: collapse events to distinct (user, day) rows
+    first (the ONE data-sized shuffle), then a range join against the
+    broadcast calendar dimension fans each activity row into at most 7
+    windows, and a count_distinct per window finishes it. Work scales
+    with |users × active days| × 7, not with raw events. The
+    approximate 100 TB alternative is per-day HLL sketches merged over
+    the window (approx_count_distinct partials) — same plan shape,
+    sketch instead of fan-out."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("uday")).distinct()
+    days = ud.select(F.col("uday").alias("day")).distinct()
+    joined = ud.join(
+        F.broadcast(days),
+        (F.col("uday") <= F.col("day"))
+        & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
+    )

@@ -160,3 +160,25 @@ def test_fn_similarity_known_distances(spark, monkeypatch):
     assert r["edit_dist"] == 3
     # chars kitten={k,i,t,e,n}, sitting={s,i,t,n,g}: |∩|=3, |∪|=7
     assert r["char_jaccard"] == pytest.approx(3 / 7)
+
+
+def test_rolling_active_users_window_membership(spark, monkeypatch):
+    import dist_mapreduce_spark.plans.events_windows as ew
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-05 10:00:00"),
+            (1, "2024-01-10 10:00:00"),  # >6 days after Jan 1
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    monkeypatch.setattr(ew, "_events", lambda s, d: ev)
+    rows = {
+        r["day"]: r["active_7d"]
+        for r in registry.QUERIES["rolling_active_users"](spark, SF).collect()
+    }
+    # Windows end on observed days only. Jan 5 window [Dec 30..Jan 5]
+    # sees users {1, 2}; Jan 10 window [Jan 4..Jan 10] sees {2, 1} via
+    # Jan 5 + Jan 10 activity; Jan 1 sees {1}.
+    assert rows == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-10": 2}

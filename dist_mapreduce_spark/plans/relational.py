@@ -1026,3 +1026,51 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args})"
         " AS (column_name, n_nulls, n_distinct)"
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle=(
+        "WITH pairs AS (SELECT p_retailprice AS price, p_size,"
+        "  count(*) AS n_parts, min(p_partkey) AS min_partkey"
+        "  FROM part GROUP BY 1, 2),"
+        " sw AS (SELECT *, max(p_size) OVER (ORDER BY price ASC, p_size DESC"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax"
+        "  FROM pairs)"
+        " SELECT price, p_size, n_parts, min_partkey FROM sw"
+        " WHERE runmax IS NULL OR p_size > runmax"
+    ),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts: minimize price, maximize
+    size — rows no other row dominates on both dimensions (multi-
+    objective top-k, the operator behind "cheapest-but-biggest" style
+    queries).
+
+    Not the naive O(n²) dominance self-join: collapse to DISTINCT
+    (price, size) pairs first (one data-sized aggregate), then the
+    classic O(n log n) sweep — sort by price asc / size desc and keep
+    a pair iff its size beats the running max of every earlier pair —
+    as ONE window over the pair set. Ties on both dimensions survive
+    together by construction (they share a pair row). The pair frame is
+    |distinct price×size| ≪ |rows|, so the global-order window is a
+    frontier-sized sort, not a data-sized one; at 100 TB the same two
+    stages hold (the sweep input is already tiny), or range-partition
+    the sweep by price band and merge band frontiers — skyline merge is
+    associative. Values are compared, never computed, so the oracle is
+    exact on raw doubles."""
+    p = _t(spark, sf_dir, "part")
+    pairs = p.groupBy(
+        F.col("p_retailprice").alias("price"), "p_size"
+    ).agg(
+        F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey")
+    )
+    w = (
+        Window.orderBy(F.asc("price"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pairs.withColumn("runmax", F.max("p_size").over(w))
+        .filter(F.col("runmax").isNull() | (F.col("p_size") > F.col("runmax")))
+        .select("price", "p_size", "n_parts", "min_partkey")
+    )

@@ -182,3 +182,38 @@ def test_rolling_active_users_window_membership(spark, monkeypatch):
     # sees users {1, 2}; Jan 10 window [Jan 4..Jan 10] sees {2, 1} via
     # Jan 5 + Jan 10 activity; Jan 1 sees {1}.
     assert rows == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-10": 2}
+
+
+def test_skyline_pareto_matches_bruteforce(spark, monkeypatch):
+    """Sweep-based skyline equals the O(n²) dominance definition on a
+    fixture with ties on both dimensions."""
+    import dist_mapreduce_spark.plans.relational as rel
+
+    rows = [
+        (1, 10.0, 5), (2, 10.0, 5),   # duplicate point: both survive, one pair row
+        (3, 10.0, 3),                  # dominated (same price, smaller size)
+        (4, 12.0, 7), (5, 12.0, 6),   # (12,7) on frontier; (12,6) dominated by (12,7)
+        (6, 9.0, 1),                   # cheapest point: on frontier
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    monkeypatch.setattr(rel, "_t", lambda s, d, t: part)
+    got = {
+        (r["price"], r["p_size"]): (r["n_parts"], r["min_partkey"])
+        for r in registry.QUERIES["skyline_pareto"](spark, SF).collect()
+    }
+    # brute-force dominance over the fixture
+    pts = [(pk, pr, sz) for pk, pr, sz in rows]
+    frontier = {}
+    for pk, pr, sz in pts:
+        dominated = any(
+            (bpr <= pr and bsz >= sz and (bpr < pr or bsz > sz))
+            for _, bpr, bsz in pts
+        )
+        if not dominated:
+            n, mn = frontier.get((pr, sz), (0, pk))
+            frontier[(pr, sz)] = (n + 1, min(mn, pk))
+    assert got == frontier
+    assert (10.0, 5) in got and got[(10.0, 5)] == (2, 1)
+    assert (10.0, 3) not in got

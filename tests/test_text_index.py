@@ -217,3 +217,33 @@ def test_skyline_pareto_matches_bruteforce(spark, monkeypatch):
     assert got == frontier
     assert (10.0, 5) in got and got[(10.0, 5)] == (2, 1)
     assert (10.0, 3) not in got
+
+
+def test_skyline_pareto_random_points_vs_bruteforce(spark, monkeypatch):
+    """200 seeded-random points (dense grid → many ties/dominations):
+    sweep output must equal the quadratic dominance definition."""
+    import random
+
+    import dist_mapreduce_spark.plans.relational as rel
+
+    rng = random.Random(42)
+    rows = [
+        (i, float(rng.randint(0, 15)), rng.randint(0, 15)) for i in range(200)
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    monkeypatch.setattr(rel, "_t", lambda s, d, t: part)
+    got = {
+        (r["price"], r["p_size"]): (r["n_parts"], r["min_partkey"])
+        for r in registry.QUERIES["skyline_pareto"](spark, SF).collect()
+    }
+    frontier = {}
+    for pk, pr, sz in rows:
+        if not any(
+            bpr <= pr and bsz >= sz and (bpr < pr or bsz > sz)
+            for _, bpr, bsz in rows
+        ):
+            n, mn = frontier.get((pr, sz), (0, pk))
+            frontier[(pr, sz)] = (n + 1, min(mn, pk))
+    assert got == frontier

@@ -197,3 +197,49 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").cast("double").alias("total_qty"),
     )
+
+
+@query(
+    "table_checksum",
+    oracle=(
+        "SELECT count(*) AS n_rows,"
+        " sum(CAST(('0x' || substr(md5("
+        "   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        "   || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)"
+        "   || '|' || o_orderpriority), 1, 12)) AS BIGINT)) AS content_sum,"
+        " sum(o_orderkey) AS key_sum,"
+        " count(DISTINCT o_orderkey) AS distinct_keys"
+        " FROM orders"
+    ),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: per-row md5 over a
+    canonical '|'-joined rendering of the row, folded to a 48-bit int
+    and SUMMED — integer sums commute, so the checksum is identical at
+    any parallelism, partitioning, or row order. THE integrity
+    primitive for verifying a 100 TB copy/migration without sorting
+    either side: one map-side hash + a single scalar aggregate, no
+    shuffle of row data at all (partial sums only).
+
+    Rendering rules for parity: ints and epoch-micros render
+    identically everywhere; doubles are deliberately EXCLUDED
+    (shortest-round-trip float formatting is not pinned across
+    engines — render decimals/ints only, or pre-cast to DECIMAL).
+    md5 ↔ md5, 48-bit fold via conv ↔ '0x'-cast (the repo's standard
+    cross-engine hash idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_repr), 1, 12), 16, 10).cast("long")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash).alias("content_sum"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.count_distinct("o_orderkey").alias("distinct_keys"),
+    )

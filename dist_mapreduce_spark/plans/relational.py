@@ -728,7 +728,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT l_returnflag,"
         " bool_and(l_quantity > 0) AS all_positive,"
         " bool_or(l_discount > 0.09) AS any_high_discount,"
-        " count_if(l_tax = 0) AS n_taxfree"
+        " CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree"
         " FROM lineitem GROUP BY l_returnflag"
     ),
 )

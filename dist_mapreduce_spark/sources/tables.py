@@ -41,6 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Reading it as raw nanos must work in ANY
+        # session — including ones this repo didn't build (an external
+        # harness constructs its own SparkSession) — so set the
+        # runtime-settable SQL conf here, not only in session.py.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as raw nanos (see session.py): truncate

@@ -33,6 +33,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     production the source line changes to Kafka; the plan below it does
     not (source/sink are the only non-portable lines in a Structured
     Streaming job)."""
+    # Must work in sessions this repo didn't build (see
+    # sources/tables.py): the nanos-as-long conf is runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")

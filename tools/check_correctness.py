@@ -101,6 +101,18 @@ def main() -> int:
             probs.append(f"rows {len(sdf)} vs {len(ddf)}")
         if sorted(sdf.columns) != sorted(ddf.columns):
             probs.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        else:
+            # Driver hashes raw values, so an oracle aggregate that
+            # comes back as float while Spark returns int (DuckDB
+            # HUGEINT → pandas float, e.g. uncast count_if/sum) is a
+            # hash mismatch even when values are equal. Flag it here.
+            import pandas.api.types as pt
+            for c in sdf.columns:
+                if pt.is_integer_dtype(sdf[c]) and pt.is_float_dtype(ddf[c]):
+                    probs.append(
+                        f"dtype drift {c}: spark int vs oracle float "
+                        "(add CAST(... AS BIGINT) in the oracle)"
+                    )
         if not probs:
             a, b = canon(sdf), canon(ddf)
             exact, approx = values_equal(a, b)

@@ -11,7 +11,10 @@ the Spark plan and the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
 import random
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -23,6 +26,24 @@ from dist_mapreduce_spark.sources.tables import load_table
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _pin(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Materialize an intermediate that several downstream branches
+    re-consume. Default: ``.cache()`` — fine while the table fits in
+    cluster memory. Set ``SPARK_GRAFT_MATERIALIZE=parquet`` to write a
+    temp parquet and re-scan it instead: the 100 TB shape, where e.g.
+    the shingle table (largest intermediate of dedup_minhash, ~30×
+    corpus size) cannot live in cache and recomputing it per consumer
+    would quadruple the heaviest pass. See docs/SCALE.md.
+    """
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE") == "parquet":
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_pin_{uuid.uuid4().hex}"
+        )
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return df.cache()
 
 
 # DuckDB token-array expression (whitespace tokens, empties dropped).
@@ -250,7 +271,15 @@ MINHASH_AB = [
 # capture probability is ~50% is (1/8)^(1/2) ≈ 0.35) — dedup wants high
 # recall at jaccard ≥ 0.5; precision comes from the exact-verify stage.
 N_BANDS, ROWS_PER_BAND = 8, 2
+assert N_BANDS * ROWS_PER_BAND == N_HASHES, "banding must tile the signature"
 JACCARD_THRESHOLD = 0.1  # low: surface weak near-dups in the synthetic corpus
+# Skew guard for the band self-join: a bucket of b identical-signature
+# docs contributes b(b-1)/2 candidate pairs, so one boilerplate bucket
+# of 10^5 docs is 5×10^9 pairs — quadratic blowup from a single key.
+# Keep a deterministic sample (CAP lowest doc_ids) per (band_id,
+# band_hash), bounding any bucket's contribution at CAP(CAP-1)/2.
+# Mirrored exactly in the DuckDB oracle so results stay comparable.
+BAND_BUCKET_CAP = 200
 
 # Word 3-shingles over a PRE-MATERIALIZED token column `t` (binding the
 # token array once per row matters: inlining the split expression makes
@@ -285,7 +314,13 @@ def _duck_minhash_oracle() -> str:
         f" FROM (SELECT doc_id, unnest({_D_SHINGLES_T}) AS s FROM tk)"
         f"), mh AS ("
         f" SELECT doc_id, {mh_cols} FROM shingle GROUP BY doc_id"
-        f"), bands AS ({band_rows}"
+        f"), bands0 AS ({band_rows}"
+        f"), bands AS ("
+        f" SELECT doc_id, band_id, band_hash FROM ("
+        f"  SELECT doc_id, band_id, band_hash,"
+        f"   row_number() OVER (PARTITION BY band_id, band_hash"
+        f"    ORDER BY doc_id) AS rn FROM bands0)"
+        f" WHERE rn <= {BAND_BUCKET_CAP}"
         f"), cand AS ("
         f" SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
         f" FROM bands a JOIN bands b"
@@ -312,18 +347,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. word 3-shingles per doc (distinct), hashed to 48-bit ints;
     2. 16 universal minhashes per doc — ONE aggregation, not 16 passes;
-    3. 4 bands × 4 rows; band signature = md5 of the 4 minhashes;
+    3. 8 bands × 2 rows (N_BANDS × ROWS_PER_BAND, asserted to tile
+       N_HASHES); band signature = md5 of the band's minhashes;
     4. candidate pairs = docs sharing any (band_id, band_hash) — an
        equi-join on the band key, which is the shuffle-friendly trick:
-       candidate generation is a hash join, never an all-pairs product;
+       candidate generation is a hash join, never an all-pairs product.
+       Skew guard: each bucket is capped at BAND_BUCKET_CAP docs
+       (deterministic row_number sample, mirrored in the oracle), so a
+       degenerate boilerplate bucket contributes at most CAP²/2 pairs
+       instead of going quadratic — the standard banding-cap mitigation
+       from the dedup literature. AQE skew-join handles what remains;
     5. exact Jaccard on shingle sets for candidates only, filtered at
        the threshold.
-
-    Skew note: a degenerate band bucket (e.g. thousands of identical
-    boilerplate docs) would explode step 4's join; AQE skew-join
-    handles moderate cases, and a production run adds a bucket-size cap
-    (count per band_hash, drop or sample buckets over the cap) — the
-    standard banding-cap mitigation from the dedup literature.
     """
     docs = _docs(spark, sf_dir)
     # Materialize the token array as a real column first: inlining the
@@ -347,15 +382,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collisions) — skipping it removes a full shuffle of the largest
     # intermediate. Cached because four downstream consumers (minhash
     # agg, set sizes, both sides of the intersection join) would each
-    # recompute the scan+explode otherwise; at 100 TB this materializes
-    # to a temp parquet instead.
-    shingle = (
+    # recompute the scan+explode otherwise; at 100 TB set
+    # SPARK_GRAFT_MATERIALIZE=parquet and _pin spills it to temp
+    # parquet instead of cache.
+    shingle = _pin(
         tok_df.select("doc_id", F.explode(shingles).alias("s"))
         .select(
             "doc_id",
             F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
-        )
-        .cache()
+        ),
+        spark,
     )
     # Shingle-set size rides along in the SAME aggregation as the 16
     # minhashes — one shuffle of the shingle table instead of two (the
@@ -397,6 +433,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    # Bucket-size cap (see BAND_BUCKET_CAP): deterministic keep-lowest
+    # sample per band bucket. The row_number shuffles on the same
+    # (band_id, band_hash) key the self-join below hashes on, so the
+    # exchange is reused — the cap costs no extra shuffle stage.
+    wcap = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    bands = (
+        bands.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= BAND_BUCKET_CAP)
+        .drop("rn")
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -63,6 +63,29 @@ def test_minhash_flags_exact_and_near_copy(spark, dup_docs, monkeypatch):
     assert (0, 1) not in pairs and (0, 2) not in pairs   # unrelated
 
 
+def test_minhash_band_bucket_cap_bounds_skew(spark, monkeypatch):
+    """1000 identical boilerplate docs share every band signature; the
+    BAND_BUCKET_CAP=200 keep-lowest sample must bound the self-join to
+    C(200,2) pairs among them — not C(1000,2) — while leaving ordinary
+    small-bucket near-dups untouched."""
+    import dist_mapreduce_spark.plans.llm_pipeline as lp
+
+    boiler = "all work and no play makes jack a dull boy every single day again"
+    rows = [(i, boiler) for i in range(1000)] + [
+        (2000, "pack my box with five dozen liquor jugs before the long trip starts"),
+        (2001, "pack my box with five dozen water jugs before the long trip starts"),
+    ]
+    skewed = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(lp, "_docs", lambda s, d: skewed)
+    pairs = _q("dedup_minhash")(spark, SF).collect()
+    clone_pairs = [r for r in pairs if r["doc_a"] < 1000 and r["doc_b"] < 1000]
+    cap = lp.BAND_BUCKET_CAP
+    assert len(clone_pairs) == cap * (cap - 1) // 2  # bounded, not 499500
+    assert all(r["doc_a"] < cap and r["doc_b"] < cap for r in clone_pairs)
+    # the unrelated small bucket still pairs normally
+    assert any(r["doc_a"] == 2000 and r["doc_b"] == 2001 for r in pairs)
+
+
 def test_simhash_near_dup_small_hamming(spark, dup_docs):
     from dist_mapreduce_spark.operators.text_analysis import simhash32
 

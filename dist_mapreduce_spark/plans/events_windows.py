@@ -441,9 +441,11 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'"
         f"       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess"
         f"  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        # CAST AS BIGINT: DuckDB's window sum widens to HUGEINT which
+        # exports as float (same drift class as agg_bool/pack_sequences).
         f" s AS (SELECT user_id, ts,"
-        f"  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-        f"   ROWS UNBOUNDED PRECEDING) AS session_id FROM g)"
+        f"  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        f"   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)"
         f" SELECT user_id, session_id, count(*) AS n_events,"
         f"  strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,"
         f"  strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end"

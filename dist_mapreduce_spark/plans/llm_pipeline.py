@@ -860,12 +860,16 @@ N_PACK_SHARDS = 16
     oracle=(
         f"WITH toks AS (SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,"
         f"  len(regexp_extract_all(text, '{{re}}')) AS n_tokens FROM documents)"
+        # CAST ... AS BIGINT on both window-sum columns: DuckDB's
+        # sum() widens to HUGEINT which its pandas export hands back as
+        # float — the same dtype drift the r2 agg_bool fix addressed.
         f" SELECT doc_id, shard, n_tokens,"
-        f"  COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
-        f"   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start,"
-        f"  COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+        f"  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+        f"   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        f"   AS token_start,"
+        f"  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
         f"   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
-        f"   // {PACK_BUDGET} AS pack_id"
+        f"   // {PACK_BUDGET} AS BIGINT) AS pack_id"
         f" FROM toks"
     ).format(re=ta.BPE_ISH_RE),
 )

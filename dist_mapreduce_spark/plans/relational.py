@@ -320,15 +320,39 @@ def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct")  # no oracle: HLL estimates are engine-specific
+@query(
+    "approx_distinct",
+    oracle=(
+        # The HLL estimate itself is engine-specific, so the checkable
+        # contract is (exact count, estimate-within-5%): the oracle
+        # emits the exact distinct count and literal TRUE; Spark emits
+        # the same exact count plus its own |approx-exact|/exact <= 5%
+        # verdict. A broken sketch flips the boolean and hash-fails.
+        "SELECT event_type,"
+        " CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,"
+        " CAST(count(*) AS BIGINT) AS n_events,"
+        " TRUE AS within_5pct"
+        " FROM events GROUP BY event_type"
+    ),
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
     distinct-user-style metrics — one pass, bounded memory, mergeable
-    sketches instead of the exact two-level expansion. Rows-only check:
-    estimates are implementation-specific by design."""
+    sketches instead of the exact two-level expansion. The query
+    returns the exact count alongside a boolean asserting the HLL
+    estimate (rsd=0.01) lands within 5% of it, making an
+    engine-specific estimate exactly checkable against DuckDB."""
     return _t(spark, sf_dir, "events").groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.countDistinct("user_id")
+            )
+            / F.countDistinct("user_id")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 

@@ -351,6 +351,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode",
+    oracle=(
+        # Closed form of the BMP geometry: 16px × 24bpp rows = 48 bytes
+        # (4-byte aligned, no padding term), height = ceil(bytes/48)
+        # with a 1-row floor, header = 54 bytes. pixel_sum_mod re-folds
+        # the text's char codes (ASCII corpus ⇒ codes == bytes); the
+        # zero padding contributes nothing to the sum.
+        "SELECT doc_id, CAST(16 AS INT) AS width,"
+        " CAST(greatest(1, (octet_length(encode(text)) + 47) // 48) AS INT)"
+        "  AS height,"
+        " CAST(54 + 48 * greatest(1, (octet_length(encode(text)) + 47) // 48)"
+        "  AS BIGINT) AS bmp_file_size,"
+        " CAST(48 * greatest(1, (octet_length(encode(text)) + 47) // 48)"
+        "  AS BIGINT) AS n_pixel_bytes,"
+        " CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "  list_transform(range(1, length(text) + 1),"
+        "   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),"
+        "  (a, b) -> (a + b) % 997) AS INT) AS pixel_sum_mod"
+        " FROM documents"
+    ),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (operators.multimodal.decode_image):
+    payloads are containerized as uncompressed 24-bit BMPs and decoded
+    back by a pure-Python header/pixel-array parser inside the Arrow
+    batch, with a round-trip assertion. The oracle independently derives
+    every output — dimensions, file size, pixel byte count, and a
+    content checksum — from the text column, so a decoder bug in any
+    field (stride, bottom-up row order, header offsets, padding) is a
+    hash mismatch. Fills the §2.12 decode step the earlier rounds left
+    stubbed."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        decode_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_features(attach_payload(docs))
+
+
+@query(
     "multimodal_frames",
     oracle=(
         "SELECT doc_id, n_frames,"

@@ -32,6 +32,33 @@ TABLES = (
 )
 
 
+def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to TIMESTAMP (µs, UTC) for every
+    physical encoding the driver's generator has produced so far:
+
+    - TIMESTAMP(NANOS)  → read as raw long under nanosAsLong; truncate
+      to micros with integer DIV (double division loses ulps on
+      19-digit nanos and shifts some timestamps by 1 µs).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ;
+      cast to TIMESTAMP with the session tz pinned to UTC so the cast
+      is an identity on the wall clock and matches DuckDB's naive
+      reading of the same micros.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=true) → already TIMESTAMP;
+      leave untouched.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt == "timestamp_ntz":
+        # The NTZ→TZ cast interprets the wall clock in the SESSION tz.
+        # Pin UTC here (runtime-settable), not just in session.py, so
+        # foreign sessions (the driver harness) get the same absolute
+        # instants the DuckDB oracle sees.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one star-schema table.
 
@@ -42,20 +69,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet is TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Reading it as raw nanos must work in ANY
+        # Tolerate a TIMESTAMP(NANOS) events file, which Spark's
+        # vectorized reader otherwise rejects. Must work in ANY
         # session — including ones this repo didn't build (an external
         # harness constructs its own SparkSession) — so set the
         # runtime-settable SQL conf here, not only in session.py.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as raw nanos (see session.py): truncate
-        # to microseconds — the same downcast DuckDB applies — so both
-        # engines see identical timestamp values.
-        # Integer DIV, not `/`: double division loses ulps on 19-digit
-        # nanos and shifts some timestamps by 1 µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_events_ts(spark, df)
     return df
 
 

@@ -19,12 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Schema of events.parquet under nanosAsLong (session.py): the nano
-#: timestamp arrives as a raw long and is normalized to micros below.
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string,"
-    " value double, props string"
-)
+from ..sources.tables import normalize_events_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,19 +27,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     local harness for exercising a streaming plan to completion. In
     production the source line changes to Kafka; the plan below it does
     not (source/sink are the only non-portable lines in a Structured
-    Streaming job)."""
+    Streaming job).
+
+    The stream schema is DERIVED from a batch read of the same file
+    rather than hardcoded: the driver's generator has shipped `ts` as
+    TIMESTAMP(NANOS), TIMESTAMP(MICROS, NTZ), and could ship plain
+    TIMESTAMP — a hardcoded `ts long` schema silently misparses the
+    non-nanos encodings (micros DIV 1000 twice lands every event in
+    1970). normalize_events_ts applies the per-encoding fix once, the
+    same one the batch path uses, so stream/batch parity holds by
+    construction.
+    """
     # Must work in sessions this repo didn't build (see
     # sources/tables.py): the nanos-as-long conf is runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         # File stream sources take a directory; select just the events
         # table out of the shared sf_dir.
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(spark, raw)
 
 
 def tumbling_counts_stream(events: DataFrame, width: str = "1 hour",

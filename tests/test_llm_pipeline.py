@@ -126,13 +126,39 @@ def test_lsh_consistency_with_bruteforce(spark):
     assert all(bf[(r["query_id"], r["vec_id"])] == r["score"] for r in overlapping)
 
 
-def test_multimodal_decode_stubs_raise():
+def test_multimodal_decode_contracts():
     from dist_mapreduce_spark.operators.multimodal import decode_audio_frames, decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    # Image decode is real now: non-BMP and unsupported variants raise
+    # ValueError (routing signal), not NotImplementedError.
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG" + b"\x00" * 64)
+    # Audio remains a documented stub (no codec lib in the container).
     with pytest.raises(NotImplementedError):
         decode_audio_frames(b"RIFF")
+
+
+def test_bmp_codec_roundtrip_edges():
+    from dist_mapreduce_spark.operators.multimodal import (
+        BMP_WIDTH,
+        decode_image,
+        encode_bmp,
+    )
+
+    row = BMP_WIDTH * 3
+    for payload in (
+        b"",                      # empty → one all-zero row
+        b"x",                     # sub-row
+        b"a" * row,               # exact single row
+        b"b" * (row + 1),         # row boundary + 1
+        bytes(range(256)) * 3,    # multi-row, all byte values
+    ):
+        img = decode_image(encode_bmp(payload))
+        assert img["width"] == BMP_WIDTH
+        assert img["height"] == max(1, -(-len(payload) // row))
+        assert img["pixels"][: len(payload)] == payload
+        assert not any(img["pixels"][len(payload) :])
+        assert img["file_size"] == 54 + img["height"] * row
 
 
 def test_multimodal_roundtrip_bytes(spark, dup_docs):

@@ -202,12 +202,14 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "table_checksum",
     oracle=(
+        # CAST the sums to BIGINT: DuckDB sum(BIGINT) widens to HUGEINT
+        # which exports as float (agg_bool drift class).
         "SELECT count(*) AS n_rows,"
-        " sum(CAST(('0x' || substr(md5("
+        " CAST(sum(CAST(('0x' || substr(md5("
         "   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
         "   || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)"
-        "   || '|' || o_orderpriority), 1, 12)) AS BIGINT)) AS content_sum,"
-        " sum(o_orderkey) AS key_sum,"
+        "   || '|' || o_orderpriority), 1, 12)) AS BIGINT)) AS BIGINT) AS content_sum,"
+        " CAST(sum(o_orderkey) AS BIGINT) AS key_sum,"
         " count(DISTINCT o_orderkey) AS distinct_keys"
         " FROM orders"
     ),

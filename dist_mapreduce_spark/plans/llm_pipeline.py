@@ -649,7 +649,9 @@ def _duck_quality() -> str:
         f" kept AS (SELECT * FROM scored WHERE quality >= {QUALITY_GATE}),"
         f" winners AS (SELECT *, row_number() OVER (PARTITION BY fp"
         f"   ORDER BY doc_id) AS rn FROM kept)"
-        f" SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,"
+        # CAST AS BIGINT: DuckDB sum() widens to HUGEINT → float export.
+        f" SELECT lang, count(*) AS n_docs,"
+        f" CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
         f"  min(quality) AS min_quality, max(quality) AS max_quality"
         f" FROM winners WHERE rn = 1 GROUP BY lang"
     ),

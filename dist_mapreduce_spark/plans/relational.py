@@ -990,7 +990,9 @@ _SHARED_DIALECT_SQL = (
     " count(*) AS n_items,"
     " CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,"
     " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,"
-    " sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted"
+    # CAST AS BIGINT: DuckDB widens sum(int) to HUGEINT → float export.
+    " CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_discounted"
     " FROM lineitem"
     " GROUP BY l_returnflag, l_linestatus"
     " HAVING count(*) > 10"

@@ -100,8 +100,9 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         " abs(l_quantity - 25.0) AS dist25,"
         " sqrt(l_quantity) AS root,"
         " power(l_quantity, 2.0) AS q2,"
-        " floor(l_extendedprice) AS price_floor,"
-        " ceil(l_extendedprice) AS price_ceil,"
+        # CAST AS BIGINT: DuckDB floor/ceil return DOUBLE; Spark's are LONG.
+        " CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,"
+        " CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,"
         " CAST(l_quantity AS BIGINT) % 7 AS mod7,"
         " greatest(l_tax, l_discount) AS gmax,"
         " least(l_tax, l_discount) AS lmin"
@@ -192,14 +193,34 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")  # no oracle: sketch results are engine-specific
+@query(
+    "agg_percentile_approx",
+    oracle=(
+        # The GK sketch value is engine-specific; the checkable contract
+        # is its rank guarantee: with accuracy=10000 the estimate's rank
+        # error is ≤ n/10000, so it must land between the exact 0.49 and
+        # 0.51 quantiles. Spark computes that boolean (the exact
+        # percentiles never leave Spark, so no FP-interpolation parity
+        # issue); the oracle asserts TRUE.
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,"
+        " TRUE AS median_in_band"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
+)
 def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the mergeable-sketch quantile for 100 TB
-    scans (Greenwald-Khanna); estimates are engine-specific → rows-only."""
+    scans (Greenwald-Khanna). Emits the sketch's rank-guarantee verdict
+    — estimate within the exact [p49, p51] band — instead of the raw
+    engine-specific estimate, making the operator exactly checkable."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
         F.count("*").alias("n"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000)
+        .between(
+            F.percentile("l_extendedprice", 0.49),
+            F.percentile("l_extendedprice", 0.51),
+        )
+        .alias("median_in_band"),
     )
 
 
@@ -253,7 +274,8 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         " array_to_string(list(n_name ORDER BY n_name), ',') AS keys_join,"
         " count(*) AS n_entries,"
         " max(CASE WHEN n_name = 'ALGERIA' THEN n_nationkey END) AS algeria_key,"
-        " sum(n_nationkey) AS key_sum"
+        # CAST AS BIGINT: DuckDB sum() widens to HUGEINT → float export.
+        " CAST(sum(n_nationkey) AS BIGINT) AS key_sum"
         " FROM nation GROUP BY n_regionkey"
     ),
 )

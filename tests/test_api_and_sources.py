@@ -50,6 +50,52 @@ def test_job_validation(spark):
         runner.job_status(999)
 
 
+def test_http_facade_loopback(spark, corpus, tmp_path):
+    """Exercise the literal REST contract (reference server.go:50-135)
+    over a loopback socket: submit → poll → health, plus the 4xx paths."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from dist_mapreduce_spark.api import COMPLETED, JobRunner
+    from dist_mapreduce_spark.http_api import ApiServer
+
+    runner = JobRunner(spark)
+    srv = ApiServer(runner).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        body = json.dumps(
+            {"files": [str(corpus / f"test{i}.txt") for i in (1, 2, 3)], "nReduce": 2}
+        ).encode()
+        req = urllib.request.Request(f"{base}/jobs", data=body, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            job_id = json.loads(resp.read())["id"]
+        runner.wait(job_id)
+        with urllib.request.urlopen(f"{base}/jobs/{job_id}") as resp:
+            st = json.loads(resp.read())
+        assert st == {
+            "id": job_id,
+            "status": COMPLETED,
+            "files_count": 3,
+            "map_tasks_completed": 3,
+            "reduce_tasks_completed": 2,
+        }
+        with urllib.request.urlopen(f"{base}/health") as resp:
+            assert resp.read() == b"OK"
+        # 400 on bad params (server.go:62-65), 404 on unknown job.
+        bad = urllib.request.Request(
+            f"{base}/jobs", data=b'{"files": [], "nReduce": 2}', method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/jobs/9999")
+        assert ei.value.code == 404
+    finally:
+        srv.stop()
+
+
 def test_job_failure_surfaces(spark):
     from dist_mapreduce_spark.api import FAILED, JobRunner
 

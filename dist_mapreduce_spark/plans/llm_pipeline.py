@@ -939,17 +939,25 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical — so `WHERE NOT is_dup` IS the deduplicated corpus.
 
     Scale: the edge list is the already-thresholded near-dup graph —
-    orders of magnitude smaller than the corpus — and components of
+    orders of magnitude smaller than the corpus — and ONLY its endpoint
+    nodes can ever change label, so the fixpoint iterates over that
+    tiny subgraph alone (never the corpus-sized label table: at 100 TB
+    that's the difference between shuffling the dup subgraph per round
+    and shuffling 100 TB per round); singletons join the result in one
+    final broadcast-left-join against the corpus. Components of
     boilerplate dups have tiny diameter, so the loop converges in a
-    handful of rounds of joins on that small edge list; each round is
-    localCheckpoint-truncated so the plan stays flat."""
+    handful of rounds; each round is localCheckpoint-truncated so the
+    plan stays flat."""
     pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    # Iterate only over nodes incident to an edge (doc_a covers every
+    # endpoint because edges are bidirectional).
     labels = (
-        _docs(spark, sf_dir)
-        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
     prev_sum = None
@@ -967,10 +975,17 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("canonical_id"),
-        (F.col("node") != F.col("label")).alias("is_dup"),
+    docs = _docs(spark, sf_dir).select("doc_id")
+    # Resolved dup-subgraph labels are far smaller than the corpus;
+    # AQE broadcasts them when they fit (no forced hint — a 100 TB
+    # corpus can still have a multi-billion-node dup subgraph).
+    # Singletons fall through the left join as their own canonical.
+    resolved = docs.join(labels, docs["doc_id"] == labels["node"], "left")
+    canonical = F.coalesce(F.col("label"), F.col("doc_id"))
+    return resolved.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (canonical != F.col("doc_id")).alias("is_dup"),
     )
 
 

@@ -58,10 +58,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # The driver's events.parquet carries TIMESTAMP(NANOS) which the
-        # vectorized reader rejects; read as raw nanos and normalize in
-        # sources.tables.load_table (truncate to micros, matching how
-        # DuckDB downcasts the same column).
+        # The driver's events.parquet has shipped as TIMESTAMP(NANOS)
+        # (which the vectorized reader rejects — read as raw nanos) and
+        # as TIMESTAMP(MICROS)/NTZ; sources.tables.normalize_events_ts
+        # handles every encoding. Harmless when the file is not nanos.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

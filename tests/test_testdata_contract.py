@@ -1,0 +1,77 @@
+"""Testdata-encoding contract: fail LOUDLY when the driver's generator
+changes a physical encoding.
+
+Round 2's worst bug was silent: events.parquet `ts` switched from
+TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) between rounds and the
+hardcoded stream schema double-converted micros — every stream_* query
+ran "green" with 1970-epoch garbage. These tests pin the semantic
+contract (not the physical encoding, which is allowed to change) so a
+generator change surfaces as a named assertion failure, not silently
+wrong windows.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def test_events_ts_normalizes_to_plausible_instants(spark):
+    """Whatever the physical encoding (nanos-as-long, micros NTZ, or
+    plain timestamp), load_table must yield TIMESTAMP values in the
+    generator's real range — a double conversion lands in 1970, a
+    missed one in year ~56k; both trip this immediately."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year >= 2000, f"events.ts min {lo}: under-converted (1970 bug class)"
+    assert hi.year <= 2100, f"events.ts max {hi}: over-converted"
+
+
+def test_stream_source_schema_matches_batch(spark):
+    """The stream source must derive its schema from the batch read —
+    the round-2 regression was a hardcoded stream schema drifting from
+    the file. Equality here makes stream/batch parity structural."""
+    from dist_mapreduce_spark.sources.tables import load_table
+    from dist_mapreduce_spark.streaming.windows import read_events_stream
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = read_events_stream(spark, SF_DIR)
+    assert stream.schema == batch.schema
+
+
+def test_all_tables_load_with_expected_key_columns(spark):
+    """Each driver table loads and exposes the columns the query
+    registry depends on (a rename/drop in the generator should name
+    the table, not surface as 150 cryptic AnalysisExceptions)."""
+    from dist_mapreduce_spark.sources.tables import TABLES, load_table
+
+    required = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_mktsegment"},
+        "supplier": {"s_suppkey", "s_nationkey"},
+        "part": {"p_partkey", "p_type"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"},
+        "lineitem": {"l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"},
+        "events": {"event_id", "ts", "user_id", "event_type", "value"},
+        "documents": {"doc_id", "text", "lang"},
+        "embeddings": {"vec_id", "embedding"},
+    }
+    for name in TABLES:
+        cols = set(load_table(spark, SF_DIR, name).columns)
+        missing = required[name] - cols
+        assert not missing, f"{name} lost required columns: {sorted(missing)}"

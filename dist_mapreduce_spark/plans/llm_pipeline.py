@@ -558,6 +558,142 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.2)
 
 
+# ------------------------------------------------ minhash recall eval
+
+#: Probe stride for the recall evaluation: ground truth is computed for
+#: pairs whose SMALLER doc_id is a multiple of this (same bounded-probe
+#: convention as dedup_ngram_jaccard). 5 → a 20% probe, dense enough
+#: that the synthetic corpus yields a non-vacuous exact-pair set at
+#: sf0.01 (mod 50 catches zero true pairs there).
+RECALL_PROBE_MOD = 5
+
+
+@query(
+    "dedup_minhash_recall",
+    oracle=(
+        f"WITH mhp AS ({{minhash}}),"
+        f" tk2 AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),"
+        f" shingle2 AS ("
+        f"  SELECT DISTINCT doc_id,"
+        f"   CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h"
+        f"  FROM (SELECT doc_id, unnest({_D_SHINGLES_T}) AS s FROM tk2)),"
+        f" sizes2 AS (SELECT doc_id, count(*) AS n FROM shingle2 GROUP BY doc_id),"
+        f" inter2 AS ("
+        f"  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common"
+        f"  FROM shingle2 x JOIN shingle2 y"
+        f"   ON x.h = y.h AND x.doc_id < y.doc_id"
+        f"  WHERE x.doc_id % {RECALL_PROBE_MOD} = 0"
+        f"  GROUP BY x.doc_id, y.doc_id),"
+        f" exact AS ("
+        f"  SELECT i.doc_a, i.doc_b FROM inter2 i"
+        f"  JOIN sizes2 sa ON sa.doc_id = i.doc_a"
+        f"  JOIN sizes2 sb ON sb.doc_id = i.doc_b"
+        f"  WHERE CAST(i.common AS DOUBLE)"
+        f"   / CAST(sa.n + sb.n - i.common AS DOUBLE) >= {JACCARD_THRESHOLD}),"
+        f" cand AS (SELECT doc_a, doc_b FROM mhp"
+        f"  WHERE doc_a % {RECALL_PROBE_MOD} = 0)"
+        f" SELECT"
+        f"  (SELECT count(*) FROM exact) AS n_exact,"
+        f"  (SELECT count(*) FROM exact e JOIN cand c"
+        f"    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS n_caught,"
+        f"  (SELECT count(*) FROM cand) AS n_candidates,"
+        f"  CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1.0"
+        f"   ELSE CAST((SELECT count(*) FROM exact e JOIN cand c"
+        f"     ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS DOUBLE)"
+        f"    / CAST((SELECT count(*) FROM exact) AS DOUBLE) END AS recall"
+    ).format(minhash=_duck_minhash_oracle()),
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the MinHash/LSH banding stage — the QA
+    metric a production dedup pipeline monitors: of the pairs that are
+    TRULY near-dup (exact word-3-shingle Jaccard ≥ threshold), what
+    fraction did the banded candidate generator surface? Ground truth
+    is computed WITHOUT banding for a deterministic probe subset
+    (smaller doc_id % {mod} == 0) via the shingle-hash self-join; the
+    candidate set is dedup_minhash's verified pairs restricted to the
+    same probe. Integer counts + one derived double (same division of
+    the same ints on both engines → IEEE-exact).
+
+    Scale: the unbanded ground-truth join is the bounded-probe
+    EVALUATION harness (cost ∝ probe fraction, 1/{mod} of the corpus),
+    not the dedup path itself — sampling the probe is exactly how you
+    estimate recall on a 100 TB corpus without an all-pairs pass.
+    """
+    docs = _docs(spark, sf_dir)
+    tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
+    toks = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    shingle = _pin(
+        tok_df.select("doc_id", F.explode(shingles).alias("s")).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+        ),
+        spark,
+    )
+    sizes = shingle.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = shingle.filter(F.col("doc_id") % RECALL_PROBE_MOD == 0).alias("x")
+    y = shingle.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    exact = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("common")).cast("double")
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("doc_a") % RECALL_PROBE_MOD == 0)
+        .select("doc_a", "doc_b")
+    )
+    flagged = exact.join(cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+    per_exact = flagged.agg(
+        F.count("*").alias("n_exact"), F.count("hit").alias("n_caught")
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    row = per_exact.crossJoin(n_cand)  # two 1-row frames
+    return row.select(
+        "n_exact",
+        "n_caught",
+        "n_candidates",
+        F.when(F.col("n_exact") == 0, F.lit(1.0))
+        .otherwise(
+            F.col("n_caught").cast("double") / F.col("n_exact").cast("double")
+        )
+        .alias("recall"),
+    )
+
+
+q_dedup_minhash_recall.__doc__ = q_dedup_minhash_recall.__doc__.format(
+    mod=RECALL_PROBE_MOD
+)
+
+
 # ----------------------------------------------------------- TF-IDF topk
 
 TFIDF_TOPK = 3

@@ -6,13 +6,15 @@ video at scale (same layout `spark.read.format("binaryFile")` yields:
 content + metadata). Decode / feature-extraction runs as Arrow-batched
 pandas over mapInPandas, so bytes move driver-free in columnar batches.
 
-The container has no image/audio libraries, so the lossy codecs are
-STUBBED behind NotImplementedError — but the IMAGE decode path is real:
+Both decode paths are REAL, with no third-party dependency:
 ``encode_bmp``/``decode_image`` implement the uncompressed 24-bit BMP
-container (BITMAPFILEHEADER + BITMAPINFOHEADER, a public spec) in pure
-Python, so decode runs end-to-end inside the Arrow batch with no
-third-party dependency. ``fake_decode_features`` remains the
-deterministic stand-in for the lossy formats.
+container and ``encode_wav``/``decode_audio_frames`` the RIFF/WAVE
+PCM16 container (both public specs) in pure Python, so image and audio
+decode run end-to-end inside the Arrow batch. Lossy formats (JPEG,
+MP3, video codecs) raise ValueError from the same entry points — the
+codec-routing signal a real pipeline uses to dispatch to a codec
+library with the identical UDF signature. ``fake_decode_features``
+remains the deterministic stand-in for those.
 """
 
 from __future__ import annotations
@@ -108,12 +110,53 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
-def decode_audio_frames(payload: bytes, rate: int = 16_000) -> "object":
-    """Real audio frame extraction — same stub contract as decode_image."""
-    raise NotImplementedError(
-        "audio decode requires an audio library not installed in this "
-        "environment; use fake_decode_features for pipeline testing"
+#: WAV packing geometry: canonical 44-byte RIFF/PCM header, mono,
+#: 16-bit little-endian samples.
+WAV_RATE = 16_000
+_WAV_HEADER_BYTES = 44
+
+
+def encode_wav(payload: bytes, rate: int = WAV_RATE) -> bytes:
+    """Pack arbitrary bytes into a minimal RIFF/WAVE container as mono
+    16-bit PCM (the public canonical 44-byte header). Odd-length
+    payloads gain one zero pad byte so the sample array is whole."""
+    data = payload if len(payload) % 2 == 0 else payload + b"\x00"
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16,
+        1,            # audio_format = PCM
+        1,            # channels = mono
+        rate,
+        rate * 2,     # byte_rate = rate * block_align
+        2,            # block_align = channels * bits/8
+        16,           # bits_per_sample
+        b"data", len(data),
     )
+    return hdr + data
+
+
+def decode_audio_frames(payload: bytes) -> dict:
+    """Real audio decode for RIFF/WAVE PCM16 mono: pure-Python struct
+    parse of the public header (magic, fmt chunk, data chunk) plus
+    sample extraction — no codec library needed, so the audio path runs
+    for real in this container. Compressed/other-bpp WAVs raise
+    ValueError (a real pipeline routes those to a codec with the same
+    signature). Returns {sample_rate, n_samples, samples(list[int])}."""
+    if len(payload) < _WAV_HEADER_BYTES or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (
+        _riff, _riff_sz, _wave, _fmt, fmt_sz, audio_format, channels,
+        rate, _byte_rate, block_align, bits, _data, data_sz,
+    ) = struct.unpack_from("<4sI4s4sIHHIIHH4sI", payload, 0)
+    if _fmt != b"fmt " or fmt_sz != 16 or _data != b"data":
+        raise ValueError("unsupported WAV chunk layout (need canonical 44-byte header)")
+    if audio_format != 1 or channels != 1 or bits != 16 or block_align != 2:
+        raise ValueError("unsupported WAV variant (need PCM16 mono)")
+    raw = payload[_WAV_HEADER_BYTES : _WAV_HEADER_BYTES + data_sz]
+    n = len(raw) // 2
+    samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
+    return {"sample_rate": rate, "n_samples": n, "samples": samples}
 
 
 def fake_decode_features(payloads: DataFrame) -> DataFrame:
@@ -194,6 +237,56 @@ def decode_image_features(payloads: DataFrame) -> DataFrame:
 
     return payloads.select("doc_id", "payload").mapInPandas(
         run, schema=DECODE_SCHEMA
+    )
+
+
+#: Output schema of the WAV decode feature extractor.
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_us long,"
+    " amp_sum_mod int"
+)
+
+
+def decode_audio_features(payloads: DataFrame) -> DataFrame:
+    """End-to-end audio decode over binary payloads via mapInPandas:
+    each payload is containerized as PCM16-mono WAV (encode_wav) and
+    REALLY decoded back (decode_audio_frames — RIFF header parse +
+    int16 sample extraction), with an in-batch round-trip assertion
+    that the samples reproduce the original byte pairs. Emits sample
+    accounting + an integer amplitude checksum (mod 997) — integer
+    arithmetic end-to-end so the DuckDB oracle can re-derive every
+    column from the text bytes exactly. Map-side only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                wav = decode_audio_frames(encode_wav(raw))
+                n = wav["n_samples"]
+                padded = raw if len(raw) % 2 == 0 else raw + b"\x00"
+                expect = struct.unpack(f"<{n}h", padded)
+                if tuple(wav["samples"]) != expect:
+                    raise ValueError(f"WAV round-trip mismatch for doc {doc_id}")
+                rows.append(
+                    (
+                        doc_id,
+                        wav["sample_rate"],
+                        n,
+                        n * 1_000_000 // wav["sample_rate"],
+                        sum(wav["samples"]) % 997,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_us",
+                    "amp_sum_mod",
+                ],
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_SCHEMA
     )
 
 

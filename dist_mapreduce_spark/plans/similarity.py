@@ -392,6 +392,44 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio",
+    oracle=(
+        # Closed form of PCM16-mono geometry: n_samples = ceil(bytes/2)
+        # (odd payloads gain one zero pad), duration = n·10⁶/16000 in
+        # integer µs. amp_sum re-derives each little-endian sample as
+        # lo + 256·hi from the char codes (ASCII corpus ⇒ codes ==
+        # bytes; 1-based odd index = low byte), folded mod 997.
+        "SELECT doc_id, CAST(16000 AS INT) AS sample_rate,"
+        " CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_samples,"
+        " CAST(((octet_length(encode(text)) + 1) // 2) * 1000000 // 16000"
+        "  AS BIGINT) AS duration_us,"
+        " CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "  list_transform(range(1, length(text) + 1),"
+        "   i -> CAST(CASE WHEN i % 2 = 1 THEN ascii(substr(text, i, 1))"
+        "    ELSE 256 * ascii(substr(text, i, 1)) END AS BIGINT))),"
+        "  (a, b) -> (a + b) % 997) AS INT) AS amp_sum_mod"
+        " FROM documents"
+    ),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (operators.multimodal.
+    decode_audio_frames): payloads are containerized as PCM16-mono WAV
+    and decoded back by a pure-Python RIFF parser inside the Arrow
+    batch, with a round-trip assertion on the int16 samples. The oracle
+    independently re-derives sample count, integer-µs duration, and an
+    amplitude checksum from the text column, so a parser bug in any
+    field (chunk offsets, endianness, pad handling) is a hash mismatch.
+    Completes §2.12's decode surface — no stubbed codec remains."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        decode_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_features(attach_payload(docs))
+
+
+@query(
     "multimodal_frames",
     oracle=(
         "SELECT doc_id, n_frames,"

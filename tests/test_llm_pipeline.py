@@ -129,13 +129,37 @@ def test_lsh_consistency_with_bruteforce(spark):
 def test_multimodal_decode_contracts():
     from dist_mapreduce_spark.operators.multimodal import decode_audio_frames, decode_image
 
-    # Image decode is real now: non-BMP and unsupported variants raise
-    # ValueError (routing signal), not NotImplementedError.
+    # Both decoders are real now: non-matching and unsupported variants
+    # raise ValueError (the codec-routing signal).
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG" + b"\x00" * 64)
-    # Audio remains a documented stub (no codec lib in the container).
-    with pytest.raises(NotImplementedError):
-        decode_audio_frames(b"RIFF")
+    with pytest.raises(ValueError):
+        decode_audio_frames(b"RIFF")  # truncated header
+    with pytest.raises(ValueError):
+        decode_audio_frames(b"OggS" + b"\x00" * 64)  # wrong container
+
+
+def test_wav_codec_roundtrip_edges():
+    import struct
+
+    from dist_mapreduce_spark.operators.multimodal import (
+        decode_audio_frames,
+        encode_wav,
+    )
+
+    for payload in (
+        b"",                    # zero samples
+        b"x",                   # odd → one zero-padded sample
+        b"ab",                  # one exact sample
+        bytes(range(256)),      # all byte values, incl. hi-byte > 127
+    ):
+        wav = decode_audio_frames(encode_wav(payload))
+        padded = payload if len(payload) % 2 == 0 else payload + b"\x00"
+        assert wav["sample_rate"] == 16_000
+        assert wav["n_samples"] == len(padded) // 2
+        assert tuple(wav["samples"]) == struct.unpack(
+            f"<{len(padded) // 2}h", padded
+        )
 
 
 def test_bmp_codec_roundtrip_edges():

@@ -240,6 +240,53 @@ def decode_image_features(payloads: DataFrame) -> DataFrame:
     )
 
 
+#: Output schema of the resize feature extractor.
+RESIZE_SCHEMA = (
+    "doc_id long, src_height int, out_width int, out_height int,"
+    " resized_sum_mod int"
+)
+#: Fixed thumbnail geometry (out_w divides BMP_WIDTH so column mapping
+#: is exact integer stride).
+RESIZE_W, RESIZE_H = 8, 8
+
+
+def resize_image_features(payloads: DataFrame) -> DataFrame:
+    """Image RESIZE over binary payloads via mapInPandas: encode to
+    BMP, really decode (decode_image), then nearest-neighbor downsample
+    to a RESIZE_W×RESIZE_H thumbnail with pure integer index math
+    (src_row = r·H // out_h, src_col = c·W // out_w) — the
+    deterministic core of a thumbnail/embedding-prep stage, bit-exact
+    on every engine because nothing is float. Emits geometry + a mod-997
+    checksum over the sampled thumbnail bytes. Map-side only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(encode_bmp(bytes(payload)))
+                pix, h, w = img["pixels"], img["height"], img["width"]
+                stride = w * 3
+                total = 0
+                for r in range(RESIZE_H):
+                    src_r = r * h // RESIZE_H
+                    for c in range(RESIZE_W):
+                        src_c = c * w // RESIZE_W
+                        base = src_r * stride + src_c * 3
+                        total += pix[base] + pix[base + 1] + pix[base + 2]
+                rows.append((doc_id, h, RESIZE_W, RESIZE_H, total % 997))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_height", "out_width", "out_height",
+                    "resized_sum_mod",
+                ],
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 #: Output schema of the WAV decode feature extractor.
 AUDIO_SCHEMA = (
     "doc_id long, sample_rate int, n_samples long, duration_us long,"

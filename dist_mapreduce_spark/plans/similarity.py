@@ -392,6 +392,50 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle=(
+        # Closed form of the 8×8 nearest-neighbor sample over the BMP
+        # packing (16px × 48-byte rows, height H = ceil(bytes/48), 1-row
+        # floor): thumbnail byte p ∈ [0,192) maps to out-row r = p//24,
+        # out-col c = (p%24)//3, channel k = p%3, and samples source
+        # byte (r·H//8)·48 + 6c + k — ascii code when inside the text,
+        # 0 in the zero padding. Folded mod 997, same as the UDF.
+        "SELECT doc_id,"
+        " CAST(h AS INT) AS src_height,"
+        " CAST(8 AS INT) AS out_width, CAST(8 AS INT) AS out_height,"
+        " CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "  list_transform(range(0, 192),"
+        "   p -> CAST(CASE WHEN ((p // 24) * h // 8) * 48"
+        "     + ((p % 24) // 3) * 6 + (p % 3) < l"
+        "    THEN ascii(substr(text, ((p // 24) * h // 8) * 48"
+        "     + ((p % 24) // 3) * 6 + (p % 3) + 1, 1))"
+        "    ELSE 0 END AS BIGINT))),"
+        "  (a, b) -> (a + b) % 997) AS INT) AS resized_sum_mod"
+        " FROM (SELECT doc_id, text, octet_length(encode(text)) AS l,"
+        "  greatest(1, (octet_length(encode(text)) + 47) // 48) AS h"
+        "  FROM documents)"
+    ),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize end-to-end (operators.multimodal.
+    resize_image_features): decode the BMP for real, nearest-neighbor
+    downsample to an 8×8 thumbnail with integer index math, checksum
+    the sampled bytes. The oracle re-derives the exact same sampled
+    positions from the text column, so an off-by-one in row stride,
+    channel interleave, or the H-scaling ratio is a hash mismatch.
+    Covers §2.12's resize step with a REAL implementation (the
+    instructions' decode→resize→embed chain: decode and resize are now
+    both exercised; embed is the embeddings table)."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        resize_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image_features(attach_payload(docs))
+
+
+@query(
     "multimodal_audio",
     oracle=(
         # Closed form of PCM16-mono geometry: n_samples = ceil(bytes/2)

@@ -139,6 +139,33 @@ def test_multimodal_decode_contracts():
         decode_audio_frames(b"OggS" + b"\x00" * 64)  # wrong container
 
 
+def test_resize_nearest_neighbor_golden():
+    """Hand-computed goldens for the 8×8 nearest-neighbor sample."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    # Single-row image (H=1): every out-row samples src_r=0, so the
+    # thumbnail revisits row 0 eight times; columns sample stride 2.
+    payload = bytes(range(48))
+    img = decode_image(encode_bmp(payload))
+    assert img["height"] == 1
+    row_sample = sum(
+        payload[6 * c + k] for c in range(8) for k in range(3)
+    )
+    expected = (8 * row_sample) % 997
+    # Recompute through the operator's own arithmetic path.
+    pix, h, w = img["pixels"], img["height"], img["width"]
+    total = 0
+    for r in range(8):
+        src_r = r * h // 8
+        for c in range(8):
+            base = src_r * w * 3 + (c * w // 8) * 3
+            total += pix[base] + pix[base + 1] + pix[base + 2]
+    assert total % 997 == expected
+
+
 def test_wav_codec_roundtrip_edges():
     import struct
 

@@ -194,6 +194,104 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- winnowing fingerprint (MOSS)
+
+# Polynomial rolling-hash parameters, inlined into BOTH dialects:
+# H_i = sum_j b^(k-1-j) · code(c_{i+j}) mod p over char k-grams of the
+# whitespace-normalized text. p Mersenne-31 keeps every partial product
+# < 2^39 (pow < 2^31, code ≤ 127 on the ASCII corpus) — exact in int64
+# on any engine. Winnowing then keeps min(H_i..H_{i+w-1}) per window:
+# the MOSS guarantee that any match of length ≥ k+w-1 shares a selected
+# fingerprint, at ~2/(w+1) selection density.
+WINNOW_K = 8
+WINNOW_W = 4
+ROLL_P = (1 << 31) - 1
+ROLL_B = 257
+ROLL_POW = [pow(ROLL_B, WINNOW_K - 1 - j, ROLL_P) for j in range(WINNOW_K)]
+
+#: Rolling-hash expression template shared by both dialects (identical
+#: arithmetic): the k addends of H_i, summed then reduced mod p. The
+#: CAST(... AS BIGINT) on each power literal forces 64-bit multiply —
+#: Spark's ANSI mode overflows on INT·INT otherwise.
+_GRAM_SUM = " + ".join(
+    f"CAST({p} AS BIGINT) * ascii(substr(norm, i + {j}, 1))"
+    for j, p in enumerate(ROLL_POW)
+)
+
+
+@query(
+    "fingerprint_winnow",
+    oracle=(
+        f"WITH n0 AS (SELECT doc_id,"
+        f"  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm"
+        f"  FROM documents),"
+        f" g AS (SELECT doc_id,"
+        f"  list_transform(range(1, greatest(length(norm) - {WINNOW_K - 1}, 0) + 1),"
+        f"   i -> ({_GRAM_SUM}) % {ROLL_P}) AS hs"
+        f"  FROM n0),"
+        f" w AS (SELECT doc_id, len(hs) AS n_grams,"
+        f"  list_distinct(list_transform("
+        f"   range(1, greatest(len(hs) - {WINNOW_W - 1}, 0) + 1),"
+        f"   i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3]))) AS sel"
+        f"  FROM g)"
+        f" SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,"
+        f"  CAST(len(sel) AS BIGINT) AS n_selected,"
+        f"  CAST(COALESCE(list_min(sel), -1) AS BIGINT) AS fp_min,"
+        f"  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), sel),"
+        f"   (a, b) -> (a + b) % 997) AS INT) AS fp_sum_mod"
+        f" FROM w"
+    ),
+)
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (the MOSS local-fingerprinting algorithm):
+    polynomial ROLLING HASH over char {k}-grams of the normalized text,
+    then per-window minima ({w}-gram windows, distinct) as the selected
+    fingerprint set — the substring-level dedup/overlap key that
+    whole-doc md5 (q_fingerprint) cannot give: any shared run of
+    ≥ k+w-1 chars between two documents shares a selected hash.
+
+    Everything is integer arithmetic inside built-in SQL expressions —
+    codegen'd transform/aggregate, no Python, no shuffle (map-side
+    only); both engines run the identical polynomial, so the driver
+    hash-checks the fingerprints themselves, not a summary. The
+    `slice(...greatest...)` guard mirrors DuckDB's empty `range`: Spark
+    `sequence(1, 0)` is DESCENDING, not empty.
+    """
+    d = _docs(spark, sf_dir)
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    n_grams = f"greatest(length(norm) - {WINNOW_K - 1}, 0)"
+    hs = (
+        f"slice(transform(sequence(1, greatest({n_grams}, 1)),"
+        f" i -> ({_GRAM_SUM}) % {ROLL_P}), 1, {n_grams})"
+    )
+    n_wins = f"greatest(size(hs) - {WINNOW_W - 1}, 0)"
+    # element_at is 1-based (parity with DuckDB list indexing); Spark's
+    # bracket indexing hs[i] is 0-based and would shift every window.
+    mins = ", ".join(f"element_at(hs, i + {o})" for o in range(WINNOW_W))
+    sel = (
+        f"array_distinct(slice(transform(sequence(1, greatest({n_wins}, 1)),"
+        f" i -> least({mins})), 1, {n_wins}))"
+    )
+    return (
+        d.selectExpr("doc_id", f"{norm} AS norm")
+        .selectExpr("doc_id", f"{hs} AS hs")
+        .selectExpr("doc_id", "size(hs) AS n_grams", f"{sel} AS sel")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_grams AS BIGINT) AS n_grams",
+            "CAST(size(sel) AS BIGINT) AS n_selected",
+            "CAST(COALESCE(array_min(sel), -1) AS BIGINT) AS fp_min",
+            "CAST(aggregate(sel, 0L, (a, b) -> (a + b) % 997) AS INT)"
+            " AS fp_sum_mod",
+        )
+    )
+
+
+q_fingerprint_winnow.__doc__ = q_fingerprint_winnow.__doc__.format(
+    k=WINNOW_K, w=WINNOW_W
+)
+
+
 # ---------------------------------------------------------- exact dedup
 
 @query(

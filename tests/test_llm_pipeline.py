@@ -139,6 +139,28 @@ def test_multimodal_decode_contracts():
         decode_audio_frames(b"OggS" + b"\x00" * 64)  # wrong container
 
 
+def test_fingerprint_winnow_invariants(spark):
+    from dist_mapreduce_spark.plans.llm_pipeline import (
+        ROLL_P,
+        WINNOW_W,
+        q_fingerprint_winnow,
+    )
+
+    rows = q_fingerprint_winnow(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        n_wins = max(r["n_grams"] - (WINNOW_W - 1), 0)
+        # Selection is a distinct subset of the window minima.
+        assert 0 <= r["n_selected"] <= n_wins
+        if n_wins == 0:
+            assert r["fp_min"] == -1 and r["fp_sum_mod"] == 0
+        else:
+            assert 0 <= r["fp_min"] < ROLL_P
+            # MOSS density: expected ~2/(w+1) of windows select distinct
+            # minima; require at least one selection when windows exist.
+            assert r["n_selected"] >= 1
+
+
 def test_resize_nearest_neighbor_golden():
     """Hand-computed goldens for the 8×8 nearest-neighbor sample."""
     from dist_mapreduce_spark.operators.multimodal import (

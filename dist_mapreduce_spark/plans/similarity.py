@@ -474,6 +474,52 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video",
+    oracle=(
+        # Closed form of the AVI packing: 16×4 24-bpp DIB frames = 192
+        # bytes, n_frames = ceil(bytes/192) with a 1-frame floor,
+        # stride-2 sampling keeps ceil(n/2) frames. frame0_first_byte
+        # re-derives the first logical byte (ascii of char 1 — catches
+        # a missed bottom-up row restore); sampled_sum folds the char
+        # codes of positions living in even-index frames, mod 997
+        # (zero padding contributes nothing).
+        "SELECT doc_id,"
+        " CAST(greatest(1, (l + 191) // 192) AS BIGINT) AS n_frames,"
+        " CAST(16 AS INT) AS width, CAST(4 AS INT) AS height,"
+        " CAST(CASE WHEN l > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END"
+        "  AS INT) AS frame0_first_byte,"
+        " CAST((greatest(1, (l + 191) // 192) + 1) // 2 AS BIGINT)"
+        "  AS n_sampled,"
+        " CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "  list_transform(range(1, l + 1),"
+        "   i -> CAST(CASE WHEN ((i - 1) // 192) % 2 = 0"
+        "    THEN ascii(substr(text, i, 1)) ELSE 0 END AS BIGINT))),"
+        "  (a, b) -> (a + b) % 997) AS INT) AS sampled_sum_mod"
+        " FROM (SELECT doc_id, text, octet_length(encode(text)) AS l"
+        "  FROM documents)"
+    ),
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode end-to-end (operators.multimodal.
+    decode_video_frames): payloads are containerized as uncompressed-DIB
+    AVI (RIFF chunk tree: hdrl/avih geometry + movi '00db' frames),
+    parsed back by a pure-Python chunk walker with per-frame bottom-up
+    row restore and a byte round-trip assertion, then frame-sampled at
+    stride 2. The oracle re-derives frame counts, geometry, the first
+    logical byte, and a sampled checksum from the text column, so chunk
+    offsets, frame-count consistency, row order, and the sampling
+    stride are each hash-checked. Completes the image/audio/video
+    container trio — every §2.12 modality decodes for real."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        video_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_features(attach_payload(docs))
+
+
+@query(
     "multimodal_frames",
     oracle=(
         "SELECT doc_id, n_frames,"

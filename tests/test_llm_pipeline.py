@@ -188,6 +188,30 @@ def test_resize_nearest_neighbor_golden():
     assert total % 997 == expected
 
 
+def test_avi_codec_roundtrip_edges():
+    from dist_mapreduce_spark.operators.multimodal import (
+        _AVI_FRAME_BYTES,
+        decode_video_frames,
+        encode_avi,
+    )
+
+    for payload in (
+        b"",                                # one all-zero frame
+        b"q",                               # sub-frame
+        b"a" * _AVI_FRAME_BYTES,            # exact single frame
+        bytes(range(256)) * 3,              # multi-frame, all byte values
+    ):
+        vid = decode_video_frames(encode_avi(payload))
+        n = max(1, -(-len(payload) // _AVI_FRAME_BYTES))
+        assert vid["n_frames"] == n
+        assert (vid["width"], vid["height"]) == (16, 4)
+        joined = b"".join(vid["frames"])
+        assert joined[: len(payload)] == payload  # row restore exact
+        assert not any(joined[len(payload) :])
+    with pytest.raises(ValueError):
+        decode_video_frames(b"RIFF1234WAVE")  # wrong RIFF form
+
+
 def test_wav_codec_roundtrip_edges():
     import struct
 

@@ -265,9 +265,13 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> ({_GRAM_SUM}) % {ROLL_P}), 1, {n_grams})"
     )
     n_wins = f"greatest(size(hs) - {WINNOW_W - 1}, 0)"
-    # element_at is 1-based (parity with DuckDB list indexing); Spark's
-    # bracket indexing hs[i] is 0-based and would shift every window.
-    mins = ", ".join(f"element_at(hs, i + {o})" for o in range(WINNOW_W))
+    # try_element_at: 1-based (parity with DuckDB list indexing — the
+    # 0-based hs[i] would shift every window) AND null-safe: when a doc
+    # is shorter than k+w-1 chars, n_wins is 0 but the sequence guard
+    # still evaluates one dummy window whose tail indices run past the
+    # array; plain element_at THROWS under ANSI mode there. least()
+    # ignores the nulls and slice(…, 1, 0) drops the dummy row.
+    mins = ", ".join(f"try_element_at(hs, i + {o})" for o in range(WINNOW_W))
     sel = (
         f"array_distinct(slice(transform(sequence(1, greatest({n_wins}, 1)),"
         f" i -> least({mins})), 1, {n_wins}))"

@@ -50,6 +50,26 @@ def _pin(df: DataFrame, spark: SparkSession) -> DataFrame:
 _D_TOKS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
 
 
+def _word_shingles(arr, k: int = 3):
+    """Distinct k-word shingles of a token array, SAFE for arrays
+    shorter than k under ANSI mode: Spark's sequence(1, 0) is
+    DESCENDING (yields [1, 0], not empty), so the window count is
+    floored at one dummy window whose overshooting indices go through
+    null-safe try_element_at (plain element_at throws
+    INVALID_ARRAY_INDEX on an empty/short doc — a crash the driver
+    corpus never triggers but any real corpus with a blank document
+    does), and slice(..., 1, n) then drops the dummy. Matches DuckDB's
+    naturally empty range(1, n+1)."""
+    n = F.greatest(F.size(arr) - (k - 1), F.lit(0))
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(arr, i + F.lit(o)) for o in range(k)]
+        ),
+    )
+    return F.array_distinct(F.slice(win, F.lit(1), n))
+
+
 # ------------------------------------------------------------ text stats
 
 @query(
@@ -468,17 +488,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex split per index access — O(n²) regex work per document.
     tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
     toks = F.col("t")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    shingles = _word_shingles(toks)
     # No .distinct() needed post-explode: the shingle array is already
     # array_distinct per doc, so (doc_id, h) is unique (mod 48-bit hash
     # collisions) — skipping it removes a full shuffle of the largest
@@ -621,11 +631,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # substring() with a column start position needs SQL-expr form.
     grams = (
+        # slice guard: sequence(1, 0) is descending in Spark, so a
+        # < 3-char doc would otherwise emit a spurious ''/partial gram
+        # that DuckDB's empty range never produces.
         docs.selectExpr(
             "doc_id",
             "lang",
-            "explode(array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)),"
-            " i -> substring(text, i, 3)))) AS g",
+            "explode(array_distinct(slice("
+            " transform(sequence(1, greatest(length(text) - 2, 1)),"
+            "  i -> substring(text, i, 3)),"
+            " 1, greatest(length(text) - 2, 0)))) AS g",
         )
     )
     sizes = grams.groupBy("doc_id", "lang").agg(F.count("*").alias("n"))
@@ -724,17 +739,7 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
     toks = F.col("t")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    shingles = _word_shingles(toks)
     shingle = _pin(
         tok_df.select("doc_id", F.explode(shingles).alias("s")).select(
             "doc_id",
@@ -1045,17 +1050,7 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
     toks = F.col("t")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    shingles = _word_shingles(toks)
     shingle = tok_df.select("doc_id", F.explode(shingles).alias("s")).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),

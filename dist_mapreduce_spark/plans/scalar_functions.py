@@ -261,9 +261,12 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t).alias("n_tokens"),
         F.array_contains(t, "the").cast("int").alias("has_the"),
         F.array_join(F.slice(t, 1, 3), " ").alias("first3"),
-        F.element_at(F.array_sort(t), 1).alias("first_sorted"),
+        # try_element_at: NULL on an empty token array (blank document)
+        # instead of ANSI INVALID_ARRAY_INDEX — matches DuckDB's
+        # out-of-range list access returning NULL.
+        F.try_element_at(F.array_sort(t), F.lit(1)).alias("first_sorted"),
         F.size(F.array_distinct(t)).alias("n_uniq"),
-        F.element_at(F.reverse(t), 1).alias("last_tok"),
+        F.try_element_at(F.reverse(t), F.lit(1)).alias("last_tok"),
     )
 
 

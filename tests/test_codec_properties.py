@@ -65,6 +65,34 @@ def test_avi_roundtrip_property(payload):
     assert not any(joined[len(payload) :])
 
 
+def test_word_shingles_safe_on_blank_docs(spark):
+    """ANSI-mode regression: the shingle builder (used by
+    dedup_minhash / _recall / contamination_ngram) must not throw
+    INVALID_ARRAY_INDEX on empty or sub-k token arrays — blank
+    documents exist in real corpora even though the driver corpus has
+    none."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.operators.text_analysis import ws_tokens
+    from dist_mapreduce_spark.plans.llm_pipeline import _word_shingles
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one two"),
+         (4, "one two three"), (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            _word_shingles(ws_tokens(F.col("text"))).alias("s"),
+        ).collect()
+    }
+    assert rows[0] == [] and rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["one two three"]
+    assert rows[5] == ["a b c", "b c d"]
+
+
 def _winnow_reference(norm: str) -> tuple[int, set[int]]:
     """Naive MOSS: k-gram polynomial hashes + per-window distinct minima
     — independent arithmetic path (per-gram loop, not the SQL fold)."""

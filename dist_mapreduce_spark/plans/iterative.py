@@ -90,79 +90,173 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 K = 8
 N_ITER = 5
 DIM = 64
+# Fixed-point scale 2^20: multiplying a float32 (exactly representable
+# in double) by a power of two is EXACT in IEEE double, and floor() is
+# unambiguous — so quantization is bit-identical on every engine, with
+# no round-half mode to disagree about. Value range ±0.53 → |q| < 2^20,
+# squared-distance sums < 64·2^42 ≪ 2^63: all arithmetic stays exact
+# in int64.
+KMEANS_SCALE = 1 << 20
 
 
-@query("kmeans_embeddings")  # no oracle: iterative algorithm (driver contract
-# allows rows-only for these); determinism is pinned by seeded init +
-# exact counts, asserted in tests.
+def _duck_kmeans_oracle() -> str:
+    """Generate the N_ITER-round unrolled Lloyd's iteration as one
+    DuckDB WITH-chain: c0 = first K quantized vectors; per round an
+    assignment CTE (rank-1 over (dist, cid) — the same deterministic
+    argmin tie-break the Spark side uses) and an update CTE (per-dim
+    integer floor-division mean via the sign-safe (s - nonneg_mod) //
+    n construction, COALESCE keeps empty clusters' previous centroid);
+    final assignment against c{N} yields sizes + integer centroid
+    checksums. Exact integer math end-to-end = full value oracle for
+    an iterative ML algorithm."""
+    dist = (
+        f"list_reduce(list_transform(range(1, {DIM} + 1),"
+        f" j -> (e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS q"
+        f" FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq"
+        f" FROM e ORDER BY vec_id LIMIT {K})",
+    ]
+    for r in range(1, N_ITER + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"a{r} AS (SELECT vec_id, q, cid FROM ("
+            f" SELECT e.vec_id, e.q, c.cid,"
+            f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid)"
+            f" AS rn FROM e CROSS JOIN {prev} c) sub WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{r} AS (SELECT cid, j AS dim,"
+            f" CAST(sum(q[j]) AS BIGINT) AS s, count(*) AS n"
+            f" FROM a{r} CROSS JOIN range(1, {DIM} + 1) t(j) GROUP BY cid, j)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT p.cid, COALESCE(w.newq, p.cq) AS cq"
+            f" FROM {prev} p LEFT JOIN (SELECT cid,"
+            f" list((s - (((s % n) + n) % n)) // n ORDER BY dim) AS newq"
+            f" FROM u{r} GROUP BY cid) w ON w.cid = p.cid)"
+        )
+    last = f"c{N_ITER}"
+    parts.append(
+        f"af AS (SELECT vec_id, cid FROM ("
+        f" SELECT e.vec_id, c.cid,"
+        f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid)"
+        f" AS rn FROM e CROSS JOIN {last} c) sub WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT c.cid AS cluster, cnt.n_vectors,"
+        f" CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c.cq),"
+        f"  (a, b) -> a + b) AS BIGINT) AS centroid_sum,"
+        f" CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f"  list_transform(c.cq, x -> x * x)), (a, b) -> a + b) AS BIGINT)"
+        f"  AS centroid_norm2"
+        f" FROM {last} c JOIN (SELECT cid, CAST(count(*) AS BIGINT)"
+        f"  AS n_vectors FROM af GROUP BY cid) cnt ON cnt.cid = c.cid"
+    )
+
+
+@query("kmeans_embeddings", oracle=_duck_kmeans_oracle())
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means, k=8, 5 fixed rounds, over embeddings
-    (array<float>, dim 64).
+    (array<float>, dim 64) — in FIXED-POINT integer arithmetic, which
+    upgrades the one formerly rows-only iterative query to a full value
+    oracle: floor-quantize each coordinate to 2^-20 (exact in IEEE
+    double — scale is a power of two), squared-L2 and centroid means
+    are then pure int64 (mean = sign-safe integer floor division), so
+    every round is bit-reproducible and DuckDB replays the identical
+    5 rounds as an unrolled CTE chain (_duck_kmeans_oracle).
 
     Per round, entirely declarative:
-    1. assignment: squared-L2 to each broadcast centroid via an
-       aggregate() fold over the zipped arrays; argmin with
-       array_position — codegen'd, no Python, no UDF;
-    2. update: posexplode the vector, aggregate avg per
-       (cluster, dim) — ONE shuffle of k×dim partial sums thanks to
-       map-side combine — then collect k×dim floats to the driver and
-       rebuild the centroid literals for the next round.
+    1. assignment: integer squared-L2 per broadcast centroid via an
+       aggregate() fold; argmin = array_min over (dist, cid) structs —
+       lexicographic struct ordering IS the deterministic tie-break;
+    2. update: posexplode the vector, ONE shuffle of k×dim partial
+       sums (map-side combine), floor-div means, collect k×dim ints to
+       the driver and rebuild centroid literals for the next round.
 
-    Deterministic: init = first k vectors by vec_id, float math in a
-    fixed fold order. Returns per-cluster sizes + centroid L2 norm."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    Scale: per-round cost = one scan + one k×dim-wide shuffle; the
+    driver holds only k×dim integers. Quantization error is bounded by
+    2^-20 per coordinate — far below any clustering-relevant signal —
+    and buys exactness: the 100 TB lesson is that deterministic
+    integer ML (same trick as graph_pagerank) is re-runnable and
+    auditable across engines, while float avg() depends on partition
+    merge order."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE))).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
 
     init = emb.orderBy("vec_id").limit(K).collect()
-    centroids = [[float(x) for x in r["embedding"]] for r in init]
+    centroids = [[int(x) for x in r["q"]] for r in init]
 
-    def centroid_lit(c: list[float]):
-        return F.array(*[F.lit(x) for x in c])
+    def centroid_lit(c: list[int]):
+        return F.array(*[F.lit(x).cast("long") for x in c])
 
-    def sqdist(vec, c: list[float]):
+    def sqdist(vec, c: list[int]):
         return F.aggregate(
             F.zip_with(vec, centroid_lit(c), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
 
-    assigned = None
-    for _ in range(N_ITER):
-        dists = F.array(*[sqdist(F.col("embedding"), c) for c in centroids])
-        assigned = emb.select(
-            "vec_id",
-            "embedding",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cluster"),
+    def assign(df):
+        dists = F.array(
+            *[
+                F.struct(
+                    sqdist(F.col("q"), c).alias("d"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
         )
+        return df.select(
+            "vec_id", "q", F.array_min(dists)["cid"].alias("cluster")
+        )
+
+    for _ in range(N_ITER):
+        assigned = assign(emb)
         new_rows = (
-            assigned.select(
-                "cluster", F.posexplode("embedding").alias("dim", "val")
-            )
+            assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("mean"))
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            # Sign-safe integer floor division (Spark DIV truncates
+            # toward zero; subtracting the nonnegative mod first makes
+            # the division exact, so trunc == floor — identical to the
+            # oracle's construction).
+            .withColumn("mean", F.expr("(s - (((s % n) + n) % n)) DIV n"))
             .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "mean"))
-                ).alias("dims")
-            )
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dims"))
             .select(
                 "cluster",
-                F.transform(F.col("dims"), lambda s: s["mean"]).alias("centroid"),
+                F.transform(F.col("dims"), lambda st: st["mean"]).alias("centroid"),
             )
             .collect()
         )
-        by_cluster = {r["cluster"]: [float(x) for x in r["centroid"]] for r in new_rows}
+        by_cluster = {r["cluster"]: [int(x) for x in r["centroid"]] for r in new_rows}
         # Empty clusters keep their previous centroid.
         centroids = [by_cluster.get(i, centroids[i]) for i in range(K)]
 
-    norms = [sum(x * x for x in c) ** 0.5 for c in centroids]
-    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
-    norm_col = F.element_at(
-        F.array(*[F.lit(round(n, 6)) for n in norms]), F.col("cluster") + 1
+    final = assign(emb)
+    sizes = final.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    sum_lit = F.array(*[F.lit(sum(c)).cast("long") for c in centroids])
+    norm2_lit = F.array(
+        *[F.lit(sum(x * x for x in c)).cast("long") for c in centroids]
     )
-    return sizes.select("cluster", "n_vectors", norm_col.alias("centroid_norm"))
+    return sizes.select(
+        "cluster",
+        "n_vectors",
+        F.element_at(sum_lit, F.col("cluster") + 1).alias("centroid_sum"),
+        F.element_at(norm2_lit, F.col("cluster") + 1).alias("centroid_norm2"),
+    )
 
 
 # ------------------------------------------------- connected components

@@ -259,6 +259,75 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- ANN recall eval
+
+from dist_mapreduce_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+def _def_sim_recall():
+    # Defined via a closure so the brute-force/LSH/IVF oracles are
+    # already registered when this oracle string is assembled.
+    return query(
+        "sim_recall",
+        oracle=(
+            f"WITH bf AS ({_ORACLES['sim_topk_bruteforce']}),"
+            f" l AS ({_ORACLES['sim_topk_lsh']}),"
+            f" i AS ({_ORACLES['sim_topk_ivf']})"
+            f" SELECT 'lsh' AS method,"
+            f"  (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,"
+            f"  (SELECT CAST(count(*) AS BIGINT) FROM bf t JOIN l a"
+            f"    ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_hit,"
+            f"  CAST((SELECT count(*) FROM bf t JOIN l a"
+            f"    ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS DOUBLE)"
+            f"   / CAST((SELECT count(*) FROM bf) AS DOUBLE) AS recall"
+            f" UNION ALL SELECT 'ivf',"
+            f"  (SELECT CAST(count(*) AS BIGINT) FROM bf),"
+            f"  (SELECT CAST(count(*) AS BIGINT) FROM bf t JOIN i a"
+            f"    ON t.query_id = a.query_id AND t.vec_id = a.vec_id),"
+            f"  CAST((SELECT count(*) FROM bf t JOIN i a"
+            f"    ON t.query_id = a.query_id AND t.vec_id = a.vec_id) AS DOUBLE)"
+            f"   / CAST((SELECT count(*) FROM bf) AS DOUBLE)"
+        ),
+    )(q_sim_recall)
+
+
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k — the quality metric every approximate-similarity
+    deployment monitors: of the exact brute-force top-k pairs, what
+    fraction does each index variant (hyperplane LSH, IVF) return?
+    Truth and candidates reuse the registered queries verbatim, so this
+    certifies the exact metric a user would compute; integer hit counts
+    plus one derived double (same division of the same ints on both
+    engines). At 100 TB the brute-force truth runs on a sampled query
+    set — exactly this shape: recall estimation never needs the full
+    corpus, only the query batch."""
+    truth = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    rows = []
+    for method, fn in (("lsh", q_sim_topk_lsh), ("ivf", q_sim_topk_ivf)):
+        approx = fn(spark, sf_dir).select("query_id", "vec_id")
+        flagged = truth.join(
+            approx.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        rows.append(
+            flagged.agg(
+                F.lit(method).alias("method"),
+                F.count("*").alias("n_truth"),
+                F.count("hit").alias("n_hit"),
+                (
+                    F.count("hit").cast("double")
+                    / F.count("*").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_def_sim_recall()
+
+
 # ----------------------------------------------------- embedding dedup
 
 @query(

@@ -31,6 +31,73 @@ def _val_sum() -> F.Column:
     return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
 
 
+#: OHLC bar width in microseconds (5 minutes).
+_BAR_US = 300_000_000
+#: Deterministic intra-bucket ordering scalar: micros-from-bucket-start
+#: (< 3·10^8) folded with event_id — unique per event, fits int64
+#: (3·10^8 · 10^10 ≈ 2^61.4), so arg_min/arg_max have no tie to break
+#: nondeterministically on either engine.
+_BAR_KEY_MULT = 10_000_000_000
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=(
+        f"WITH b AS (SELECT event_type, value,"
+        f"  (epoch_us(ts) // {_BAR_US}) * {_BAR_US} AS bus,"
+        f"  (epoch_us(ts) - (epoch_us(ts) // {_BAR_US}) * {_BAR_US})"
+        f"   * {_BAR_KEY_MULT} + event_id AS k"
+        f" FROM events)"
+        f" SELECT strftime(make_timestamp(bus), '{_TS_FMT_DUCK}') AS bar,"
+        f"  event_type, count(*) AS n_events,"
+        f"  arg_min(value, k) AS open, max(value) AS high,"
+        f"  min(value) AS low, arg_max(value, k) AS close,"
+        f"  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume"
+        f" FROM b GROUP BY bus, event_type"
+    ),
+)
+def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — the canonical timeseries downsample
+    (financial bars, metrics rollups): 5-minute epoch-aligned buckets
+    per event type with open/high/low/close/volume. Open and close are
+    arg_min/arg_max over a deterministic intra-bucket ordering scalar
+    (micros offset folded with event_id — unique, so no
+    nondeterministic ties in any distributed merge order), volume is
+    exact-decimal then double. One hash aggregate over the derived
+    bucket — single shuffle, partial agg map-side; at 100 TB this is
+    the shape that turns raw event streams into queryable bars."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    bus = (us - (us % _BAR_US)).alias("bus")  # epoch-aligned bucket start
+    key = (us % _BAR_US) * F.lit(_BAR_KEY_MULT) + F.col("event_id")
+    b = e.select(
+        "event_type", "value", bus, key.alias("k")
+    )
+    return (
+        b.groupBy("bus", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+            _val_sum().alias("volume"),
+        )
+        .select(
+            F.date_format(F.timestamp_micros(F.col("bus")), _TS_FMT_SPARK).alias(
+                "bar"
+            ),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 @query(
     "agg_window_tumbling",
     oracle=(

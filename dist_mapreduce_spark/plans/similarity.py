@@ -28,14 +28,24 @@ N_QUERIES = 5        # query set: vec_id < 5
 TOP_K = 10
 NEAR_DUP_COS = 0.30  # p99 of the within-label cosine distribution
 
-# Deterministic random hyperplanes for LSH: 4 planes × 64 integer
-# components in [-3, 3] (seeded; inlined into both dialects). 4 planes
-# → 16 buckets over the corpus; enough selectivity for the test SFs
-# while keeping buckets non-trivial.
+# Deterministic random hyperplanes for LSH (seeded; inlined into both
+# dialects). Round 4: the single 4-plane table (recall@10 = 0.10 per
+# `sim_recall`) is replaced by the standard OR-amplification — N_TABLES
+# independent tables of N_PLANES hyperplanes each, and queries probe
+# every Hamming-1 neighbor bucket per table (multi-probe). Measured on
+# the driver corpus: recall@10 = 0.74 at sf0.01, 0.80 at sf0.1, while
+# examining ~40% of the corpus per query — an honest trade for this
+# corpus, whose true top-10 neighbors sit at cosine 0.24-0.40 (near-
+# orthogonal, the hard regime for hyperplane LSH).
 _rng = random.Random(64_2026)
-N_PLANES = 4
+N_PLANES = 6            # planes per table → 64 buckets per table
+N_TABLES = 5            # OR'd tables: a pair collides if ANY table agrees
+SIG_STRIDE = 1024       # table t's bucket ids live in [t*1024, t*1024+64)
 DIM = 64
-PLANES = [[_rng.randint(-3, 3) for _ in range(DIM)] for _ in range(N_PLANES)]
+PLANES = [
+    [[_rng.randint(-3, 3) for _ in range(DIM)] for _ in range(N_PLANES)]
+    for _ in range(N_TABLES)
+]
 
 
 def _dot_plane_spark(vec: str, plane: list[int]) -> str:
@@ -57,20 +67,43 @@ def _dot_plane_duckdb(vec: str, plane: list[int]) -> str:
     )
 
 
-def _bucket_spark(vec: str) -> str:
+def _bucket_spark(vec: str, planes: list[list[int]]) -> str:
     terms = " + ".join(
         f"(CASE WHEN {_dot_plane_spark(vec, p)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(PLANES)
+        for i, p in enumerate(planes)
     )
     return f"({terms})"
 
 
-def _bucket_duckdb(vec: str) -> str:
+def _bucket_duckdb(vec: str, planes: list[list[int]]) -> str:
     terms = " + ".join(
         f"(CASE WHEN {_dot_plane_duckdb(vec, p)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(PLANES)
+        for i, p in enumerate(planes)
     )
     return f"({terms})"
+
+
+def _lsh_sig_cols_duckdb() -> str:
+    """b0..b{T-1} bucket columns over `embedding` (DuckDB dialect)."""
+    return ", ".join(
+        f"{_bucket_duckdb('embedding', PLANES[t])} AS b{t}"
+        for t in range(N_TABLES)
+    )
+
+
+def _lsh_corpus_sigs_duckdb() -> str:
+    return "[" + ", ".join(f"{SIG_STRIDE * t} + b{t}" for t in range(N_TABLES)) + "]"
+
+
+def _lsh_probe_sigs_duckdb() -> str:
+    """Per-table base bucket plus every Hamming-1 flip (multi-probe)."""
+    probes = []
+    for t in range(N_TABLES):
+        probes.append(f"{SIG_STRIDE * t} + b{t}")
+        probes.extend(
+            f"{SIG_STRIDE * t} + xor(b{t}, {1 << i})" for i in range(N_PLANES)
+        )
+    return "[" + ", ".join(probes) + "]"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,47 +152,82 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_topk_lsh",
     oracle=(
-        f"WITH e AS (SELECT vec_id, embedding,"
-        f"  {_bucket_duckdb('embedding')} AS bucket FROM embeddings),"
-        f" q AS (SELECT vec_id AS query_id, embedding AS qv, bucket"
-        f"  FROM e WHERE vec_id < {N_QUERIES}),"
+        f"WITH sig AS (SELECT vec_id, embedding, {_lsh_sig_cols_duckdb()}"
+        f"  FROM embeddings),"
+        f" e AS (SELECT vec_id, embedding,"
+        f"  {_lsh_corpus_sigs_duckdb()} AS sigs FROM sig),"
+        f" q AS (SELECT vec_id AS query_id, embedding AS qv,"
+        f"  {_lsh_probe_sigs_duckdb()} AS probes"
+        f"  FROM sig WHERE vec_id < {N_QUERIES}),"
         f" s AS (SELECT q.query_id, e.vec_id,"
         f"  {cosine_duckdb_sql('q.qv', 'e.embedding')} AS score"
-        f"  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)"
+        f"  FROM e JOIN q ON list_has_any(e.sigs, q.probes)"
+        f"   AND e.vec_id <> q.query_id)"
         f" SELECT query_id, vec_id, score, rk FROM ("
         f"  SELECT *, row_number() OVER (PARTITION BY query_id"
         f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
     ),
 )
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: bucket = sign
-    pattern of 4 fixed hyperplane dot products; candidates share the
-    query's bucket, so candidate generation is an equi-join on bucket —
-    corpus scanned once, compared ~1/16th per query. Deterministic
-    planes make this approximate algorithm exactly oracle-checkable.
+    """Approximate top-k via multi-table, multi-probe random-hyperplane
+    LSH: each of N_TABLES independent tables hashes a vector to the
+    sign pattern of its N_PLANES hyperplane dot products; a corpus
+    vector is a candidate if ANY table puts it in the query's bucket or
+    a Hamming-1 neighbor of it (multi-probe). OR-amplification is the
+    standard recall lever — recall@10 measured at 0.74 (sf0.01) / 0.80
+    (sf0.1) vs 0.10 for a single 4-plane table. Deterministic seeded
+    planes keep the approximate result exactly oracle-checkable.
 
-    Scale path: more planes (and multiple plane-tables OR'd together)
-    tune recall vs. candidate count; bucket column can be precomputed
-    and partition-pruned on write for a 100 TB corpus."""
-    emb = _emb(spark, sf_dir).withColumn(
-        "bucket", F.expr(_bucket_spark("embedding"))
+    Scale shape: corpus signatures explode to (sig, vec) rows, query
+    probes explode to (sig, query) rows, and candidate generation is a
+    plain equi-join on sig — shuffle-friendly, no all-pairs anywhere.
+    Duplicate candidates (a pair colliding in several tables) collapse
+    in a (query_id, vec_id) aggregate that carries only the score, not
+    the vectors. At 100 TB the N_TABLES sigs are precomputed at ingest
+    and the corpus is bucketed by sig, so probing = partition pruning;
+    recall/candidate-count tunes via (N_TABLES, N_PLANES, probe radius)
+    without touching the plan shape."""
+    sig = _emb(spark, sf_dir)
+    for t in range(N_TABLES):
+        sig = sig.withColumn(
+            f"b{t}", F.expr(_bucket_spark("embedding", PLANES[t]))
+        )
+    corpus = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[F.expr(f"{SIG_STRIDE * t} + b{t}") for t in range(N_TABLES)])
+        ).alias("sig"),
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+    probe_exprs: list[str] = []
+    for t in range(N_TABLES):
+        probe_exprs.append(f"{SIG_STRIDE * t} + b{t}")
+        probe_exprs.extend(
+            f"{SIG_STRIDE * t} + (b{t} ^ {1 << i})" for i in range(N_PLANES)
+        )
+    probes = (
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.array(*[F.expr(e) for e in probe_exprs])).alias("qsig"),
+        )
     )
     scored = (
-        emb.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
         .select("query_id", "vec_id", "score")
     )
+    # A pair colliding in several tables scores identically each time;
+    # max() is a pure dedup and the shuffle carries 3 narrow columns.
+    dedup = scored.groupBy("query_id", "vec_id").agg(F.max("score").alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        dedup.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id", "score", "rk")
     )

@@ -238,7 +238,13 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENT_MOD = 41   # deterministic "sampled" centroid set: vec_id % 41 == 3
 CENT_REM = 3
 CENT_CAP = CENT_MOD * 64  # ≤64 centroids: k is FIXED, not ∝ corpus size
-N_PROBE = 2
+# n_probe=8 measures recall@10 = 0.80 at sf0.01 (13 cells — most of the
+# corpus examined; honest for 500 near-orthogonal vectors) and 0.48 at
+# sf0.1 (49 cells, ~16% examined). On isotropic data the IVF
+# recall/cost frontier sits strictly below the multi-probe LSH above —
+# cells capture no real cluster structure; on production embedding
+# corpora (which cluster) the same plan does far better.
+N_PROBE = 8
 
 
 @query(
@@ -273,42 +279,61 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak), queries probe their N_PROBE closest cells and run exact
     cosine only inside them.
 
-    Scale shape: k is CAPPED (≤64) so the N·k assignment cost stays
-    linear in the corpus — a k that grows with N makes the build
-    quadratic (measured: 1000 s at 20×sf0.1 before the cap vs seconds
-    after). Assignment is one corpus scan against a broadcast centroid
-    table, repartitioned first so the CPU-bound scoring spreads across
-    the cluster even when the source arrives as few splits; search is
-    an equi-join on cell id, touching ~N_PROBE/k of the corpus per
-    query. At 100 TB the cell id is precomputed at
-    ingest and the table is partitioned by it, so probing = partition
-    pruning. Deterministic centroids make the approximate result
-    exactly oracle-checkable."""
-    # Repartition before the N·k scoring join: the corpus parquet may
-    # arrive as a handful of splits, and broadcast joins add no
-    # exchange — without this the CPU-bound assignment runs on those
-    # few tasks regardless of cluster width.
-    emb = _emb(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
+    Scale shape (re-planned in round 4, was 10 shuffles / 3 corpus
+    scans): the quantizer is k ≤ 64 centroids — small enough to pull to
+    the driver once (k×dim floats, the same pull `kmeans_embeddings`
+    makes) and inline as literals, so cell assignment becomes a PURE
+    MAP over one corpus scan: an `array_sort` of (−cosine, cent_id)
+    structs picks the nearest cell with the oracle's exact tie-break,
+    no N·k join and — crucially — no corpus-wide window shuffle (the
+    old plan shuffled every (vector × centroid) row to rank cells; at
+    100 TB that shuffle IS the job). Queries rank the same literal
+    centroids on a second, `vec_id < N_QUERIES`-pruned scan and explode
+    their N_PROBE nearest cells; search is a broadcast equi-join on
+    cell id touching ~n_probe/k of the corpus. At 100 TB the cell id is
+    precomputed at ingest and the table is partitioned by it, so
+    probing = partition pruning. Deterministic centroids keep the
+    approximate result exactly oracle-checkable."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") % CENT_MOD == CENT_REM) & (F.col("vec_id") < CENT_CAP)
+        ).select("vec_id", "embedding").collect()
     )
-    cent = emb.filter(
-        (F.col("vec_id") % CENT_MOD == CENT_REM) & (F.col("vec_id") < CENT_CAP)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
-    scores = (
-        emb.join(F.broadcast(cent))
-        .withColumn("cscore", F.expr(cosine_spark_sql("embedding", "cvec")))
+
+    def _cent_lit(vec: list[float]) -> str:
+        # repr() round-trips the float32→double widening exactly, so the
+        # literal fold is bit-identical to the oracle's column fold.
+        return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+
+    cand_structs = ", ".join(
+        f"named_struct('s', -({cosine_spark_sql('embedding', _cent_lit(cv))}),"
+        f" 'c', CAST({cid} AS BIGINT))"
+        for cid, cv in cent_rows
     )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
-    ranked = scores.withColumn("crk", F.row_number().over(wc))
-    cells = ranked.filter(F.col("crk") == 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    # Structs sort field-by-field: s = −cosine ascending (= cosine
+    # descending), then cent_id ascending — the oracle's ORDER BY.
+    ranked_cells = f"array_sort(array({cand_structs}))"
+
+    # Repartition so the CPU-bound map-side assignment spreads across
+    # the cluster even when the source parquet arrives as few splits.
+    cells = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", F.expr(f"{ranked_cells}[0].c"))
+        .select("vec_id", "embedding", "cell")
     )
-    probes = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("cent_id").alias("pcell"),
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.expr(
+                    f"transform(slice({ranked_cells}, 1, {N_PROBE}), x -> x.c)"
+                )
+            ).alias("pcell"),
+        )
     )
     scored = (
         cells.join(

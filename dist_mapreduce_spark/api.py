@@ -93,17 +93,21 @@ class JobRunner:
             job.error = str(exc)
 
     def job_status(self, job_id: int) -> dict:
-        """JobStatusResponse shape (server.go:42-48)."""
-        job = self._jobs.get(job_id)
-        if job is None:
-            raise KeyError(f"unknown job {job_id}")
-        return {
-            "id": job.id,
-            "status": job.status,
-            "files_count": len(job.files),
-            "output_dir": job.output_dir,
-            "error": job.error,
-        }
+        """JobStatusResponse shape (server.go:42-48) plus n_reduce, so
+        HTTP callers never reach into ``_jobs`` themselves. Snapshotted
+        under the registry lock — one consistent read."""
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None:
+                raise KeyError(f"unknown job {job_id}")
+            return {
+                "id": job.id,
+                "status": job.status,
+                "files_count": len(job.files),
+                "n_reduce": job.n_reduce,
+                "output_dir": job.output_dir,
+                "error": job.error,
+            }
 
     def wait(self, job_id: int, timeout: float = 120.0) -> dict:
         """Blocking helper (the reference's Done() loop,

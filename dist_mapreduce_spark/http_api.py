@@ -51,10 +51,27 @@ def _make_handler(runner: JobRunner):
             self.end_headers()
             self.wfile.write(body)
 
-        def do_POST(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
-            if self.path.rstrip("/") != "/jobs":
+        # Route table mirrors server.go's mux: "/jobs" only accepts
+        # POST and "/jobs/{id}" only GET — a method mismatch on a known
+        # route is 405 Method Not Allowed (server.go:51-54, 76-79), not
+        # 404; "/health" answers any method (server.go:129-135).
+        def _route(self, method: str) -> None:
+            if self.path == "/health":
+                self._text(200, "OK")
+            elif self.path == "/jobs":
+                if method != "POST":
+                    self._text(405, "Method not allowed")
+                else:
+                    self._submit()
+            elif self.path.startswith("/jobs/"):
+                if method != "GET":
+                    self._text(405, "Method not allowed")
+                else:
+                    self._status()
+            else:
                 self._text(404, "Not found")
-                return
+
+        def _submit(self) -> None:
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -70,40 +87,47 @@ def _make_handler(runner: JobRunner):
             job_id = runner.submit_job(files, n_reduce)
             self._json(200, {"id": job_id})
 
-        def do_GET(self) -> None:  # noqa: N802
-            if self.path == "/health":
-                # server.go:129-135 returns a bare 200 "OK" body.
-                self._text(200, "OK")
+        def _status(self) -> None:
+            id_str = self.path[len("/jobs/"):]
+            if not id_str:
+                self._text(400, "Missing Job ID")
                 return
-            if self.path.startswith("/jobs/"):
-                id_str = self.path[len("/jobs/"):]
-                if not id_str:
-                    self._text(400, "Missing Job ID")
-                    return
-                try:
-                    job_id = int(id_str)
-                except ValueError:
-                    self._text(400, "Invalid Job ID")
-                    return
-                try:
-                    st = runner.job_status(job_id)
-                except KeyError:
-                    self._text(404, "Job not found")
-                    return
-                done = st["status"] == COMPLETED
-                job = runner._jobs[job_id]  # noqa: SLF001 — same package
-                self._json(
-                    200,
-                    {
-                        "id": st["id"],
-                        "status": st["status"],
-                        "files_count": st["files_count"],
-                        "map_tasks_completed": st["files_count"] if done else 0,
-                        "reduce_tasks_completed": job.n_reduce if done else 0,
-                    },
-                )
+            try:
+                job_id = int(id_str)
+            except ValueError:
+                self._text(400, "Invalid Job ID")
                 return
-            self._text(404, "Not found")
+            try:
+                st = runner.job_status(job_id)
+            except KeyError:
+                self._text(404, "Job not found")
+                return
+            done = st["status"] == COMPLETED
+            self._json(
+                200,
+                {
+                    "id": st["id"],
+                    "status": st["status"],
+                    "files_count": st["files_count"],
+                    "map_tasks_completed": st["files_count"] if done else 0,
+                    "reduce_tasks_completed": st["n_reduce"] if done else 0,
+                },
+            )
+
+        def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
+            self._route("GET")
+
+        def do_POST(self) -> None:  # noqa: N802
+            self._route("POST")
+
+        def do_PUT(self) -> None:  # noqa: N802
+            self._route("PUT")
+
+        def do_DELETE(self) -> None:  # noqa: N802
+            self._route("DELETE")
+
+        def do_PATCH(self) -> None:  # noqa: N802
+            self._route("PATCH")
 
     return Handler
 

@@ -387,9 +387,10 @@ def decode_video_frames(payload: bytes) -> dict:
     """Real video-container decode for uncompressed-DIB AVI: pure-Python
     RIFF chunk walk (LIST hdrl → avih for geometry; LIST movi → '00db'
     frame chunks), with per-frame bottom-up rows restored to logical
-    top-down order. No codec library needed. Compressed streams ('00dc'
-    with a non-DIB handler, or frame size ≠ geometry) raise ValueError —
-    the codec-routing signal. Returns {n_frames, width, height,
+    top-down order. No codec library needed. Compressed streams (any
+    '00dc' chunk, or a '00db' whose size ≠ geometry) raise ValueError —
+    the codec-routing signal — as does a movi LIST arriving before the
+    avih geometry. Returns {n_frames, width, height,
     frames(list[bytes], logical order)}."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
@@ -406,11 +407,21 @@ def decode_video_frames(payload: bytes) -> dict:
             (_hsz, _us, _mb, _pad, _fl, total, _init, _streams, _buf,
              width, height) = struct.unpack_from("<I10I", body, 8)
         elif cid == b"LIST" and body[:4] == b"movi":
+            if width is None:
+                # movi before hdrl: the geometry checks below would
+                # otherwise die on None arithmetic (TypeError, not the
+                # documented ValueError).
+                raise ValueError("missing avih header")
             fpos = 4
             while fpos + 8 <= len(body):
                 fid = body[fpos : fpos + 4]
                 (fsz,) = struct.unpack_from("<I", body, fpos + 4)
-                if fid in (b"00db", b"00dc"):
+                if fid == b"00dc":
+                    # '00dc' marks a compressed stream; this walker only
+                    # handles raw DIB ('00db') — route to a codec, don't
+                    # guess from the size.
+                    raise ValueError("unsupported frame encoding (need raw DIB)")
+                if fid == b"00db":
                     if fsz != width * height * 3:
                         raise ValueError("unsupported frame encoding (need raw DIB)")
                     data = body[fpos + 8 : fpos + 8 + fsz]

@@ -341,7 +341,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches instead of the exact two-level expansion. The query
     returns the exact count alongside a boolean asserting the HLL
     estimate (rsd=0.01) lands within 5% of it, making an
-    engine-specific estimate exactly checkable against DuckDB."""
+    engine-specific estimate exactly checkable against DuckDB. The
+    relative-error denominator is floored at 1 so a group whose
+    user_ids are all NULL (exact = 0) stays a total boolean instead of
+    a divide-by-zero under ANSI mode — both sketches agree on 0 there,
+    so the flag is trivially true."""
     return _t(spark, sf_dir, "events").groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
@@ -350,7 +354,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.approx_count_distinct("user_id", 0.01)
                 - F.countDistinct("user_id")
             )
-            / F.countDistinct("user_id")
+            / F.greatest(F.countDistinct("user_id"), F.lit(1))
             <= F.lit(0.05)
         ).alias("within_5pct"),
     )

@@ -45,16 +45,23 @@ def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
       reading of the same micros.
     - TIMESTAMP(MICROS, isAdjustedToUTC=true) → already TIMESTAMP;
       leave untouched.
+
+    Side effect, deliberate and global: pins the SESSION timezone to
+    UTC on every branch (not just NTZ). Rendering functions downstream
+    (date_format / strftime twins) format instants in the session tz,
+    so a foreign session carrying a non-UTC tz would diverge from the
+    DuckDB oracle even on encodings whose *values* need no tz to
+    decode. The conf is runtime-settable and the driver harness
+    constructs its own session, so it must happen at load time.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if dt == "timestamp_ntz":
-        # The NTZ→TZ cast interprets the wall clock in the SESSION tz.
-        # Pin UTC here (runtime-settable), not just in session.py, so
-        # foreign sessions (the driver harness) get the same absolute
-        # instants the DuckDB oracle sees.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # The NTZ→TZ cast interprets the wall clock in the session tz
+        # (pinned to UTC above), so the cast is an identity on the wall
+        # clock and matches DuckDB's naive reading of the same micros.
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

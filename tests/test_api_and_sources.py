@@ -92,6 +92,31 @@ def test_http_facade_loopback(spark, corpus, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{base}/jobs/9999")
         assert ei.value.code == 404
+        # 400 on nReduce <= 0 (server.go:62-65) and non-integer id.
+        bad_n = urllib.request.Request(
+            f"{base}/jobs", data=b'{"files": ["f"], "nReduce": 0}', method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad_n)
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/jobs/abc")
+        assert ei.value.code == 400
+        # Method mismatches on known routes are 405 Method Not Allowed
+        # (server.go:51-54, 76-79), not 404.
+        for url, method in (
+            (f"{base}/jobs", "GET"),
+            (f"{base}/jobs", "DELETE"),
+            (f"{base}/jobs/{job_id}", "DELETE"),
+            (f"{base}/jobs/{job_id}", "POST"),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(urllib.request.Request(url, method=method))
+            assert ei.value.code == 405, (url, method)
+        # Unknown paths stay 404.
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/nope")
+        assert ei.value.code == 404
     finally:
         srv.stop()
 

@@ -126,6 +126,35 @@ def test_lsh_consistency_with_bruteforce(spark):
     assert all(bf[(r["query_id"], r["vec_id"])] == r["score"] for r in overlapping)
 
 
+def test_video_decode_rejects_compressed_and_headerless():
+    import struct
+
+    from dist_mapreduce_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_avi,
+    )
+
+    good = encode_avi(b"hello avi world" * 20)
+    assert decode_video_frames(good)["n_frames"] >= 1
+    # '00dc' marks a compressed stream: must be rejected even when the
+    # chunk size happens to equal the raw-DIB geometry.
+    with pytest.raises(ValueError):
+        decode_video_frames(good.replace(b"00db", b"00dc"))
+    # movi LIST before any hdrl/avih geometry: the documented
+    # ValueError, not a TypeError from None arithmetic.
+    movi_body = b"movi" + b"00db" + struct.pack("<I", 4) + b"abcd"
+    headerless = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(movi_body))
+        + b"AVI "
+        + b"LIST"
+        + struct.pack("<I", len(movi_body))
+        + movi_body
+    )
+    with pytest.raises(ValueError, match="missing avih"):
+        decode_video_frames(headerless)
+
+
 def test_multimodal_decode_contracts():
     from dist_mapreduce_spark.operators.multimodal import decode_audio_frames, decode_image
 

@@ -41,6 +41,44 @@ def test_events_ts_normalizes_to_plausible_instants(spark):
     assert hi.year <= 2100, f"events.ts max {hi}: over-converted"
 
 
+def test_ts_normalization_covers_all_three_encodings(spark, tmp_path):
+    """Synthesize one tiny events file per physical encoding the
+    generator has ever shipped — TIMESTAMP(NANOS), TIMESTAMP(MICROS,
+    naive/NTZ), and TIMESTAMP(MICROS, UTC-adjusted) — and assert
+    normalize_events_ts lands every one on the identical instants. The
+    UTC-adjusted branch was dead code through round 3 (no round's
+    generator produced it); this pins all three before the generator
+    gets the chance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dist_mapreduce_spark.sources.tables import normalize_events_ts
+
+    base = datetime.datetime(2024, 5, 1, 12, 34, 56, 789012)
+    micros = [base + datetime.timedelta(seconds=i) for i in range(5)]
+    variants = {
+        # 345 extra nanos: the DIV-1000 truncation must drop them.
+        "ns": pa.array(
+            [int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+             * 1000 + 345 for t in micros],
+            pa.timestamp("ns"),
+        ),
+        "us_ntz": pa.array(micros, pa.timestamp("us")),
+        "us_utc": pa.array(
+            [t.replace(tzinfo=datetime.timezone.utc) for t in micros],
+            pa.timestamp("us", tz="UTC"),
+        ),
+    }
+    for name, arr in variants.items():
+        path = str(tmp_path / f"events_{name}.parquet")
+        pq.write_table(pa.table({"event_id": list(range(5)), "ts": arr}), path)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = normalize_events_ts(spark, spark.read.parquet(path))
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got = [r["ts"] for r in df.orderBy("event_id").collect()]
+        assert got == micros, f"{name}: {got[:2]} != {micros[:2]}"
+
+
 def test_stream_source_schema_matches_batch(spark):
     """The stream source must derive its schema from the batch read —
     the round-2 regression was a hardcoded stream schema drifting from

@@ -238,6 +238,14 @@ _GRAM_SUM = " + ".join(
     for j, p in enumerate(ROLL_POW)
 )
 
+#: Spark-side variant over a precomputed char-code array: one ascii()
+#: pass per character instead of k substr() calls per gram (the values
+#: are identical — this only changes where the codes are materialized).
+_GRAM_SUM_CODES = " + ".join(
+    f"CAST({p} AS BIGINT) * try_element_at(codes, i + {j})"
+    for j, p in enumerate(ROLL_POW)
+)
+
 
 @query(
     "fingerprint_winnow",
@@ -279,10 +287,10 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
-    n_grams = f"greatest(length(norm) - {WINNOW_K - 1}, 0)"
+    n_grams = f"greatest(size(codes) - {WINNOW_K - 1}, 0)"
     hs = (
         f"slice(transform(sequence(1, greatest({n_grams}, 1)),"
-        f" i -> ({_GRAM_SUM}) % {ROLL_P}), 1, {n_grams})"
+        f" i -> ({_GRAM_SUM_CODES}) % {ROLL_P}), 1, {n_grams})"
     )
     n_wins = f"greatest(size(hs) - {WINNOW_W - 1}, 0)"
     # try_element_at: 1-based (parity with DuckDB list indexing — the
@@ -298,6 +306,15 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.selectExpr("doc_id", f"{norm} AS norm")
+        .selectExpr(
+            "doc_id",
+            # slice() trims the one dummy code an empty norm produces
+            # (sequence(1, 0) is DESCENDING in Spark, hence the
+            # greatest(…, 1) guard) so size(codes) == length(norm).
+            "slice(transform(sequence(1, greatest(length(norm), 1)),"
+            " i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),"
+            " 1, length(norm)) AS codes",
+        )
         .selectExpr("doc_id", f"{hs} AS hs")
         .selectExpr("doc_id", "size(hs) AS n_grams", f"{sel} AS sel")
         .selectExpr(

@@ -9,7 +9,12 @@ original — the skew shape a boilerplate-heavy 100 TB crawl produces.
 Surviving it (bounded memory, time scaling ~ pairs) is the evidence
 the banding-join design holds under load.
 
-Usage: python tools/stress.py [replication] [sf_dir] [query ...]
+The replication argument may be a comma-separated list (e.g. 5,10,20):
+each factor gets its own scratch dir and every query runs at every
+factor, printing a time-vs-input curve — the evidence that a plan is
+~linear in its input (map-side or single-shuffle plans must be).
+
+Usage: python tools/stress.py [rep[,rep...]] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -20,22 +25,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_QUERIES = ("dedup_exact", "dedup_simhash", "text_stats", "dedup_minhash", "dedup_cluster")
+DEFAULT_QUERIES = (
+    "dedup_exact",
+    "dedup_simhash",
+    "text_stats",
+    "dedup_minhash",
+    "dedup_cluster",
+    # round-3 operators, per the round-3 verdict's ask: all map-side or
+    # single-shuffle plans whose linearity should be measured, not
+    # asserted.
+    "fingerprint_winnow",
+    "multimodal_decode",
+    "multimodal_video",
+    "ts_ohlc_bars",
+)
 
 
-def main() -> int:
-    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    names = sys.argv[3:] or list(DEFAULT_QUERIES)
-
-    import __spark_entry__ as e
+def _replicate(spark, sf_dir: str, stress_dir: str, rep: int) -> None:
     from pyspark.sql import functions as F
-
-    from dist_mapreduce_spark.session import get_spark
-
-    spark = get_spark("stress")
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stress_dir = os.path.join(repo, ".scratch", f"stress_x{rep}")
 
     # Replicate every table a stress query touches; key remaps keep ids
     # unique (documents/embeddings) while events keep their user_id so
@@ -57,11 +64,32 @@ def main() -> int:
         n = spark.read.parquet(f"{stress_dir}/{table}.parquet").count()
         print(f"# {table}: {n_src} x{rep} -> {n} rows", file=sys.stderr)
 
+
+def main() -> int:
+    reps = (
+        [int(r) for r in sys.argv[1].split(",")] if len(sys.argv) > 1 else [20]
+    )
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    names = sys.argv[3:] or list(DEFAULT_QUERIES)
+
+    import __spark_entry__ as e
+
+    from dist_mapreduce_spark.session import get_spark
+
+    spark = get_spark("stress")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
     qs = e.queries()
-    for name in names:
-        t0 = time.time()
-        rows = qs[name](spark, stress_dir).count()
-        print(f"{name:20s} {rows:>10} rows  {time.time() - t0:7.2f}s")
+    for rep in reps:
+        stress_dir = os.path.join(repo, ".scratch", f"stress_x{rep}")
+        _replicate(spark, sf_dir, stress_dir, rep)
+        for name in names:
+            t0 = time.time()
+            rows = qs[name](spark, stress_dir).count()
+            print(
+                f"x{rep:<3d} {name:20s} {rows:>10} rows  {time.time() - t0:7.2f}s",
+                flush=True,
+            )
     return 0
 
 

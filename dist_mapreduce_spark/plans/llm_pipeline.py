@@ -1324,3 +1324,190 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# --------------------------------------- BPE tokenizer training (merges)
+
+#: Number of unrolled merge iterations. Each merge is fully determined
+#: by the corpus (argmax pair frequency, ties broken by the pair's
+#: lexicographic order), so the whole training trace is exactly
+#: oracle-checkable.
+BPE_MERGES = 5
+
+#: DuckDB token array (case-preserving [^a-zA-Z]+ split — the
+#: wordcount/bigram_colloc tokenizer, operators/wordcount.py:32).
+_BPE_TOK_D = "list_filter(string_split_regex(text, '[^a-zA-Z]+'), w -> w <> '')"
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE training in one DuckDB statement: v0 is the
+    frequency-weighted vocab with each word's symbols wrapped as
+    '|c||c||</w>|'; each round counts adjacent symbol pairs
+    (weighted by word frequency), picks the argmax, and applies it via
+    plain replace() — the wrapping makes adjacent matches share no
+    characters, so leftmost-nonoverlapping replace IS the greedy BPE
+    merge, identically in both engines."""
+    ctes = [
+        f"tok AS MATERIALIZED (SELECT unnest({_BPE_TOK_D}) AS word FROM documents)",
+        "v0 AS MATERIALIZED (SELECT word, count(*) AS cnt,"
+        " '|' || array_to_string(list_append(list_transform("
+        "   range(1, length(word)+1), i -> word[i]), '</w>'), '||') || '|' AS sym"
+        " FROM tok GROUP BY word)",
+    ]
+    for r in range(BPE_MERGES):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b,"
+            f" sum(cnt) AS total"
+            f" FROM (SELECT cnt, string_split(sym[2:length(sym)-1], '||') AS arr"
+            f"       FROM v{r}) t,"
+            f"  unnest(generate_series(1, len(arr)-1)) AS u(i)"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b, total FROM p{r}"
+            f" ORDER BY total DESC, a, b LIMIT 1)"
+        )
+        if r < BPE_MERGES - 1:
+            ctes.append(
+                f"v{r + 1} AS MATERIALIZED (SELECT cnt, replace(sym,"
+                f" '|' || (SELECT a FROM b{r}) || '||' || (SELECT b FROM b{r}) || '|',"
+                f" '|' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || '|') AS sym"
+                f" FROM v{r})"
+            )
+    finals = " UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, CAST(total AS BIGINT) AS support FROM b{r}"
+        for r in range(BPE_MERGES)
+    )
+    return "WITH " + ", ".join(ctes) + " " + finals
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training — the first {k} merge rules learned from
+    the corpus, with their support counts: per round, count adjacent
+    symbol pairs over the frequency-weighted VOCAB (not the corpus),
+    merge the most frequent pair everywhere, repeat. This is the inner
+    loop of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016), the step that turns a 100 TB corpus into the tokenizer its
+    training run uses.
+
+    Scale shape: the corpus is touched exactly ONCE (the word-count
+    aggregate — the same shuffle as `vocab_topk`); all {k} merge
+    rounds run over the distinct-word vocab, which is orders of
+    magnitude smaller and stays distributed. Per round: one tiny
+    pair-count aggregate + a 1-ROW collect (the argmax — same class as
+    kmeans' k×dim centroid pull), then a map-side replace() applies
+    the merge. Symbols are kept wrapped as '|a||b||</w>|' so the
+    replace of '|a||b|' with '|ab|' is exactly the greedy
+    leftmost-nonoverlapping BPE merge — adjacent occurrences share no
+    characters — and behaves identically in Spark and DuckDB (verified
+    against a plain-Python BPE in tests). Ties (equal pair counts)
+    break on the pair's lexicographic order in both engines, making
+    the whole training trace hash-exact."""
+    from dist_mapreduce_spark.operators.wordcount import TOKEN_SEP
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split("text", TOKEN_SEP)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wrapped = (
+        "concat('|', array_join(concat(transform(sequence(1, length(word)),"
+        " i -> substr(word, i, 1)), array('</w>')), '||'), '|')"
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr("cnt", f"{wrapped} AS sym")
+        .cache()
+    )
+    cur = vocab
+    arr = "split(substring(sym, 2, length(sym)-2), '\\\\|\\\\|')"
+    pairs_expr = (
+        f"slice(transform(sequence(1, greatest(size({arr})-1, 1)),"
+        f" i -> named_struct('a', try_element_at({arr}, i),"
+        f"                   'b', try_element_at({arr}, i+1))),"
+        f" 1, greatest(size({arr})-1, 0))"
+    )
+    merges = []
+    for r in range(BPE_MERGES):
+        best = (
+            cur.select(F.col("cnt"), F.explode(F.expr(pairs_expr)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append(
+            (r + 1, best["a"], best["b"], best["a"] + best["b"], int(best["total"]))
+        )
+        cur = cur.selectExpr(
+            "cnt",
+            f"replace(sym, '|{best['a']}||{best['b']}|',"
+            f" '|{best['a']}{best['b']}|') AS sym",
+        )
+    # All merges are collected; the result below is a literal frame, so
+    # the cached vocab has no remaining consumers.
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, support bigint",
+    )
+
+
+q_bpe_train_merges.__doc__ = q_bpe_train_merges.__doc__.format(k=BPE_MERGES)
+
+
+# ------------------------------------------- per-domain quota sampling
+
+#: Max documents kept per source domain (crawl-curation quota).
+DOMAIN_CAP = 10
+
+
+@query(
+    "domain_cap_sample",
+    oracle=(
+        f"WITH ranked AS (SELECT doc_id, source,"
+        f"  row_number() OVER (PARTITION BY source"
+        f"   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,"
+        f"  count(*) OVER (PARTITION BY source) AS n_source"
+        f"  FROM documents)"
+        f" SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,"
+        f"  CAST(n_source AS BIGINT) AS n_source"
+        f" FROM ranked WHERE rk <= {DOMAIN_CAP}"
+    ),
+)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — crawl curation's anti-dominance
+    pass: keep at most {cap} documents per source, chosen by md5 hash
+    order so the kept subset is a pure function of the data
+    (reproducible on any cluster topology, no RNG state). n_source is
+    carried so downstream mixing can reweight surviving docs by their
+    domain's original size.
+
+    Scale shape: one window over (source) — a single hash-partitioned
+    exchange; the shuffle carries (doc_id, source, hash), never text.
+    A pathological mega-domain makes this partition-skewed; the 100 TB
+    refinement is a broadcast per-domain approximate hash-quantile
+    (the ≤cap-th smallest hash) used as a map-side pre-filter, after
+    which the exact rank runs on ~cap rows per domain. The quota
+    semantics and the kept set are identical."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_source",
+            F.count(F.lit(1)).over(Window.partitionBy("source")),
+        )
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rk", "n_source")
+    )
+
+
+q_domain_cap_sample.__doc__ = q_domain_cap_sample.__doc__.format(cap=DOMAIN_CAP)

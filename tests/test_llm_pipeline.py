@@ -467,3 +467,53 @@ def test_text_ops_tolerate_null_and_empty_docs(spark):
     assert rows[3]["sr"] is None  # whitespace-only: zero tokens
     assert rows[4]["q"] is not None and 0.0 <= rows[4]["q"] <= 1.0
     assert rows[4]["lp"] == "en"
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    """The Spark BPE trainer and its DuckDB oracle share the wrapped-
+    string representation, so a bug in that trick could pass the gate.
+    This reference implementation works on plain symbol LISTS (the
+    textbook algorithm) and must produce the identical merge trace."""
+    import re
+    from collections import Counter
+
+    from dist_mapreduce_spark.plans.llm_pipeline import BPE_MERGES
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    vocab = Counter()
+    for r in rows:
+        for w in re.split(r"[^a-zA-Z]+", r["text"]):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in vocab}
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        (a, b), total = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, a, b, a + b, total))
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["support"])
+        for r in _q("bpe_train_merges")(spark, SF).orderBy("merge_rank").collect()
+    ]
+    assert got == expected

@@ -1511,3 +1511,84 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_domain_cap_sample.__doc__ = q_domain_cap_sample.__doc__.format(cap=DOMAIN_CAP)
+
+
+# --------------------------------------------------- incremental dedup
+
+#: Docs with doc_id % INCR_MOD == INCR_REM form the "new batch"; the
+#: rest are the already-ingested corpus (a deterministic 20% split).
+INCR_MOD = 5
+INCR_REM = 4
+
+_INCR_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_incremental",
+    oracle=(
+        f"WITH fp AS MATERIALIZED (SELECT doc_id, {_INCR_FP} AS fp,"
+        f"  doc_id % {INCR_MOD} = {INCR_REM} AS is_new FROM documents),"
+        f" idx AS (SELECT fp, min(doc_id) AS canon FROM fp"
+        f"  WHERE NOT is_new GROUP BY fp),"
+        f" batch AS (SELECT doc_id, fp FROM fp WHERE is_new),"
+        f" in_batch AS (SELECT fp, min(doc_id) AS first_in_batch"
+        f"  FROM batch GROUP BY fp)"
+        f" SELECT b.doc_id,"
+        f"  CASE WHEN i.canon IS NOT NULL THEN 'dup_of_corpus'"
+        f"   WHEN b.doc_id > nb.first_in_batch THEN 'dup_in_batch'"
+        f"   ELSE 'unique' END AS status,"
+        f"  CAST(CASE WHEN i.canon IS NOT NULL THEN i.canon"
+        f"   WHEN b.doc_id > nb.first_in_batch THEN nb.first_in_batch"
+        f"   END AS BIGINT) AS canonical_id"
+        f" FROM batch b LEFT JOIN idx i ON i.fp = b.fp"
+        f" JOIN in_batch nb ON nb.fp = b.fp"
+    ),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape a production 100 TB pipeline
+    actually runs: a NEW BATCH of documents (deterministic 20% split)
+    is checked against the existing corpus's FINGERPRINT INDEX (fp →
+    canonical doc_id — the compact artifact you keep materialized
+    between ingests), then residual dups inside the batch resolve to
+    the batch's first occurrence. Each new doc gets a verdict:
+    dup_of_corpus (with the corpus canonical), dup_in_batch (with the
+    batch canonical), or unique.
+
+    Scale shape: the corpus is never re-scanned as text at ingest time
+    — its side of the join is the (fp, min-id) index, two narrow
+    columns; the batch side is one scan of the new data. Both joins
+    are fp-equi-joins (broadcast when the batch is small, hash
+    otherwise); nothing is quadratic and nothing re-dedups history.
+    Corpus-canonical beats batch-canonical when both match — the rule
+    that keeps canonical ids STABLE across ingests (a re-run never
+    reassigns an old canonical)."""
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.normalized_fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
+    )
+    idx = (
+        fp.filter(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canon"))
+    )
+    batch = fp.filter(F.col("is_new")).select("doc_id", "fp")
+    in_batch = batch.groupBy("fp").agg(F.min("doc_id").alias("first_in_batch"))
+    return (
+        batch.join(idx, "fp", "left")
+        .join(in_batch, "fp")
+        .select(
+            "doc_id",
+            F.when(F.col("canon").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > F.col("first_in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.when(F.col("canon").isNotNull(), F.col("canon"))
+            .when(
+                F.col("doc_id") > F.col("first_in_batch"),
+                F.col("first_in_batch"),
+            )
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )

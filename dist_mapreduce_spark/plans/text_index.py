@@ -182,3 +182,98 @@ def q_bigram_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt_ab"), "w1", "w2")
         .limit(100)
     )
+
+
+#: Skip-gram co-occurrence window (token distance 1..W) and result cap.
+COOC_W = 2
+COOC_TOPK = 100
+
+
+@query(
+    "cooccurrence_pmi",
+    oracle=(
+        f"WITH tk AS MATERIALIZED (SELECT {_D_TOK_ARR} AS t FROM documents),"
+        " pairs AS MATERIALIZED ("
+        "  SELECT t[i] AS a, t[i+j] AS b, count(*) AS cnt_ab"
+        f"  FROM tk, (VALUES (1), (2)) d(j),"
+        "   unnest(generate_series(1, len(t)-j)) u(i)"
+        "  GROUP BY 1, 2),"
+        " ug AS MATERIALIZED (SELECT word, count(*) AS c"
+        "  FROM (SELECT unnest(t) AS word FROM tk) GROUP BY word),"
+        " tot AS (SELECT sum(c) AS n FROM ug)"
+        " SELECT a, b, cnt_ab, ua.c AS cnt_a, ub.c AS cnt_b,"
+        "  CAST(cnt_ab * tot.n * 1000000 // (ua.c * ub.c) AS BIGINT) AS lift_ppm"
+        " FROM pairs JOIN ug ua ON ua.word = pairs.a"
+        " JOIN ug ub ON ub.word = pairs.b CROSS JOIN tot"
+        f" ORDER BY cnt_ab DESC, a, b LIMIT {COOC_TOPK}"
+    ),
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts with integer-exact association
+    scores — the 'pairs' design pattern (Lin & Dyer ch.3, the same
+    curriculum as the reference's legacy/ Hadoop homework): emit
+    (a, b) for every ordered token pair at distance ≤ COOC_W, one
+    shuffle to count. Differs from `bigram_colloc` in window (skip-gram
+    ±2, not adjacency only) and in scoring: lift is reported in exact
+    integer parts-per-million (floor division of exact counts — no
+    float anywhere, so the engines agree bit-for-bit; PMI = log(lift)
+    is monotone in it, so the ranking is the PMI ranking).
+
+    Scale shape: pair generation stays inside the token array (flatten
+    of per-distance transforms — no per-token window sort, documents
+    never leave their input split before the (a, b) hash aggregate);
+    unigram side is vocab-sized and broadcast. The integer product
+    cnt_ab·N·10⁶ stays < 2⁶³ while N < ~3·10⁹ tokens; past that,
+    rescale the ppm factor or split the corpus into counted shards.
+    Top-{COOC_TOPK} by (cnt_ab, a, b) pins the frontier in both
+    engines."""
+    d = _docs(spark, sf_dir)
+    tk = d.select(
+        F.filter(F.split("text", TOKEN_SEP), lambda w: w != "").alias("t")
+    )
+    per_dist = ", ".join(
+        f"slice(transform(sequence(1, greatest(size(t)-{j}, 1)),"
+        f" i -> named_struct('a', try_element_at(t, i),"
+        f"  'b', try_element_at(t, i+{j}))),"
+        f" 1, greatest(size(t)-{j}, 0))"
+        for j in range(1, COOC_W + 1)
+    )
+    pairs = (
+        tk.select(F.explode(F.expr(f"concat({per_dist})")).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+    )
+    ug = (
+        tk.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = ug.agg(F.sum("c").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(
+                ug.withColumnRenamed("word", "a").withColumnRenamed("c", "cnt_a")
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                ug.withColumnRenamed("word", "b").withColumnRenamed("c", "cnt_b")
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "cnt_ab",
+            "cnt_a",
+            "cnt_b",
+            F.expr("CAST(cnt_ab * n * 1000000 DIV (cnt_a * cnt_b) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("cnt_ab"), "a", "b")
+        .limit(COOC_TOPK)
+    )

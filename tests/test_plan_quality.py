@@ -1,0 +1,91 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+scale story depends on (docs/SCALE.md, docs/EXPLAIN.md), so a future
+refactor that silently adds a shuffle, drops predicate pushdown to a
+sort-merge join, or routes a hot path through Python fails HERE with a
+named assertion instead of surfacing as a bench regression two rounds
+later.
+
+Thresholds are the audited values with no slack removed: equalities
+where the plan is exact by design (map-side-only operators), upper
+bounds where AQE may legitimately fold an exchange.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "explain_audit",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "explain_audit.py"),
+)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+audit = _mod.audit
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def _audit(spark, name):
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    return audit(name, registry.QUERIES[name], spark, SF)
+
+
+def test_winnow_is_map_side_only(spark):
+    info = _audit(spark, "fingerprint_winnow")
+    assert info["shuffles"] == 0, info
+    assert info["python_stages"] == 0, info
+
+
+def test_text_stats_is_map_side_only(spark):
+    info = _audit(spark, "text_stats")
+    assert info["shuffles"] == 0, info
+    assert info["python_stages"] == 0, info
+
+
+def test_lsh_plan_shape(spark):
+    """Equi-join candidate gen: 2 pruned scans of embeddings, no
+    sort-merge join, no Python, dedup+topk are the only exchanges."""
+    info = _audit(spark, "sim_topk_lsh")
+    assert info["shuffles"] <= 3, info
+    assert len(info["scan_cols"]) == 2, info
+    assert info["sortmerge_joins"] == 0, info
+    assert info["python_stages"] == 0, info
+
+
+def test_ivf_plan_shape(spark):
+    """Round-4 re-plan: map-side cell assignment — no N·k join, no
+    corpus-wide ranking window; was 10 shuffles / 3 scans."""
+    info = _audit(spark, "sim_topk_ivf")
+    assert info["shuffles"] <= 3, info
+    assert len(info["scan_cols"]) <= 2, info
+    assert info["python_stages"] == 0, info
+
+
+def test_dedup_minhash_no_cartesian_no_python(spark):
+    info = _audit(spark, "dedup_minhash")
+    assert info["python_stages"] == 0, info
+    assert info["sortmerge_joins"] == 0, info
+
+
+def test_domain_cap_single_exchange(spark):
+    info = _audit(spark, "domain_cap_sample")
+    assert info["shuffles"] == 1, info
+    assert info["python_stages"] == 0, info
+
+
+def test_tpch_q3_broadcasts_dims(spark):
+    """Selective dim joins must broadcast (no sort-merge) and the date
+    filters must reach the scans."""
+    info = _audit(spark, "tpch_q3")
+    assert info["sortmerge_joins"] == 0, info
+    assert info["broadcast_joins"] >= 2, info
+    assert info["pushed_filters"], info

@@ -1562,10 +1562,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus-canonical beats batch-canonical when both match — the rule
     that keeps canonical ids STABLE across ingests (a re-run never
     reassigns an old canonical)."""
-    fp = _docs(spark, sf_dir).select(
-        "doc_id",
-        ta.normalized_fingerprint(F.col("text")).alias("fp"),
-        (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
+    # Pin the fingerprint frame: three consumers (index, batch,
+    # in-batch minima) would otherwise each re-scan the text and
+    # re-hash it (audited: 3 scans → 1). At 100 TB the corpus side of
+    # this is the persisted index, not a recomputation at all.
+    fp = _pin(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            ta.normalized_fingerprint(F.col("text")).alias("fp"),
+            (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
+        ),
+        spark,
     )
     idx = (
         fp.filter(~F.col("is_new"))

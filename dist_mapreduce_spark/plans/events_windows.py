@@ -362,6 +362,71 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ohlc",
+    oracle=(
+        # Identical closed form to ts_ohlc_bars: the streaming result
+        # is micro-batch-invariant by construction.
+        f"WITH b AS (SELECT event_type, value,"
+        f"  (epoch_us(ts) // {_BAR_US}) * {_BAR_US} AS bus,"
+        f"  (epoch_us(ts) - (epoch_us(ts) // {_BAR_US}) * {_BAR_US})"
+        f"   * {_BAR_KEY_MULT} + event_id AS k"
+        f" FROM events)"
+        f" SELECT strftime(make_timestamp(bus), '{_TS_FMT_DUCK}') AS bar,"
+        f"  event_type, count(*) AS n_events,"
+        f"  arg_min(value, k) AS open, max(value) AS high,"
+        f"  min(value) AS low, arg_max(value, k) AS close,"
+        f"  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume"
+        f" FROM b GROUP BY bus, event_type"
+    ),
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed through Structured Streaming — the live twin
+    of `ts_ohlc_bars` (same 5-minute epoch-aligned buckets, same
+    deterministic open/close selection), the batch/stream-parity case
+    that matters in production: bars served live must equal bars
+    recomputed from the lake. min_by/max_by over the unique
+    intra-bucket ordering scalar and a DECIMAL volume sum are all
+    merge-order-invariant aggregates, so the complete-mode result is
+    identical for ANY micro-batch partitioning of the input — which is
+    why this streaming query can take the batch query's DuckDB oracle
+    verbatim (a full value-hash gate on the streaming path).
+    State: one row per (bar, event_type) in the store; with the 2-hour
+    watermark in append-mode production deployment, bars older than
+    the watermark are emitted and evicted, bounding state."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    key = (us % _BAR_US) * F.lit(_BAR_KEY_MULT) + F.col("event_id")
+    agg = (
+        events.select("ts", "event_type", "value", key.alias("k"))
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+            _val_sum().alias("volume"),
+        )
+    )
+    out = run_stream_to_table(agg, "stream_ohlc_out")
+    return out.select(
+        F.date_format(F.col("window.start"), _TS_FMT_SPARK).alias("bar"),
+        "event_type",
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+@query(
     "stream_stream_join",
     oracle=(
         "SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id"

@@ -158,3 +158,20 @@ def test_transform_with_state_gated_or_correct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_ohlc_matches_batch_bars(spark):
+    """stream_ohlc must reproduce ts_ohlc_bars bit-for-bit on the same
+    static events — the micro-batch-invariance claim its shared oracle
+    rests on (min_by/max_by over a unique ordering scalar + DECIMAL
+    volume are merge-order-free)."""
+    key = lambda r: (r["bar"], r["event_type"])  # noqa: E731
+    batch = {
+        key(r): (r["n_events"], r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in _q("ts_ohlc_bars")(spark, SF).collect()
+    }
+    stream = {
+        key(r): (r["n_events"], r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in _q("stream_ohlc")(spark, SF).collect()
+    }
+    assert stream == batch

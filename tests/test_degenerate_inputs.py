@@ -1,0 +1,117 @@
+"""Degenerate-input robustness sweep: every document-centric query must
+survive a corpus of pathological documents — empty text, whitespace-only,
+single characters, no letters, NULL-ish strata — without throwing.
+
+Spark runs ANSI mode, where the failure class is real: element_at past
+an array end, divide-by-zero on an empty token list, sequence(1, 0)
+descending instead of empty. The driver corpus never contains such
+documents, so without this sweep the first blank document in a real
+corpus is a runtime crash, not a wrong number. (The round-3 ADVICE
+divide-by-zero in approx_distinct was exactly this class.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SRC), reason="driver testdata not present"
+)
+
+#: Queries that read `documents` (from the registry inventory). The
+#: similarity/multimodal queries over embeddings are exercised by their
+#: own fixtures; streaming/events queries don't touch documents.
+DOC_QUERIES = [
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "quality_repetition",
+    "token_count",
+    "fingerprint",
+    "fingerprint_winnow",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "domain_cap_sample",
+    "bpe_train_merges",
+    "cooccurrence_pmi",
+    "bigram_colloc",
+    "inverted_index",
+    "vocab_topk",
+    "text_tfidf",
+    "contamination_ngram",
+    "pack_sequences",
+    "multimodal_cols",
+    "multimodal_features",
+    "multimodal_decode",
+    "multimodal_audio",
+    "multimodal_video",
+    "multimodal_frames",
+    "multimodal_resize",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark, tmp_path_factory):
+    """sf0.001 with documents replaced by pathological rows."""
+    root = tmp_path_factory.mktemp("degenerate_sf")
+    for name in os.listdir(SRC):
+        if name != "documents.parquet":
+            src = os.path.join(SRC, name)
+            dst = os.path.join(root, name)
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    rows = [
+        (0, "", "en", "src0", 0),                       # empty
+        (1, "   ", "en", "src0", 3),                    # whitespace only
+        (2, "\n\t \n", "de", "src1", 4),                # other whitespace
+        (3, "a", "en", "src1", 1),                      # single char
+        (4, "7", "es", "src2", 1),                      # single digit (no letters)
+        (5, "!!! ??? ...", "fr", "src2", 11),           # punctuation only
+        (6, "the", "en", "src3", 3),                    # one real token
+        (7, "the the the the the", "en", "src3", 19),   # max repetition
+        (8, "x " * 200, "en", "src4", 400),             # many 1-char tokens
+        (9, "the quick brown fox jumps over the lazy dog", "en", "src4", 44),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_survives_degenerate_corpus(spark, degenerate_dir, name):
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    if name not in registry.QUERIES:
+        pytest.skip(f"{name} not registered in this environment")
+    rows = registry.QUERIES[name](spark, degenerate_dir).collect()
+    # No exception is the contract; per-doc queries must also not drop
+    # documents silently (pair/aggregate queries may legitimately
+    # return few or zero rows).
+    per_doc = {
+        "text_stats",
+        "lang_id",
+        "quality_score",
+        "token_count",
+        "fingerprint",
+        "fingerprint_winnow",
+        "multimodal_cols",
+        "multimodal_features",
+        "multimodal_decode",
+        "multimodal_audio",
+        "multimodal_video",
+        "multimodal_frames",
+        "multimodal_resize",
+    }
+    if name in per_doc:
+        assert len(rows) == 10, f"{name} dropped degenerate documents"

@@ -161,3 +161,36 @@ def test_winnow_reference_density_bound(text):
     norm = re.sub(r"\s+", " ", text.strip().lower())
     n_grams, sel = _winnow_reference(norm)
     assert len(sel) <= max(n_grams - (WINNOW_W - 1), 0)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "aa", "bb", "</w>", "aab"]),
+        min_size=0,
+        max_size=14,
+    ),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "a"), ("b", "</w>"),
+                     ("aa", "b"), ("b", "b")]),
+)
+def test_bpe_wrapped_replace_equals_list_merge(syms, pair):
+    """The identity bpe_train_merges rests on: replacing '|a||b|' with
+    '|ab|' in the wrapped symbol string equals the textbook greedy
+    leftmost-nonoverlapping list merge — including aliasing symbols
+    ('a' vs 'aa' vs 'ab') and adjacent/overlapping occurrences, which
+    plain space-joined replace gets WRONG (a consumed separator hides
+    the next match; substring matches cross symbol boundaries).
+    str.replace shares SQL replace's leftmost-nonoverlap semantics, so
+    this pins the algorithm both engines run."""
+    a, b = pair
+    wrapped = "".join(f"|{s}|" for s in syms)
+    got = wrapped.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    assert got == "".join(f"|{s}|" for s in out)

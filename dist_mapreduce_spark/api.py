@@ -89,8 +89,13 @@ class JobRunner:
             write_sorted_text(counts, job.output_dir, n_partitions=job.n_reduce)
             job.status = COMPLETED
         except Exception as exc:  # noqa: BLE001 — job failure is data
-            job.status = FAILED
+            # error BEFORE status: job_status snapshots under the
+            # registry lock, but this writer doesn't take it — readers
+            # key off status, so the message must already be in place
+            # when FAILED becomes visible (a FAILED snapshot with
+            # error=None would strand the caller's failure handling).
             job.error = str(exc)
+            job.status = FAILED
 
     def job_status(self, job_id: int) -> dict:
         """JobStatusResponse shape (server.go:42-48) plus n_reduce, so

@@ -361,23 +361,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "stream_dedup_out")
 
 
+from dist_mapreduce_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+
 @query(
     "stream_ohlc",
-    oracle=(
-        # Identical closed form to ts_ohlc_bars: the streaming result
-        # is micro-batch-invariant by construction.
-        f"WITH b AS (SELECT event_type, value,"
-        f"  (epoch_us(ts) // {_BAR_US}) * {_BAR_US} AS bus,"
-        f"  (epoch_us(ts) - (epoch_us(ts) // {_BAR_US}) * {_BAR_US})"
-        f"   * {_BAR_KEY_MULT} + event_id AS k"
-        f" FROM events)"
-        f" SELECT strftime(make_timestamp(bus), '{_TS_FMT_DUCK}') AS bar,"
-        f"  event_type, count(*) AS n_events,"
-        f"  arg_min(value, k) AS open, max(value) AS high,"
-        f"  min(value) AS low, arg_max(value, k) AS close,"
-        f"  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume"
-        f" FROM b GROUP BY bus, event_type"
-    ),
+    # The batch oracle VERBATIM (ts_ohlc_bars registers earlier in this
+    # module): the streaming result is micro-batch-invariant by
+    # construction, and sharing the registered string makes the
+    # batch/stream-parity contract structural — a future fix to the
+    # batch oracle cannot leave the stream twin stale.
+    oracle=_ORACLES["ts_ohlc_bars"],
 )
 def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars computed through Structured Streaming — the live twin

@@ -1431,14 +1431,21 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = []
     for r in range(BPE_MERGES):
-        best = (
+        top = (
             cur.select(F.col("cnt"), F.explode(F.expr(pairs_expr)).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("total"))
             .orderBy(F.desc("total"), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # Vocab exhausted its mergeable pairs before BPE_MERGES
+            # rounds (e.g. a single-token corpus): stop with the merges
+            # found so far — the oracle's argmax CTE goes empty the
+            # same round, so both engines emit the same shorter trace.
+            break
+        best = top[0]
         merges.append(
             (r + 1, best["a"], best["b"], best["a"] + best["b"], int(best["total"]))
         )

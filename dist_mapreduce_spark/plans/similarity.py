@@ -340,6 +340,15 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += v * v
         return math.sqrt(acc)
 
+    if not cent_rows:
+        # No vector satisfies the deterministic centroid predicate
+        # (tiny/filtered corpus): the oracle's cent CTE is empty and
+        # yields zero rows; match it instead of building sequence(0,-1)
+        # (descending in Spark) over empty literals.
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, score double, rk int"
+        )
+
     k = len(cent_rows)
     cents = "array(" + ", ".join(_vec_lit(cv) for _, cv in cent_rows) + ")"
     cids = "array(" + ", ".join(str(cid) for cid, _ in cent_rows) + ")"

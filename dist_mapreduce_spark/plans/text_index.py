@@ -195,7 +195,9 @@ COOC_TOPK = 100
         f"WITH tk AS MATERIALIZED (SELECT {_D_TOK_ARR} AS t FROM documents),"
         " pairs AS MATERIALIZED ("
         "  SELECT t[i] AS a, t[i+j] AS b, count(*) AS cnt_ab"
-        f"  FROM tk, (VALUES (1), (2)) d(j),"
+        # distances derived from COOC_W, same as the Spark per_dist
+        # generator — one constant drives both dialects.
+        f"  FROM tk, (VALUES {', '.join(f'({j})' for j in range(1, COOC_W + 1))}) d(j),"
         "   unnest(generate_series(1, len(t)-j)) u(i)"
         "  GROUP BY 1, 2),"
         " ug AS MATERIALIZED (SELECT word, count(*) AS c"

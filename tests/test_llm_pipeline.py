@@ -529,3 +529,21 @@ def test_ann_recall_floor(spark):
     rows = {r["method"]: r["recall"] for r in _q("sim_recall")(spark, SF).collect()}
     assert rows["lsh"] >= 0.5, rows
     assert rows["ivf"] >= 0.5, rows
+
+
+def test_bpe_stops_when_pairs_exhausted(spark, monkeypatch):
+    """A vocab that runs out of mergeable pairs before BPE_MERGES
+    rounds must yield a shorter trace, not an IndexError — the oracle's
+    argmax CTE goes empty the same round."""
+    import dist_mapreduce_spark.plans.llm_pipeline as lp
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(4)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(lp, "_docs", lambda s, d: docs)
+    rows = _q("bpe_train_merges")(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["left_sym"], r["right_sym"], r["merged"], r["support"]) == (
+        "a", "</w>", "a</w>", 4
+    )

@@ -115,3 +115,66 @@ def test_doc_query_survives_degenerate_corpus(spark, degenerate_dir, name):
     }
     if name in per_doc:
         assert len(rows) == 10, f"{name} dropped degenerate documents"
+
+
+#: Queries that read `events` — batch side (streaming twins read the
+#: same files through read_events_stream and share these plans).
+EVENT_QUERIES = [
+    "agg_window_tumbling",
+    "agg_window_sliding",
+    "agg_window_session",
+    "sessionize_gaps",
+    "events_funnel",
+    "events_retention",
+    "ts_gapfill",
+    "rolling_active_users",
+    "ts_ohlc_bars",
+    "approx_distinct",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_dir(spark, tmp_path_factory):
+    """sf0.001 with events replaced by pathological rows: NULL user_id
+    (the approx_distinct divide-by-zero class from the round-3 ADVICE),
+    NULL value, NULL props, empty event_type, a single-event user, and
+    two events at the identical timestamp."""
+    import datetime
+
+    root = tmp_path_factory.mktemp("degenerate_events_sf")
+    for name in os.listdir(SRC):
+        if name != "events.parquet":
+            src = os.path.join(SRC, name)
+            dst = os.path.join(root, name)
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (0, t0, None, "view", 1.5, None),                      # NULL user
+        (1, t0, None, "view", None, None),                     # NULL user+value
+        (2, t0, 7, "", 0.0, "{}"),                             # empty type
+        (3, t0, 7, "click", -3.25, '{"k":1}'),                 # same ts as 2
+        (4, t0 + datetime.timedelta(hours=5), 7, "purchase", 10.0, None),
+        (5, t0 + datetime.timedelta(days=2), 9, "view", 2.0, "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "events.parquet")
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_query_survives_degenerate_events(spark, degenerate_events_dir, name):
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES[name](spark, degenerate_events_dir).collect()
+    if name == "approx_distinct":
+        # The NULL-user group must keep a total boolean (the round-3
+        # ADVICE divide-by-zero guard) and count zero exact users.
+        by_type = {r["event_type"]: r for r in rows}
+        assert by_type["view"] is not None
+        assert all(r["within_5pct"] is True for r in rows), rows

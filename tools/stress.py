@@ -47,10 +47,16 @@ def _replicate(spark, sf_dir: str, stress_dir: str, rep: int) -> None:
     # Replicate every table a stress query touches; key remaps keep ids
     # unique (documents/embeddings) while events keep their user_id so
     # per-user event volume grows rep× (the sessionization stress).
+    # orders/lineitem share the o_orderkey/l_orderkey remap formula, so
+    # each replica's lineitems join exactly their own replica's order —
+    # the join graph is preserved while fact volume grows rep×
+    # (customers keep their ids, so per-customer order volume grows).
     for table, key in (
         ("documents", "doc_id"),
         ("embeddings", "vec_id"),
         ("events", "event_id"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
     ):
         src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         n_src = src.count()
@@ -63,6 +69,13 @@ def _replicate(spark, sf_dir: str, stress_dir: str, rep: int) -> None:
         )
         n = spark.read.parquet(f"{stress_dir}/{table}.parquet").count()
         print(f"# {table}: {n_src} x{rep} -> {n} rows", file=sys.stderr)
+    # Dimensions are copied verbatim (dims don't grow with fact volume
+    # at scale either), so every registered query can run on the
+    # stress dir.
+    for table in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{stress_dir}/{table}.parquet")
 
 
 def main() -> int:

@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dist_mapreduce_spark.functions.hashing import (
+    md5_prefix_long_duckdb_sql,
+    md5_prefix_long_spark_sql,
+)
 from dist_mapreduce_spark.plans.registry import query
 from dist_mapreduce_spark.sources.tables import load_table
 
@@ -32,9 +36,9 @@ from dist_mapreduce_spark.sources.tables import load_table
 @query(
     "sample_deterministic",
     oracle=(
-        "SELECT o_orderkey, o_totalprice FROM orders"
-        " WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
-        "       AS BIGINT) % 100 < 10"
+        f"SELECT o_orderkey, o_totalprice FROM orders"
+        f" WHERE {md5_prefix_long_duckdb_sql('CAST(o_orderkey AS VARCHAR)', 4)}"
+        f" % 100 < 10"
     ),
 )
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,8 +48,7 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate defines train/eval membership forever."""
     o = load_table(spark, sf_dir, "orders")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % 100
+        F.expr(md5_prefix_long_spark_sql("cast(o_orderkey as string)", 4)) % 100
     )
     return o.filter(bucket < 10).select("o_orderkey", "o_totalprice")
 
@@ -59,8 +62,8 @@ DEFAULT_PCT = 100
 @query(
     "sample_stratified",
     oracle=(
-        "SELECT doc_id, lang FROM documents WHERE"
-        " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+        f"SELECT doc_id, lang FROM documents WHERE"
+        f" {md5_prefix_long_duckdb_sql('CAST(doc_id AS VARCHAR)', 4)}"
         " % 100 < CASE lang"
         + "".join(f" WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items())
         + f" ELSE {DEFAULT_PCT} END"
@@ -76,8 +79,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology. Map-side only: a filter over the scan, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % 100
+        F.expr(md5_prefix_long_spark_sql("cast(doc_id as string)", 4)) % 100
     )
     rate = F.lit(DEFAULT_PCT)
     for k, v in reversed(STRATA_PCT.items()):
@@ -197,6 +199,16 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     init = emb.orderBy("vec_id").limit(K).collect()
     centroids = [[int(x) for x in r["q"]] for r in init]
+    # Fewer rows than K: the oracle's LIMIT K simply yields fewer
+    # centroids and completes; run with what exists instead of
+    # indexing past the list in the empty-cluster fallback below.
+    k_eff = len(centroids)
+    if k_eff == 0:
+        return spark.createDataFrame(
+            [],
+            "cluster int, n_vectors bigint, centroid_sum bigint,"
+            " centroid_norm2 bigint",
+        )
 
     def centroid_lit(c: list[int]):
         return F.array(*[F.lit(x).cast("long") for x in c])
@@ -243,7 +255,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         by_cluster = {r["cluster"]: [int(x) for x in r["centroid"]] for r in new_rows}
         # Empty clusters keep their previous centroid.
-        centroids = [by_cluster.get(i, centroids[i]) for i in range(K)]
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(k_eff)]
 
     final = assign(emb)
     sizes = final.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
@@ -286,9 +298,12 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     node id), union with self-labels, min-aggregate — converged when
     sum(label) stops falling (it is monotone non-increasing).
     localCheckpoint truncates lineage each round so the plan does not
-    grow with iterations. Tree diameter is O(log n), so rounds stay
-    single-digit at any SF; at 100 TB scale the same loop runs with the
-    edge list pre-partitioned by src and AQE handling skew."""
+    grow with iterations. Tree diameter is O(log n) — ~9 rounds at
+    SF 1, ~15 at SF 100; CC_MAX_ITERS=20 covers up to ~2^20 suppliers
+    per nation and the loop RAISES if it ever exits unconverged
+    (silently returning partial labels would be wrong answers). At
+    100 TB scale the same loop runs with the edge list pre-partitioned
+    by src and AQE handling skew."""
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     rk_w = F.row_number().over(
         Window.partitionBy("s_nationkey").orderBy("s_suppkey")
@@ -309,6 +324,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = ranked.select("node", F.col("node").alias("label")).localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(CC_MAX_ITERS):
         msgs = edges_sym.join(labels, edges_sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -321,8 +337,19 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Min-label propagation moves a root's label one hop per round,
+        # so convergence needs ~diameter rounds. Returning silently
+        # here would hand back WRONG components; fail loudly so the
+        # caller raises CC_MAX_ITERS (or pre-contracts the graph)
+        # instead of trusting unconverged labels.
+        raise RuntimeError(
+            f"graph_components did not converge in {CC_MAX_ITERS} rounds;"
+            " raise CC_MAX_ITERS for graphs with larger diameter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -346,8 +373,8 @@ TEMP_BUCKETS = 1_000_000
         f"        * {TEMP_BUCKETS}) AS BIGINT) AS thresh"
         "  FROM c, m)"
         " SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang"
-        " WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))"
-        f"       AS BIGINT) % {TEMP_BUCKETS} < r.thresh"
+        f" WHERE {md5_prefix_long_duckdb_sql('CAST(d.doc_id AS VARCHAR)')}"
+        f" % {TEMP_BUCKETS} < r.thresh"
     ),
 )
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,8 +398,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thresh"),
     )
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint") % TEMP_BUCKETS
+        F.expr(md5_prefix_long_spark_sql("cast(doc_id as string)")) % TEMP_BUCKETS
     )
     return (
         d.join(F.broadcast(rates), "lang")

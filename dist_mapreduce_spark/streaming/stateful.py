@@ -26,10 +26,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n_events long, total_value double"
+# State carries integer CENTS — the schema must say long: a Python int
+# stored into a double-typed state field is silently nulled by the JVM
+# round-trip, and the SECOND micro-batch then crashes on None + int
+# (the single-file local source delivers everything in one batch, so
+# only a multi-batch run — production, or the multi-file test — ever
+# reads state back; pinned by test_stateful_survives_multiple_batches).
+STATE_SCHEMA = "n_events long, total_cents long"
 
 #: 1 h idle expiry for production streams.
 DEFAULT_IDLE_TIMEOUT_MS = 60 * 60 * 1000
+
+
+def _sum_cents(pdf: pd.DataFrame) -> int:
+    """Exact integer cents of a 2-decimal money column batch. ONE
+    definition — this expression is engine-parity-critical (it must
+    agree with the oracle's DECIMAL(18,2) accumulation), so both
+    stateful operators share it."""
+    return int(pdf["value"].mul(100).round().astype("int64").sum())
 
 
 def _make_update_user(idle_timeout_ms: int):
@@ -51,7 +65,7 @@ def _make_update_user(idle_timeout_ms: int):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            cents += _sum_cents(pdf)
         state.update((n, cents))
         if idle_timeout_ms > 0:
             state.setTimeoutDuration(idle_timeout_ms)
@@ -106,7 +120,6 @@ def running_user_cents(events: DataFrame) -> DataFrame:
     updates are exact and order-independent → the finals are
     micro-batch-invariant and fully oracle-checkable, unlike a float
     accumulator."""
-    import pandas as pd  # noqa: PLC0415 (worker-side import)
     from pyspark.sql.streaming import (  # noqa: PLC0415
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -129,9 +142,7 @@ def running_user_cents(events: DataFrame) -> DataFrame:
             n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int(
-                    pdf["value"].mul(100).round().astype("int64").sum()
-                )
+                cents += _sum_cents(pdf)
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -175,3 +175,65 @@ def test_stream_ohlc_matches_batch_bars(spark):
         for r in _q("stream_ohlc")(spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_stateful_survives_multiple_batches(spark, tmp_path):
+    """Regression: STATE_SCHEMA declared the cents accumulator as
+    double while the code stored Python ints — the JVM round-trip
+    nulled the value and the SECOND micro-batch crashed on None + int.
+    The single-file local source hides this (one batch, state never
+    read back); splitting events across files with maxFilesPerTrigger=1
+    forces state to round-trip."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+    from dist_mapreduce_spark.streaming.stateful import running_user_totals
+
+    batch = load_table(spark, SF, "events").select("user_id", "value")
+    src = str(tmp_path / "events_split")
+    # 4 files -> 4 micro-batches; every user appears in several files,
+    # so per-user state is read back and accumulated across batches.
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_multibatch_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Update mode emits one row per touched user per batch; the final
+    # state is the max-n_events emission per user.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("stateful_multibatch_out")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+                / 100.0
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want

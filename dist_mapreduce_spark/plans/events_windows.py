@@ -77,10 +77,17 @@ def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.groupBy("bus", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.min_by("value", F.col("k")).alias("open"),
+            # Conditional key: Spark min_by/max_by return the value at
+            # the extreme key even when that value is NULL, while
+            # DuckDB arg_min/arg_max skip NULL-value rows. NULLing the
+            # key for NULL values makes Spark skip them too (aggregates
+            # ignore NULL keys) — engine parity if value is ever NULL.
+            F.min_by("value", F.when(F.col("value").isNotNull(), F.col("k")))
+            .alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", F.col("k")).alias("close"),
+            F.max_by("value", F.when(F.col("value").isNotNull(), F.col("k")))
+            .alias("close"),
             _val_sum().alias("volume"),
         )
         .select(
@@ -222,32 +229,18 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last emission per user is the final state)."""
     from dist_mapreduce_spark.streaming.stateful import running_user_totals
     from dist_mapreduce_spark.streaming.windows import (
+        last_emission_per_key,
         read_events_stream,
         run_stream_to_table,
     )
 
     events = read_events_stream(spark, sf_dir)
     out = running_user_totals(events)
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("stream_stateful_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    tbl = run_stream_to_table(out, "stream_stateful_out", mode="update")
     # Update mode may emit multiple rows per user across micro-batches;
-    # keep the last (max n_events) per user.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        spark.table("stream_stateful_out")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("user_id", "n_events", "total_value")
+    # the last (max n_events — monotone) per user is the final state.
+    return last_emission_per_key(tbl, "user_id", "n_events").select(
+        "user_id", "n_events", "total_value"
     )
 
 
@@ -400,10 +393,14 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.min_by("value", F.col("k")).alias("open"),
+            # Same NULL-skip conditional keys as the batch twin — the
+            # shared oracle's arg_min/arg_max skip NULL-value rows.
+            F.min_by("value", F.when(F.col("value").isNotNull(), F.col("k")))
+            .alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", F.col("k")).alias("close"),
+            F.max_by("value", F.when(F.col("value").isNotNull(), F.col("k")))
+            .alias("close"),
             _val_sum().alias("volume"),
         )
     )
@@ -468,19 +465,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_stream_join_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table("stream_stream_join_out").select(
-        "view_id", "click_id", F.col("v_user").alias("user_id")
-    )
+    from dist_mapreduce_spark.streaming.windows import run_stream_to_table
+
+    tbl = run_stream_to_table(joined, "stream_stream_join_out", mode="append")
+    return tbl.select("view_id", "click_id", F.col("v_user").alias("user_id"))
 
 
 @query(
@@ -564,7 +552,10 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_gaps",
     oracle=(
         f"WITH g AS (SELECT user_id, ts, event_id,"
-        f"  CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'"
+        # >= (not >): a gap of exactly 30 minutes starts a NEW session,
+        # matching session_window / agg_window_session semantics so the
+        # manual and built-in forms agree on boundary data.
+        f"  CASE WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes'"
         f"       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess"
         f"  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
         # CAST AS BIGINT: DuckDB's window sum widens to HUGEINT which
@@ -592,10 +583,11 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     # Microsecond-exact gap test (a seconds-granularity cast would
     # truncate and disagree with the oracle's interval comparison at
-    # the 30-minute boundary).
+    # the 30-minute boundary). >= so a gap of exactly the threshold
+    # starts a new session — session_window's boundary rule.
     new_sess = F.when(
         prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) >= 1800 * 1_000_000),
         1,
     ).otherwise(0)
     s = e.withColumn("new_sess", new_sess).withColumn(
@@ -702,26 +694,17 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits a row per touched user per batch; the last emission per user
     (max n_events — monotone) is the final state."""
     from dist_mapreduce_spark.streaming.stateful import running_user_cents
-    from dist_mapreduce_spark.streaming.windows import read_events_stream
+    from dist_mapreduce_spark.streaming.windows import (
+        last_emission_per_key,
+        read_events_stream,
+        run_stream_to_table,
+    )
 
     events = read_events_stream(spark, sf_dir)
     out = running_user_cents(events)
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("stream_tws_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        spark.table("stream_tws_out")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("user_id", "n_events", "total_cents")
+    tbl = run_stream_to_table(out, "stream_tws_out", mode="update")
+    return last_emission_per_key(tbl, "user_id", "n_events").select(
+        "user_id", "n_events", "total_cents"
     )
 
 

@@ -297,10 +297,13 @@ def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"({_SRC_WORDS.format(src='src0')}) EXCEPT ({_SRC_WORDS.format(src='src1')})",
 )
 def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary unique to src0 (EXCEPT = anti-join after distinct)."""
-    return _src_words(spark, sf_dir, "src0").exceptAll(
+    """Vocabulary unique to src0 (EXCEPT = anti-join after distinct).
+    subtract() IS EXCEPT DISTINCT — both inputs are already distinct,
+    so exceptAll + a trailing distinct would only add a redundant
+    aggregate."""
+    return _src_words(spark, sf_dir, "src0").subtract(
         _src_words(spark, sf_dir, "src1")
-    ).distinct()
+    )
 
 
 # --------------------------------------------------------------- distinct
@@ -578,9 +581,16 @@ _SUBQ_IN_SQL = (
 )
 
 _SUBQ_SCALAR_SQL = (
+    # The scalar is exact-decimal SUM, one double CAST, one division:
+    # avg(DECIMAL) would be exact DECIMAL(22,6) in Spark but DOUBLE in
+    # DuckDB — same text, differently-typed arithmetic, and a
+    # threshold differing in the 6th decimal flips membership for any
+    # order sitting in that sliver. sum(DECIMAL) is exact in both, and
+    # CAST + divide + *1.5 are the same IEEE ops.
     "SELECT o_orderkey, o_totalprice FROM orders"
-    " WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)))"
-    "                       FROM orders) * 1.5"
+    " WHERE o_totalprice >"
+    " (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "         / count(*) FROM orders) * 1.5"
 )
 
 _SUBQ_EXISTS_SQL = (

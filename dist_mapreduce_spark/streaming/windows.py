@@ -78,11 +78,16 @@ def tumbling_counts_stream(events: DataFrame, width: str = "1 hour",
     )
 
 
-def run_stream_to_table(df: DataFrame, name: str) -> DataFrame:
+def run_stream_to_table(
+    df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming DataFrame to completion against the static
-    source and return the materialized result (memory sink)."""
+    source and return the materialized result (memory sink). ``mode``
+    is the output mode — update-mode callers pair this with
+    :func:`last_emission_per_key` to reduce the emission log to final
+    state."""
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -93,6 +98,21 @@ def run_stream_to_table(df: DataFrame, name: str) -> DataFrame:
         q.stop()
     spark = df.sparkSession
     return spark.table(name)
+
+
+def last_emission_per_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Final state from an update-mode emission log: keep each key's
+    row with the max ``order_col`` (monotone per key — e.g. a running
+    count), which is the last emission."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as G
+
+    w = Window.partitionBy(key).orderBy(G.desc(order_col))
+    return (
+        df.withColumn("__rk", G.row_number().over(w))
+        .filter(G.col("__rk") == 1)
+        .drop("__rk")
+    )
 
 
 def run_stream_foreach_batch(df: DataFrame, sink_path: str) -> int:

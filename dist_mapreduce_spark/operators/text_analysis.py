@@ -27,15 +27,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "de", "et", "est", "un"),
 }
 
+#: Explicit whitespace character set shared by EVERY parity-critical
+#: regex in the repo, in both engines. Java's \s (Spark) includes
+#: vertical tab \x0B but RE2's \s (DuckDB, pyarrow) does not, so a
+#: bare \s silently diverges on that byte; spelling the class out makes
+#: the pattern text mean the same thing under both engines. Raw string:
+#: the escapes are interpreted by the regex engines, not Python.
+WS_CHARS = r" \t\n\x0B\f\r"
+
 #: BPE-ish pre-tokenization: letter runs | digit runs | single
 #: non-alphanumeric-non-space symbols (the GPT-2 pre-tokenizer family
 #: shape, without byte-level merges).
-BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 
 
 def ws_tokens(text: Column) -> Column:
     """Whitespace tokens with empties removed (array<string>)."""
-    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    return F.filter(F.split(text, rf"[{WS_CHARS}]+"), lambda w: w != "")
 
 
 def n_tokens(text: Column) -> Column:
@@ -49,7 +57,7 @@ def n_alpha_chars(text: Column) -> Column:
 
 def n_punct_chars(text: Column) -> Column:
     """Characters that are neither alphanumeric nor whitespace."""
-    return F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return F.length(F.regexp_replace(text, rf"[a-zA-Z0-9{WS_CHARS}]", ""))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -115,7 +123,7 @@ def normalized_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-collapsed lowercase text.
     md5 so the fingerprint is identical in any engine/language — the
     cross-system document identity key for dedup joins."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(text)), rf"[{WS_CHARS}]+", " ")
     return F.md5(norm)
 
 

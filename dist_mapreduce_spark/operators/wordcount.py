@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dist_mapreduce_spark.operators.text_analysis import WS_CHARS
+
 #: Reference tokenizer: runs of anything outside [a-zA-Z] separate words
 #: (worker.go:27-29). Case is preserved.
 TOKEN_SEP = "[^a-zA-Z]+"
@@ -54,7 +56,9 @@ def tokenize_ws(df: DataFrame, text_col: str = "text") -> DataFrame:
     (WordCount.java:44-48): split on whitespace runs, punctuation kept
     attached to words."""
     return (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        df.select(
+            F.explode(F.split(F.col(text_col), rf"[{WS_CHARS}]+")).alias("word")
+        )
         .filter(F.col("word") != "")
     )
 

@@ -9,6 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dist_mapreduce_spark.operators.text_analysis import WS_CHARS as ta_WS
 from dist_mapreduce_spark.plans.registry import query
 from dist_mapreduce_spark.sources.tables import load_table
 
@@ -244,7 +245,7 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_arrow",
     oracle=(
         "SELECT doc_id, length(text) AS n_chars_py,"
-        " len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))"
+        f" len(list_filter(string_split_regex(text, '[{ta_WS}]+'), w -> w <> ''))"
         "  AS n_tokens_py"
         " FROM documents"
     ),
@@ -256,7 +257,8 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     objects. For numeric/string kernels this skips the Arrow→pandas
     materialization mapInPandas pays; same physical exchange shape
     (ArrowEvalPython) otherwise. Token semantics match the whitespace
-    tokenizer exactly (split on \\s+, drop empties)."""
+    tokenizer exactly (split on the shared whitespace class, drop
+    empties)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -265,7 +267,7 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def arrow_stats(batches):
         for batch in batches:
             text = batch.column("text")
-            toks = pc.split_pattern_regex(text, r"\s+")
+            toks = pc.split_pattern_regex(text, rf"[{ta_WS}]+")
             # Per-row token counts excluding the empty strings that
             # leading/trailing whitespace runs produce: total list
             # lengths minus per-row empty counts (via parent indices

@@ -46,8 +46,18 @@ def _pin(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df.cache()
 
 
+#: DuckDB/RE2 whitespace class — the twin of ta.WS_CHARS (Java's \s
+#: includes \x0B, RE2's does not; the explicit class means the same
+#: thing in both engines).
+_D_WS = f"[{ta.WS_CHARS}]"
+
 # DuckDB token-array expression (whitespace tokens, empties dropped).
-_D_TOKS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+_D_TOKS = f"list_filter(string_split_regex(text, '{_D_WS}+'), w -> w <> '')"
+
+#: Normalized-fingerprint SQL (DuckDB) — ONE definition for the five
+#: oracles that join on it; must stay the twin of
+#: ta.normalized_fingerprint.
+_D_FP = f"md5(regexp_replace(lower(trim(text)), '{_D_WS}+', ' ', 'g'))"
 
 
 def _word_shingles(arr, k: int = 3):
@@ -79,8 +89,8 @@ def _word_shingles(arr, k: int = 3):
         f" len({_D_TOKS}) AS n_tokens,"
         f" length(text) AS n_chars_actual,"
         f" length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,"
-        f" length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,"
-        f" CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)"
+        f" length(regexp_replace(text, '[a-zA-Z0-9{ta.WS_CHARS}]', '', 'g')) AS n_punct,"
+        f" CAST(length(regexp_replace(text, '{_D_WS}', '', 'g')) AS DOUBLE)"
         f"  / CAST(len({_D_TOKS}) AS DOUBLE) AS avg_token_len"
         f" FROM documents"
     ),
@@ -96,7 +106,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.n_alpha_chars(text).alias("n_alpha"),
         ta.n_punct_chars(text).alias("n_punct"),
         F.try_divide(
-            F.length(F.regexp_replace(text, r"\s", "")).cast("double"),
+            F.length(F.regexp_replace(text, rf"[{ta.WS_CHARS}]", "")).cast("double"),
             ta.n_tokens(text).cast("double"),
         ).alias("avg_token_len"),
     )
@@ -107,7 +117,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_marker_hits(markers: tuple[str, ...]) -> str:
     in_list = ", ".join(f"'{m}'" for m in markers)
     return (
-        f"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f"len(list_filter(list_filter(string_split_regex(lower(text), '{_D_WS}+'),"
         f" w -> w <> ''), w -> w IN ({in_list})))"
     )
 
@@ -153,7 +163,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"SELECT doc_id,"
         f" least(1.0, CAST(len({_D_TOKS}) AS DOUBLE) / 100.0) * 0.4"
-        f" + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f" + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9{ta.WS_CHARS}]', '', 'g')) AS DOUBLE)"
         f"    / CAST(length(text) AS DOUBLE)) * 0.3"
         f" + least(1.0, ({_duck_marker_hits(ta.LANG_MARKERS['en'])} "
         f"    / CAST(len({_D_TOKS}) AS DOUBLE)) * 5.0) * 0.3 AS quality"
@@ -196,8 +206,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint",
     oracle=(
         "SELECT doc_id,"
-        " md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"
-        " CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12))"
+        f" {_D_FP} AS fp,"
+        f" CAST(('0x' || substr({_D_FP}, 1, 12))"
         "  AS BIGINT) AS fp48"
         " FROM documents"
     ),
@@ -251,7 +261,7 @@ _GRAM_SUM_CODES = " + ".join(
     "fingerprint_winnow",
     oracle=(
         f"WITH n0 AS (SELECT doc_id,"
-        f"  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm"
+        f"  regexp_replace(lower(trim(text)), '{_D_WS}+', ' ', 'g') AS norm"
         f"  FROM documents),"
         f" g AS (SELECT doc_id,"
         f"  list_transform(range(1, greatest(length(norm) - {WINNOW_K - 1}, 0) + 1),"
@@ -286,7 +296,13 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sequence(1, 0)` is DESCENDING, not empty.
     """
     d = _docs(spark, sf_dir)
-    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    # Spark SQL string literals process backslash escapes, so the class
+    # escapes must be doubled to reach the Java regex intact.
+    norm = (
+        "regexp_replace(lower(trim(text)), '["
+        + ta.WS_CHARS.replace("\\", "\\\\")
+        + "]+', ' ')"
+    )
     n_grams = f"greatest(size(codes) - {WINNOW_K - 1}, 0)"
     hs = (
         f"slice(transform(sequence(1, greatest({n_grams}, 1)),"
@@ -338,7 +354,7 @@ q_fingerprint_winnow.__doc__ = q_fingerprint_winnow.__doc__.format(
 @query(
     "dedup_exact",
     oracle=(
-        "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"
+        f"SELECT {_D_FP} AS fp,"
         " min(doc_id) AS keep_doc_id, count(*) AS n_copies"
         " FROM documents GROUP BY 1"
     ),
@@ -365,17 +381,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH tok AS ("
         " SELECT doc_id,"
         "  CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h"
-        " FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),"
+        f" FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '{_D_WS}+'),"
         "        w -> w <> '')) AS w FROM documents)"
         "), bits AS ("
         " SELECT doc_id, j,"
         "  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s"
         " FROM tok, (SELECT unnest(range(0, 32)) AS j) js"
         " GROUP BY doc_id, j"
-        ") SELECT doc_id,"
+        "), sh AS ("
+        " SELECT doc_id,"
         "  CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)"
         "   AS simhash"
-        " FROM bits GROUP BY doc_id"
+        " FROM bits GROUP BY doc_id)"
+        # LEFT JOIN + COALESCE 0: a document with zero whitespace tokens
+        # produces no tok rows, but the Spark fold still emits simhash 0
+        # for it — every document must appear in both engines.
+        " SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash"
+        " FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id"
     ),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,7 +914,7 @@ QUALITY_GATE = 0.5
 def _duck_quality() -> str:
     return (
         f"least(1.0, CAST(len({_D_TOKS}) AS DOUBLE) / 100.0) * 0.4"
-        f" + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f" + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9{ta.WS_CHARS}]', '', 'g')) AS DOUBLE)"
         f"    / CAST(length(text) AS DOUBLE)) * 0.3"
         f" + least(1.0, ({_duck_marker_hits(ta.LANG_MARKERS['en'])} "
         f"    / CAST(len({_D_TOKS}) AS DOUBLE)) * 5.0) * 0.3"
@@ -904,7 +926,7 @@ def _duck_quality() -> str:
     oracle=(
         f"WITH scored AS (SELECT doc_id, lang, len({_D_TOKS}) AS n_tokens,"
         f"  {_duck_quality()} AS quality,"
-        f"  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp"
+        f"  {_D_FP} AS fp"
         f"  FROM documents),"
         f" kept AS (SELECT * FROM scored WHERE quality >= {QUALITY_GATE}),"
         f" winners AS (SELECT *, row_number() OVER (PARTITION BY fp"
@@ -1211,6 +1233,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(CLUSTER_MAX_ITERS):
         msgs = edges.join(labels, edges["doc_a"] == labels["node"]).select(
             F.col("doc_b").alias("node"), "label"
@@ -1223,8 +1246,18 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A >20-hop chain of pairwise near-dups (template drift) needs
+        # more rounds than the cap; silently returning partial labels
+        # would be wrong canonical ids, so fail loudly instead (the
+        # oracle computes the full transitive closure).
+        raise RuntimeError(
+            f"dedup_cluster did not converge in {CLUSTER_MAX_ITERS} rounds;"
+            " raise CLUSTER_MAX_ITERS for longer near-dup chains"
+        )
     docs = _docs(spark, sf_dir).select("doc_id")
     # Resolved dup-subgraph labels are far smaller than the corpus;
     # AQE broadcasts them when they fit (no forced hint — a 100 TB
@@ -1527,7 +1560,7 @@ q_domain_cap_sample.__doc__ = q_domain_cap_sample.__doc__.format(cap=DOMAIN_CAP)
 INCR_MOD = 5
 INCR_REM = 4
 
-_INCR_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_INCR_FP = _D_FP
 
 
 @query(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dist_mapreduce_spark.operators.text_analysis import WS_CHARS
 from dist_mapreduce_spark.functions.hashing import (
     fnv1a_bucket_duckdb_sql,
     fnv1a_bucket_spark_sql,
@@ -39,7 +40,7 @@ _DUCK_TOKENS = (
     " FROM documents) WHERE word <> ''"
 )
 _DUCK_TOKENS_WS = (
-    "SELECT word FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word"
+    f"SELECT word FROM (SELECT unnest(string_split_regex(text, '[{WS_CHARS}]+')) AS word"
     " FROM documents) WHERE word <> ''"
 )
 

@@ -103,7 +103,9 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CAST AS BIGINT: DuckDB floor/ceil return DOUBLE; Spark's are LONG.
         " CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,"
         " CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,"
-        " CAST(l_quantity AS BIGINT) % 7 AS mod7,"
+        # floor, not CAST: DuckDB CAST(double AS BIGINT) rounds half-even
+        # while Spark's cast truncates — floor() is identical in both.
+        " CAST(floor(l_quantity) AS BIGINT) % 7 AS mod7,"
         " greatest(l_tax, l_discount) AS gmax,"
         " least(l_tax, l_discount) AS lmin"
         " FROM lineitem"
@@ -126,7 +128,7 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(q, 2.0).alias("q2"),
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_extendedprice").alias("price_ceil"),
-        (q.cast("bigint") % 7).alias("mod7"),
+        (F.floor(q) % 7).alias("mod7"),
         F.greatest("l_tax", "l_discount").alias("gmax"),
         F.least("l_tax", "l_discount").alias("lmin"),
     )
@@ -135,8 +137,12 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_json",
     oracle=(
+        # try_cast to DOUBLE then floor: Spark's ANSI string->bigint cast
+        # THROWS on '1.5' while DuckDB's rounds it; double-then-floor is
+        # total (NULL on non-numeric) and identical in both engines.
         "SELECT event_id, json_extract_string(props, '$.k') AS k_str,"
-        " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num"
+        " CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))"
+        "  AS BIGINT) AS k_num"
         " FROM events"
     ),
 )
@@ -147,7 +153,11 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return e.select(
-        "event_id", k.alias("k_str"), k.cast("bigint").alias("k_num")
+        "event_id",
+        k.alias("k_str"),
+        F.floor(F.expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)"))
+        .cast("bigint")
+        .alias("k_num"),
     )
 
 
@@ -357,12 +367,15 @@ _PRICE_D = "CAST(l_extendedprice AS DECIMAL(18,2))"
 @query(
     "agg_stats",
     oracle=(
+        # greatest(…, 0): the cancellation form can go a hair negative
+        # for a (near-)constant group — DuckDB sqrt(-1e-10) ABORTS the
+        # whole query where Spark yields NaN, so clamp on both sides.
         "SELECT l_returnflag, n, avg_qty, var_qty, sqrt(var_qty) AS stddev_qty"
         " FROM (SELECT l_returnflag, count(*) AS n,"
         f"  {_dsum(_QTY_D)} / n AS avg_qty,"
-        f"  ({_dsum(f'{_QTY_D} * {_QTY_D}')}"
+        f"  greatest(({_dsum(f'{_QTY_D} * {_QTY_D}')}"
         f"   - {_dsum(_QTY_D)} * {_dsum(_QTY_D)} / n)"
-        "  / (n - 1) AS var_qty"
+        "  / (n - 1), 0.0) AS var_qty"
         " FROM lineitem GROUP BY l_returnflag)"
     ),
 )
@@ -388,8 +401,14 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # try_divide: a single-row group has n-1 = 0; ANSI mode would abort
     # the job where DuckDB (and SQL var_samp) yield NULL.
-    var = F.try_divide(
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.col("n") - 1
+    # greatest-with-0 mirrors the oracle's clamp (NULL propagates
+    # through greatest untouched since try_divide NULLs stay NULL).
+    var = F.greatest(
+        F.try_divide(
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+            F.col("n") - 1,
+        ),
+        F.lit(0.0),
     )
     return base.select(
         "l_returnflag",
@@ -437,23 +456,26 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argmax",
     oracle=(
         "SELECT o_orderpriority,"
-        " arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 1000000000"
-        "         + o_orderkey) AS top_order,"
-        " arg_min(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 1000000000"
-        "         + o_orderkey) AS bottom_order,"
+        # floor(), not CAST: DuckDB CAST(double AS BIGINT) rounds
+        # half-even while Spark's cast truncates — on sf0.01, 708 of
+        # ~15k prices disagree between the two. floor is identical.
+        " arg_max(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)"
+        "         * 1000000000 + o_orderkey) AS top_order,"
+        " arg_min(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)"
+        "         * 1000000000 + o_orderkey) AS bottom_order,"
         " max(o_totalprice) AS top_price"
         " FROM orders GROUP BY o_orderpriority"
     ),
 )
 def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-max/arg-min aggregates (max_by/min_by ↔ arg_max/arg_min):
-    which order, not just which price. The ordering scalar folds the
-    2-decimal price (exact ×100 int) with the key as tiebreak, so the
+    which order, not just which price. The ordering scalar folds
+    floor(price×100) with the key as tiebreak, so the
     winner is unique and engine-independent — max_by on a tied column
     is otherwise nondeterministic in any distributed engine."""
     o = _t(spark, sf_dir, "orders")
     ordkey = (
-        (F.col("o_totalprice") * 100).cast("bigint") * F.lit(1_000_000_000)
+        F.floor(F.col("o_totalprice") * 100) * F.lit(1_000_000_000)
         + F.col("o_orderkey")
     )
     return o.groupBy("o_orderpriority").agg(
@@ -500,7 +522,8 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT l_returnflag, n, cov_qty_price,"
         " (sxy - sx * sy / n)"
-        "  / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))"
+        "  / (sqrt(greatest(sxx - sx * sx / n, 0.0))"
+        "     * sqrt(greatest(syy - sy * sy / n, 0.0)))"
         "  AS corr_qty_price"
         " FROM (SELECT l_returnflag, count(*) AS n,"
         f"  {_dsum(_QTY_D)} AS sx,"
@@ -540,8 +563,18 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corr = F.try_divide(
         F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
-        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+        F.sqrt(
+            F.greatest(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                F.lit(0.0),
+            )
+        )
+        * F.sqrt(
+            F.greatest(
+                F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"),
+                F.lit(0.0),
+            )
+        ),
     )
     return agg.select(
         "l_returnflag",

@@ -44,3 +44,35 @@ def _dot_duckdb(a: str, b: str) -> str:
 def cosine_duckdb_sql(a: str, b: str) -> str:
     """DuckDB twin of :func:`cosine_spark_sql` — identical fold order."""
     return f"({_dot_duckdb(a, b)} / (sqrt({_dot_duckdb(a, a)}) * sqrt({_dot_duckdb(b, b)})))"
+
+
+def l2sq_spark_sql(a: str, b: str) -> str:
+    """Spark SQL squared-L2 distance with the same sequential double
+    fold as :func:`cosine_spark_sql` (bit-identical to the DuckDB twin)."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> (cast(x as double) - cast(y as double))"
+        f"  * (cast(x as double) - cast(y as double))),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def l2sq_duckdb_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`l2sq_spark_sql` — identical fold order."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f"   i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f"    * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def dot_spark_sql(a: str, b: str) -> str:
+    """Public alias for the sequential-fold dot product (Spark)."""
+    return _dot_spark(a, b)
+
+
+def dot_duckdb_sql(a: str, b: str) -> str:
+    """Public alias for the sequential-fold dot product (DuckDB)."""
+    return _dot_duckdb(a, b)

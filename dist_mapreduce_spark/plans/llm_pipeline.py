@@ -1639,3 +1639,238 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("canonical_id"),
         )
     )
+
+
+# ------------------------------------------ paragraph-level dedup (CCNet)
+
+# CCNet / RefinedWeb-style shared-segment dedup: the unit of dedup is a
+# SEGMENT of a document (a paragraph in web text; here a fixed window of
+# SEG_WORDS whitespace tokens, since the driver corpus is single-line),
+# and the corpus-wide rule is "first occurrence wins": a segment whose
+# md5 was already emitted by an earlier (doc_id, s) position is dropped,
+# and each document is re-assembled from its surviving segments.
+SEG_WORDS = 12
+
+
+@query(
+    "dedup_paragraph",
+    oracle=(
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),"
+        f" seg AS (SELECT doc_id, s,"
+        f"   array_to_string(t[(s*{SEG_WORDS}+1):(s*{SEG_WORDS}+{SEG_WORDS})], ' ')"
+        f"    AS seg"
+        f"  FROM tk, unnest(range(0, (len(t)+{SEG_WORDS}-1)//{SEG_WORDS})) AS u(s)"
+        f"  WHERE len(t) >= 1),"
+        f" rk AS (SELECT doc_id, s, seg, row_number()"
+        f"   OVER (PARTITION BY md5(seg) ORDER BY doc_id, s) AS rn FROM seg)"
+        f" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,"
+        f"  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,"
+        f"  coalesce(string_agg(seg, ' ' ORDER BY s) FILTER (WHERE rn = 1), '')"
+        f"   AS text_dedup"
+        f" FROM rk GROUP BY doc_id"
+    ),
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus segment dedup with document reconstruction (the
+    CCNet paragraph-hash pattern): explode each document into
+    SEG_WORDS-token segments, keep only the corpus-wide FIRST occurrence
+    of each segment hash (ordered by doc_id, then position), and
+    re-assemble every document from its surviving segments in order. A
+    fully-duplicated document comes back as an empty string, partial
+    boilerplate is stripped in place.
+
+    Scale shape: segments shuffle once on md5(seg) for the first-wins
+    window (the same key-partitioned rank used by dedup_latest), then
+    once on doc_id for reconstruction — two narrow shuffles, no
+    all-pairs, no driver state. Order inside the rebuilt text is pinned
+    by sorting the collected (s, seg) structs, not by collect order,
+    so the result is deterministic under any task scheduling. At
+    100 TB the segment table is ~corpus-sized (each token appears in
+    exactly one segment, unlike shingling's ×k blowup)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 1
+    )
+    seg = tok.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"(size(t)+{SEG_WORDS}-1) div {SEG_WORDS}") - 1
+            )
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        "s",
+        F.expr(f"array_join(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}), ' ')").alias(
+            "seg"
+        ),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "s")
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("s"), F.col("seg"))
+    )  # no otherwise → NULL, and collect_list drops NULLs
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+# --------------------------------- duplicated-span detection (substring)
+
+# Exact-substring duplication audit (the metric behind suffix-array
+# dedup, Lee et al. 2022, restated scalably): a position in a document
+# is "duplicated" if the SPAN_WORDS-token shingle starting there also
+# occurs in at least one OTHER document. Reported per document as a
+# count and an integer parts-per-million ratio — no floating point
+# anywhere, so the oracle is exact by construction.
+SPAN_WORDS = 8
+
+
+@query(
+    "dedup_substring",
+    oracle=(
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),"
+        f" sh AS (SELECT doc_id, s,"
+        f"   md5(array_to_string(t[s:s+{SPAN_WORDS}-1], ' ')) AS h"
+        f"  FROM tk, unnest(range(1, len(t) - {SPAN_WORDS} + 2)) AS u(s)"
+        f"  WHERE len(t) >= {SPAN_WORDS}),"
+        f" df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)"
+        f" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,"
+        f"  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,"
+        f"  (CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)"
+        f"   // CAST(count(*) AS BIGINT) AS dup_ppm"
+        f" FROM sh JOIN df USING (h) GROUP BY doc_id"
+    ),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of token
+    positions whose SPAN_WORDS-token exact shingle appears in any other
+    document. Documents shorter than SPAN_WORDS tokens have no
+    denominator and are excluded. The ratio is integer ppm (floor), so
+    every output column is a bigint.
+
+    Scale shape: one shuffle to aggregate shingle → distinct-doc count,
+    one hash equi-join back to positions, one shuffle to the per-doc
+    rollup. The document-frequency side carries two narrow columns
+    (hash, count); nothing is pairwise. At 100 TB the df table is the
+    reusable artifact (it is the same structure contamination_ngram
+    probes), and hot boilerplate shingles cost O(occurrences), not
+    O(occurrences²), because positions join the COUNT, never each
+    other."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= SPAN_WORDS
+    )
+    sh = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - SPAN_WORDS + 1)).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        F.expr(f"md5(array_join(slice(t, s, {SPAN_WORDS}), ' '))").alias("h"),
+    )
+    sh = _pin(sh, spark)  # two consumers: df aggregate + position join
+    df_h = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        sh.join(df_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.expr("(n_dup * CAST(1000000 AS BIGINT)) div n_shingles").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------ PII scrub
+
+# Regex-based PII redaction — the pass every training-data pipeline
+# runs before packing. The driver corpus is synthetic word soup with no
+# PII, so the query plants a deterministic email / phone / IPv4 per
+# document (derived from doc_id, identically in both dialects) and then
+# scrubs it: the assertion is that the REDACTION MACHINERY (patterns,
+# replacement order, counts) matches across engines, on text where the
+# expected counts are known to be nonzero. Patterns are RE2-safe (no
+# backrefs/lookaround) so Java regex and DuckDB RE2 agree.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_INJ_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    " '@mail.example.com or call 555-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' from 10.', CAST(doc_id % 200 AS STRING),"
+    " '.0.', CAST(doc_id % 250 AS STRING))"
+)
+_INJ_DUCK = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+    " '@mail.example.com or call 555-',"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " ' from 10.', CAST(doc_id % 200 AS VARCHAR),"
+    " '.0.', CAST(doc_id % 250 AS VARCHAR))"
+)
+
+
+@query(
+    "pii_scrub",
+    oracle=(
+        f"WITH inj AS (SELECT doc_id, {_INJ_DUCK} AS raw FROM documents)"
+        f" SELECT doc_id,"
+        f"  CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT)"
+        f"   AS n_email,"
+        f"  CAST(len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS BIGINT)"
+        f"   AS n_phone,"
+        f"  CAST(len(regexp_extract_all(raw, '{PII_IP_RE}')) AS BIGINT) AS n_ip,"
+        f"  regexp_replace(regexp_replace(regexp_replace(raw,"
+        f"   '{PII_EMAIL_RE}', '<EMAIL>', 'g'),"
+        f"   '{PII_PHONE_RE}', '<PHONE>', 'g'),"
+        f"   '{PII_IP_RE}', '<IP>', 'g') AS scrubbed"
+        f" FROM inj"
+    ),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with audit counts: detect emails, NNN-NNNN phone
+    fragments, and IPv4 literals; count each (from the pre-scrub text)
+    and replace them with typed placeholder tokens, email → phone → ip
+    in a fixed order so overlapping matches resolve identically
+    everywhere.
+
+    Scale shape: pure per-row regex projection — no shuffle, no Python,
+    runs at scan speed inside whole-stage codegen and composes with the
+    corpus pipeline as an extra map stage. At 100 TB this is exactly
+    the shape you want: redaction cost is one streaming pass fused into
+    whatever scan already reads the text."""
+    docs = _docs(spark, sf_dir)
+    raw = F.expr(_INJ_SPARK)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(raw, F.lit(PII_PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count(raw, F.lit(PII_IP_RE)).cast("long").alias("n_ip"),
+        scrubbed.alias("scrubbed"),
+    )

@@ -1874,3 +1874,150 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(PII_IP_RE)).cast("long").alias("n_ip"),
         scrubbed.alias("scrubbed"),
     )
+
+
+# ------------------------------------- end-to-end pretraining pipeline
+
+# The full corpus-preparation story in ONE declarative plan, chaining
+# the round-4 operators in production order: PII scrub → Gopher-style
+# repetition gate → cross-corpus paragraph dedup → per-language token
+# accounting. Each stage is individually oracle-proven above
+# (pii_scrub, quality_repetition, dedup_paragraph); this query proves
+# the COMPOSITION — Catalyst fuses the scrub + tokenize + gate into the
+# scan, so the whole pipeline costs the same two shuffles as
+# dedup_paragraph alone plus the final 5-row rollup.
+
+_SCRUB_DUCK = (
+    f"regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{PII_EMAIL_RE}', '<EMAIL>', 'g'),"
+    f" '{PII_PHONE_RE}', '<PHONE>', 'g'),"
+    f" '{PII_IP_RE}', '<IP>', 'g')"
+)
+
+
+@query(
+    "pipeline_pretrain",
+    oracle=(
+        f"WITH scrub AS (SELECT doc_id, lang, {_SCRUB_DUCK} AS text"
+        f"  FROM documents),"
+        f" tk AS (SELECT doc_id, lang, {_D_TOKS} AS t FROM scrub),"
+        f" kept AS (SELECT doc_id, lang, t FROM tk WHERE len(t) >= 2"
+        f"  AND len(t) BETWEEN {MIN_WORDS} AND {MAX_WORDS}"
+        f"  AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)"
+        f"      > {MIN_DISTINCT_RATIO}"
+        f"  AND CAST(len({_D_BIGRAMS_T}) - len(list_distinct({_D_BIGRAMS_T}))"
+        f"       AS DOUBLE) / CAST(len({_D_BIGRAMS_T}) AS DOUBLE)"
+        f"      < {MAX_DUP_BIGRAM_FRAC}),"
+        f" seg AS (SELECT doc_id, lang, s,"
+        f"   array_to_string(t[(s*{SEG_WORDS}+1):(s*{SEG_WORDS}+{SEG_WORDS})], ' ')"
+        f"    AS seg,"
+        f"   len(t[(s*{SEG_WORDS}+1):(s*{SEG_WORDS}+{SEG_WORDS})]) AS nw"
+        f"  FROM kept, unnest(range(0, (len(t)+{SEG_WORDS}-1)//{SEG_WORDS}))"
+        f"   AS u(s)),"
+        f" rk AS (SELECT *, row_number()"
+        f"   OVER (PARTITION BY md5(seg) ORDER BY doc_id, s) AS rn FROM seg),"
+        f" pipe AS (SELECT lang,"
+        f"   CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_kept,"
+        f"   CAST(count(*) AS BIGINT) AS segs_total,"
+        f"   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS segs_kept,"
+        f"   CAST(sum(CASE WHEN rn = 1 THEN nw ELSE 0 END) AS BIGINT)"
+        f"    AS tokens_out"
+        f"  FROM rk GROUP BY lang),"
+        f" base AS (SELECT lang, CAST(count(*) AS BIGINT) AS docs_in"
+        f"  FROM documents GROUP BY lang)"
+        f" SELECT base.lang, docs_in,"
+        f"  coalesce(docs_kept, 0) AS docs_kept,"
+        f"  coalesce(segs_total, 0) AS segs_total,"
+        f"  coalesce(segs_kept, 0) AS segs_kept,"
+        f"  coalesce(tokens_out, 0) AS tokens_out"
+        f" FROM base LEFT JOIN pipe ON base.lang = pipe.lang"
+    ),
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining corpus preparation, per language: scrub
+    PII placeholders into the text, drop documents failing the
+    repetition quality gate (word-count bounds, distinct-word ratio,
+    duplicate-bigram fraction — quality_repetition's exact rules),
+    strip corpus-wide duplicate segments (dedup_paragraph's first-wins
+    rule), and account the surviving token budget.
+
+    Scale shape: scrub + tokenize + gate are all fused into the single
+    document scan (no extra pass for composing three 'operators');
+    the only shuffles are the segment-hash window and the per-language
+    rollup. docs_in comes from a second, column-pruned scan that reads
+    only `lang`. This is the plan a 100 TB pretraining ingest actually
+    runs nightly — the per-stage queries above exist so each rule is
+    independently verifiable, this one proves they compose without a
+    materialization between stages."""
+    docs = _docs(spark, sf_dir)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    tk = docs.select("doc_id", "lang", ta.ws_tokens(scrub).alias("t"))
+    t = F.col("t")
+    n = F.size(t)
+    # Guarded by a lazily-evaluated CASE: for n < 2, sequence(1, n-1)
+    # counts DOWN (Spark's descending-sequence gotcha) and element_at
+    # would read past the array under ANSI mode. Short docs take the
+    # empty branch and fail the keep gate on the word-count bound.
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n.cast("double")
+    n_bi = F.size(bigrams)
+    dup_frac = (n_bi - F.size(F.array_distinct(bigrams))).cast(
+        "double"
+    ) / n_bi.cast("double")
+    kept = tk.filter(
+        (n >= 2)
+        & n.between(MIN_WORDS, MAX_WORDS)
+        & (distinct_ratio > MIN_DISTINCT_RATIO)
+        & (dup_frac < MAX_DUP_BIGRAM_FRAC)
+    )
+    seg = kept.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"(size(t)+{SEG_WORDS}-1) div {SEG_WORDS}") - 1
+            )
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        "lang",
+        "s",
+        F.expr(f"array_join(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}), ' ')").alias(
+            "seg"
+        ),
+        F.expr(f"size(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}))").alias("nw"),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "s")
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    pipe = ranked.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("docs_kept"),
+        F.count("*").alias("segs_total"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("segs_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.col("nw")).otherwise(0)).alias(
+            "tokens_out"
+        ),
+    )
+    base = docs.groupBy("lang").agg(F.count("*").alias("docs_in"))
+    return base.join(pipe, "lang", "left").select(
+        "lang",
+        "docs_in",
+        F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+        F.coalesce("segs_total", F.lit(0)).alias("segs_total"),
+        F.coalesce("segs_kept", F.lit(0)).alias("segs_kept"),
+        F.coalesce("tokens_out", F.lit(0)).alias("tokens_out"),
+    )

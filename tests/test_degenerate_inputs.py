@@ -48,6 +48,10 @@ DOC_QUERIES = [
     "text_tfidf",
     "contamination_ngram",
     "pack_sequences",
+    "dedup_paragraph",
+    "dedup_substring",
+    "pii_scrub",
+    "pipeline_pretrain",
     "multimodal_cols",
     "multimodal_features",
     "multimodal_decode",

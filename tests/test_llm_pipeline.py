@@ -521,7 +521,7 @@ def test_bpe_merges_match_pure_python_reference(spark):
 
 def test_ann_recall_floor(spark):
     """Round-4 quality gate: the multi-table multi-probe LSH and the
-    n_probe=8 IVF must keep recall@10 >= 0.5 on the driver corpus
+    n_probe=16 IVF must keep recall@10 >= 0.5 on the driver corpus
     (measured 0.68 / 0.88 at sf0.001, 0.74 / 0.80 at sf0.01). A
     parameter regression — fewer tables, a broken probe expansion, a
     quantizer change — trips this before the judge's sim_recall read
@@ -631,3 +631,30 @@ def test_pq_topk_matches_bruteforce_on_rerank_survivors(spark):
             hits += 1
             assert r["score"] == bf[key]
     assert hits >= 25  # recall floor, counted directly
+
+
+def test_pipeline_pretrain_composition(spark, monkeypatch):
+    """The composed pipeline must agree with its stage queries: per-lang
+    token budget equals the sum over kept docs of surviving segment
+    sizes, and a fully-duplicated doc contributes docs_kept but no
+    tokens."""
+    import dist_mapreduce_spark.plans.llm_pipeline as lp
+
+    seg_a = "a b c d e f g h i j k l"
+    seg_b = "m n o p q r s t u v w x"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{seg_a} {seg_b}", "en"),
+            (20, f"{seg_a} {seg_b}", "de"),      # full dup of doc 0
+            (30, "tiny", "en"),                  # fails MIN_WORDS gate
+        ],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(lp, "_docs", lambda s, d: docs)
+    rows = {r["lang"]: r for r in _q("pipeline_pretrain")(spark, SF).collect()}
+    assert rows["en"]["docs_in"] == 2 and rows["en"]["docs_kept"] == 1
+    assert rows["en"]["segs_kept"] == 2 and rows["en"]["tokens_out"] == 24
+    # doc 20 passes quality but every segment is a corpus-level dup
+    assert rows["de"]["docs_kept"] == 1
+    assert rows["de"]["segs_total"] == 2
+    assert rows["de"]["segs_kept"] == 0 and rows["de"]["tokens_out"] == 0

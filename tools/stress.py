@@ -38,6 +38,15 @@ DEFAULT_QUERIES = (
     "multimodal_decode",
     "multimodal_video",
     "ts_ohlc_bars",
+    # round-4 operators: paragraph dedup (replication makes every
+    # segment a rep-way duplicate — the worst case for the first-wins
+    # window), substring audit (every shingle becomes cross-doc
+    # duplicated), PII scrub (pure map — must be exactly linear), and
+    # PQ ANN (encode is map-side; the ADC window is the only shuffle).
+    "dedup_paragraph",
+    "dedup_substring",
+    "pii_scrub",
+    "sim_topk_pq",
 )
 
 

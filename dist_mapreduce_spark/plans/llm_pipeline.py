@@ -2021,3 +2021,104 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("segs_kept", F.lit(0)).alias("segs_kept"),
         F.coalesce("tokens_out", F.lit(0)).alias("tokens_out"),
     )
+
+
+# ----------------------------------------------------- BPE apply/encode
+
+def _bpe_encode_oracle() -> str:
+    """Encode the corpus with the merges learned by `_bpe_oracle`'s
+    training CTEs: re-derive b0..b{k-1}, then apply them in rank order
+    to each DISTINCT word's wrapped symbol string (vocab-sized work,
+    the same '|a||b|' replace trick), and join the per-word symbol
+    count back to the corpus word stream. Rounds whose argmax CTE is
+    empty (degenerate corpora) leave the symbols untouched — matching
+    the Spark loop's early break."""
+    # _bpe_oracle returns "WITH <ctes> <finals-union>"; keep everything
+    # up to the final union's first SELECT — the training CTEs incl.
+    # the b0..b{k-1} argmax rows.
+    train = _bpe_oracle()
+    train_ctes = train[len("WITH ") :].split(" UNION ALL SELECT ")[0]
+    train_ctes = train_ctes[: train_ctes.rindex(" SELECT ")]
+    enc_ctes = [
+        f"w AS (SELECT doc_id, unnest({_BPE_TOK_D}) AS word FROM documents)",
+        "dw AS (SELECT DISTINCT word FROM w)",
+        "e0 AS (SELECT word,"
+        " '|' || array_to_string(list_append(list_transform("
+        "   range(1, length(word)+1), i -> word[i]), '</w>'), '||') || '|' AS sym"
+        " FROM dw)",
+    ]
+    for r in range(BPE_MERGES):
+        pat = f"'|' || (SELECT a FROM b{r}) || '||' || (SELECT b FROM b{r}) || '|'"
+        rep = f"'|' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || '|'"
+        enc_ctes.append(
+            f"e{r + 1} AS (SELECT word,"
+            f" CASE WHEN (SELECT count(*) FROM b{r}) = 0 THEN sym"
+            f"  ELSE replace(sym, {pat}, {rep}) END AS sym FROM e{r})"
+        )
+    enc_ctes.append(
+        f"enc AS (SELECT word,"
+        f" CAST(len(string_split(sym[2:length(sym)-1], '||')) AS BIGINT) AS n_sym"
+        f" FROM e{BPE_MERGES})"
+    )
+    return (
+        "WITH " + train_ctes + ", " + ", ".join(enc_ctes)
+        + " SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+        " CAST(sum(length(w.word)) AS BIGINT) AS n_chars,"
+        " CAST(sum(enc.n_sym) AS BIGINT) AS n_bpe"
+        " FROM w JOIN enc ON w.word = enc.word GROUP BY w.doc_id"
+    )
+
+
+@query("bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer to the corpus — the step that
+    turns `bpe_train_merges`' learned rules into per-document token
+    budgets (the number every pretraining data plan is denominated
+    in). Per document: whitespace-free word count, character count,
+    and the BPE token count after applying all learned merges in rank
+    order. Documents with no alphabetic tokens are excluded (no words
+    to encode).
+
+    Scale shape: merges are the TRAINED ARTIFACT — a handful of rows
+    pulled once to the driver (the 'load tokenizer' step) and inlined
+    as literal replaces; encoding runs over the DISTINCT-WORD vocab
+    (orders of magnitude smaller than the corpus), and the corpus is
+    touched twice, both as narrow word streams: once to build the
+    vocab, once to join each word's cached symbol count back for the
+    per-doc rollup. No Python anywhere — the '|a||b|' wrapped-replace
+    is the same codegen'd expression the trainer uses, so train and
+    encode cannot drift."""
+    from dist_mapreduce_spark.operators.wordcount import TOKEN_SEP
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(
+            q_bpe_train_merges(spark, sf_dir).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", TOKEN_SEP)).alias("word")
+    ).filter(F.col("word") != "")
+    words = _pin(words, spark)  # two consumers: vocab build + final join
+    wrapped = (
+        "concat('|', array_join(concat(transform(sequence(1, length(word)),"
+        " i -> substr(word, i, 1)), array('</w>')), '||'), '|')"
+    )
+    enc = words.select("word").distinct().selectExpr("word", f"{wrapped} AS sym")
+    for a, b in merges:
+        enc = enc.selectExpr(
+            "word", f"replace(sym, '|{a}||{b}|', '|{a}{b}|') AS sym"
+        )
+    arr = "split(substring(sym, 2, length(sym)-2), '\\\\|\\\\|')"
+    enc = enc.selectExpr("word", f"CAST(size({arr}) AS BIGINT) AS n_sym")
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe"),
+        )
+    )

@@ -41,6 +41,7 @@ DOC_QUERIES = [
     "dedup_incremental",
     "domain_cap_sample",
     "bpe_train_merges",
+    "bpe_encode",
     "cooccurrence_pmi",
     "bigram_colloc",
     "inverted_index",

@@ -658,3 +658,71 @@ def test_pipeline_pretrain_composition(spark, monkeypatch):
     assert rows["de"]["docs_kept"] == 1
     assert rows["de"]["segs_total"] == 2
     assert rows["de"]["segs_kept"] == 0 and rows["de"]["tokens_out"] == 0
+
+
+def test_bpe_encode_matches_pure_python_reference(spark):
+    """Re-run the textbook list-based BPE (train + encode) and require
+    the registered bpe_encode's per-document token counts to agree
+    exactly — the wrapped-string replace trick must equal greedy
+    leftmost merging when APPLIED, not just when trained."""
+    import re
+    from collections import Counter
+
+    from dist_mapreduce_spark.plans.llm_pipeline import BPE_MERGES
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    vocab = Counter()
+    doc_words = {}
+    for r in rows:
+        ws = [w for w in re.split(r"[^a-zA-Z]+", r["text"]) if w]
+        doc_words[r["doc_id"]] = ws
+        vocab.update(ws)
+    syms = {w: list(w) + ["</w>"] for w in vocab}
+
+    def merge_all(a, b):
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    for _ in range(BPE_MERGES):
+        pairs: Counter = Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        (a, b), _total = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merge_all(a, b)
+
+    expected = {
+        d: (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(len(syms[w]) for w in ws),
+        )
+        for d, ws in doc_words.items()
+        if ws
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe"])
+        for r in _q("bpe_encode")(spark, SF).collect()
+    }
+    assert got == expected
+    # merges must actually compress: strictly fewer symbols than the
+    # unmerged char+</w> baseline, somewhere in the corpus
+    assert any(
+        g[2] < g[1] + g[0] for g in got.values()
+    ), "no merge ever applied"

@@ -89,3 +89,37 @@ def test_tpch_q3_broadcasts_dims(spark):
     assert info["sortmerge_joins"] == 0, info
     assert info["broadcast_joins"] >= 2, info
     assert info["pushed_filters"], info
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """Redaction must stay a zero-shuffle, zero-Python projection —
+    the 'fused into the scan' claim in its docstring, literally."""
+    info = _audit(spark, "pii_scrub")
+    assert info["shuffles"] == 0, info
+    assert info["python_stages"] == 0, info
+
+
+def test_dedup_paragraph_two_narrow_shuffles(spark):
+    """Segment-hash window + doc reconstruction: exactly two exchanges
+    (AQE may not fold either — both change the partitioning key), no
+    Python, one pruned scan."""
+    info = _audit(spark, "dedup_paragraph")
+    assert info["shuffles"] <= 2, info
+    assert info["python_stages"] == 0, info
+    assert info["sortmerge_joins"] == 0, info
+
+
+def test_dedup_substring_joins_counts_not_positions(spark):
+    """The df table joins back by hash — no cartesian, no Python."""
+    info = _audit(spark, "dedup_substring")
+    assert info["python_stages"] == 0, info
+    assert info["sortmerge_joins"] == 0, info
+
+
+def test_pq_plan_stays_jvm_side(spark):
+    """Encode + ADC are literal expressions: no Python stage anywhere,
+    and the rerank join must broadcast the query batch."""
+    info = _audit(spark, "sim_topk_pq")
+    assert info["python_stages"] == 0, info
+    assert info["broadcast_joins"] >= 1, info
+    assert info["sortmerge_joins"] == 0, info

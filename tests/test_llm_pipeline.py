@@ -726,3 +726,86 @@ def test_bpe_encode_matches_pure_python_reference(spark):
     assert any(
         g[2] < g[1] + g[0] for g in got.values()
     ), "no merge ever applied"
+
+
+@pytest.mark.parametrize("seed", [7, 81, 2026])
+def test_dedup_paragraph_matches_python_reference(spark, monkeypatch, seed):
+    """Randomized corpus from a 5-word vocab (heavy segment collisions
+    by construction) vs a direct Python implementation of the same
+    first-wins rule."""
+    import random
+
+    import dist_mapreduce_spark.plans.llm_pipeline as lp
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(30)
+    ]
+    W = lp.SEG_WORDS
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in docs:
+        words = text.split()
+        segs = [
+            " ".join(words[s * W : (s + 1) * W])
+            for s in range((len(words) + W - 1) // W)
+        ]
+        kept = []
+        for seg in segs:
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        expected[doc_id] = (len(segs), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(lp, "_docs", lambda s, d: df)
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["text_dedup"])
+        for r in _q("dedup_paragraph")(spark, SF).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [13, 450])
+def test_dedup_substring_matches_python_reference(spark, monkeypatch, seed):
+    import random
+
+    import dist_mapreduce_spark.plans.llm_pipeline as lp
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(25)
+    ]
+    L = lp.SPAN_WORDS
+    by_doc = {}
+    shingle_docs: dict[str, set[int]] = {}
+    for doc_id, text in docs:
+        words = text.split()
+        shingles = [
+            " ".join(words[s : s + L]) for s in range(len(words) - L + 1)
+        ]
+        by_doc[doc_id] = shingles
+        for sh in shingles:
+            shingle_docs.setdefault(sh, set()).add(doc_id)
+    expected = {}
+    for doc_id, shingles in by_doc.items():
+        if not shingles:
+            continue  # < L tokens: excluded
+        n_dup = sum(1 for sh in shingles if len(shingle_docs[sh]) > 1)
+        expected[doc_id] = (
+            len(shingles),
+            n_dup,
+            n_dup * 1_000_000 // len(shingles),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(lp, "_docs", lambda s, d: df)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_ppm"])
+        for r in _q("dedup_substring")(spark, SF).collect()
+    }
+    assert got == expected

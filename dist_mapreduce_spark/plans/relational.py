@@ -1114,3 +1114,87 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("runmax").isNull() | (F.col("p_size") > F.col("runmax")))
         .select("price", "p_size", "n_parts", "min_partkey")
     )
+
+
+# ------------------------------------- incremental aggregate maintenance
+
+# Incremental view maintenance — the production pattern behind every
+# nightly rollup: keep a per-key STATE table of mergeable partials
+# (count / decimal sum / min / max), aggregate only the NEW BATCH, and
+# merge. The oracle is the FULL recompute over all events, so the gate
+# proves merge(state, delta) == recompute — the algebraic property that
+# makes a 100 TB metric table maintainable by touching only the day's
+# delta. Batch split mirrors dedup_incremental (event_id % 5 == 4).
+AGGI_MOD, AGGI_REM = 5, 4
+
+
+@query(
+    "agg_incremental",
+    oracle=(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+        " CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,"
+        " CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,"
+        " CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value"
+        " FROM events GROUP BY user_id"
+    ),
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a maintained per-user aggregate state with a new-batch
+    delta and return the merged table — which the oracle checks against
+    a from-scratch recompute. Counts add; sums add EXACTLY (decimal
+    partials, so merge order cannot reorder float error — the same
+    guarantee agg_salted relies on); min/max combine with NULL-skipping
+    CASE logic (a key seen only in history, only in the batch, or with
+    all-NULL values on one side must merge totally). The full-outer
+    merge join is null-safe (<=>) so a NULL user key merges as one
+    group, exactly as GROUP BY treats it.
+
+    Scale shape: history is NEVER re-scanned as raw events — its side
+    of the merge is the state table (one narrow row per key); the only
+    full-width pass is over the delta. At 100 TB this turns a daily
+    metric refresh from an O(corpus) recompute into O(delta) + an
+    equi-join on the key — and the oracle equality IS the proof the
+    shortcut is lossless."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    is_batch = F.col("event_id") % AGGI_MOD == AGGI_REM
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    state = _partial(ev.filter(~is_batch)).alias("h")
+    delta = _partial(ev.filter(is_batch)).alias("d")
+    merged = state.join(
+        delta, F.col("h.user_id").eqNullSafe(F.col("d.user_id")), "full_outer"
+    )
+
+    def _nz(side: str, col: str):
+        return F.coalesce(F.col(f"{side}.{col}"), F.lit(0))
+
+    def _skip_null(col: str, fn):
+        a, b = F.col(f"h.{col}"), F.col(f"d.{col}")
+        return (
+            F.when(a.isNull(), b).when(b.isNull(), a).otherwise(fn(a, b))
+        )
+
+    return merged.select(
+        F.coalesce(F.col("h.user_id"), F.col("d.user_id")).alias("user_id"),
+        (_nz("h", "cnt") + _nz("d", "cnt")).alias("n_events"),
+        F.when(
+            F.col("h.s").isNull() & F.col("d.s").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.coalesce(F.col("h.s"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("sum_value"),
+        _skip_null("mn", F.least).cast("double").alias("min_value"),
+        _skip_null("mx", F.greatest).cast("double").alias("max_value"),
+    )

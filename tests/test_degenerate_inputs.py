@@ -135,6 +135,7 @@ EVENT_QUERIES = [
     "rolling_active_users",
     "ts_ohlc_bars",
     "approx_distinct",
+    "agg_incremental",
 ]
 
 

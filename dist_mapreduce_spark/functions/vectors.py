@@ -68,11 +68,6 @@ def l2sq_duckdb_sql(a: str, b: str) -> str:
     )
 
 
-def dot_spark_sql(a: str, b: str) -> str:
-    """Public alias for the sequential-fold dot product (Spark)."""
-    return _dot_spark(a, b)
-
-
 def dot_duckdb_sql(a: str, b: str) -> str:
     """Public alias for the sequential-fold dot product (DuckDB)."""
     return _dot_duckdb(a, b)

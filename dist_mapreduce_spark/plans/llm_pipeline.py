@@ -981,6 +981,48 @@ MAX_DUP_BIGRAM_FRAC = 0.5
 
 _D_BIGRAMS_T = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
 
+#: DuckDB keep-predicate over a token list `t` — ONE definition shared
+#: by the quality_repetition and pipeline_pretrain oracles so the gate
+#: cannot drift between the per-stage query and the composed pipeline.
+_D_KEEP = (
+    f"(len(t) BETWEEN {MIN_WORDS} AND {MAX_WORDS})"
+    f" AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)"
+    f"     > {MIN_DISTINCT_RATIO}"
+    f" AND CAST(len({_D_BIGRAMS_T}) - len(list_distinct({_D_BIGRAMS_T}))"
+    f"          AS DOUBLE) / CAST(len({_D_BIGRAMS_T}) AS DOUBLE)"
+    f"     < {MAX_DUP_BIGRAM_FRAC}"
+)
+
+
+def _repetition_metrics(t):
+    """(n, distinct_ratio, dup_bigram_frac, keep) Columns over a token
+    array — the Spark twin of `_D_KEEP`, shared by quality_repetition
+    and pipeline_pretrain. Bigrams are guarded by a lazily-evaluated
+    CASE: for n < 2, sequence(1, n-1) counts DOWN (Spark's descending-
+    sequence gotcha) and element_at would read past the array under
+    ANSI mode; short docs take the empty branch and fail `keep` on the
+    MIN_WORDS bound (dup_bigram_frac is NaN there — total, not an
+    error)."""
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n.cast("double")
+    n_bi = F.size(bigrams)
+    dup_frac = (n_bi - F.size(F.array_distinct(bigrams))).cast(
+        "double"
+    ) / n_bi.cast("double")
+    keep = (
+        n.between(MIN_WORDS, MAX_WORDS)
+        & (distinct_ratio > MIN_DISTINCT_RATIO)
+        & (dup_frac < MAX_DUP_BIGRAM_FRAC)
+    )
+    return n, distinct_ratio, dup_frac, keep
+
 
 @query(
     "quality_repetition",
@@ -991,12 +1033,7 @@ _D_BIGRAMS_T = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
         f"   AS distinct_ratio,"
         f"  CAST(len({_D_BIGRAMS_T}) - len(list_distinct({_D_BIGRAMS_T})) AS DOUBLE)"
         f"   / CAST(len({_D_BIGRAMS_T}) AS DOUBLE) AS dup_bigram_frac,"
-        f"  (len(t) BETWEEN {MIN_WORDS} AND {MAX_WORDS})"
-        f"   AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)"
-        f"       > {MIN_DISTINCT_RATIO}"
-        f"   AND CAST(len({_D_BIGRAMS_T}) - len(list_distinct({_D_BIGRAMS_T}))"
-        f"            AS DOUBLE) / CAST(len({_D_BIGRAMS_T}) AS DOUBLE)"
-        f"       < {MAX_DUP_BIGRAM_FRAC} AS keep"
+        f"  {_D_KEEP} AS keep"
         f" FROM tk WHERE len(t) >= 2"
     ),
 )
@@ -1011,22 +1048,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )
-    t = F.col("t")
-    n = F.size(t)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n.cast("double")
-    n_bi = F.size(bigrams)
-    dup_frac = (n_bi - F.size(F.array_distinct(bigrams))).cast("double") / n_bi.cast(
-        "double"
-    )
-    keep = (
-        n.between(MIN_WORDS, MAX_WORDS)
-        & (distinct_ratio > MIN_DISTINCT_RATIO)
-        & (dup_frac < MAX_DUP_BIGRAM_FRAC)
-    )
+    n, distinct_ratio, dup_frac, keep = _repetition_metrics(F.col("t"))
     return tok.select(
         "doc_id",
         n.alias("n_words"),
@@ -1371,6 +1393,15 @@ BPE_MERGES = 5
 #: wordcount/bigram_colloc tokenizer, operators/wordcount.py:32).
 _BPE_TOK_D = "list_filter(string_split_regex(text, '[^a-zA-Z]+'), w -> w <> '')"
 
+#: Spark twins shared by the BPE TRAINER and ENCODER — one definition
+#: each, so the wrapped-symbol representation and the symbol-splitting
+#: regex cannot drift between training and application.
+_BPE_WRAP_SPARK = (
+    "concat('|', array_join(concat(transform(sequence(1, length(word)),"
+    " i -> substr(word, i, 1)), array('</w>')), '||'), '|')"
+)
+_BPE_ARR_SPARK = "split(substring(sym, 2, length(sym)-2), '\\\\|\\\\|')"
+
 
 def _bpe_oracle() -> str:
     """Unrolled BPE training in one DuckDB statement: v0 is the
@@ -1444,18 +1475,14 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(F.split("text", TOKEN_SEP)).alias("word")).filter(
         F.col("word") != ""
     )
-    wrapped = (
-        "concat('|', array_join(concat(transform(sequence(1, length(word)),"
-        " i -> substr(word, i, 1)), array('</w>')), '||'), '|')"
-    )
     vocab = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .selectExpr("cnt", f"{wrapped} AS sym")
+        .selectExpr("cnt", f"{_BPE_WRAP_SPARK} AS sym")
         .cache()
     )
     cur = vocab
-    arr = "split(substring(sym, 2, length(sym)-2), '\\\\|\\\\|')"
+    arr = _BPE_ARR_SPARK
     pairs_expr = (
         f"slice(transform(sequence(1, greatest(size({arr})-1, 1)),"
         f" i -> named_struct('a', try_element_at({arr}, i),"
@@ -1651,15 +1678,47 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and each document is re-assembled from its surviving segments.
 SEG_WORDS = 12
 
+#: DuckDB segment fragments over a token list `t` — shared by the
+#: dedup_paragraph and pipeline_pretrain oracles.
+_D_SEG_SLICE = f"t[(s*{SEG_WORDS}+1):(s*{SEG_WORDS}+{SEG_WORDS})]"
+_D_SEG_RANGE = f"unnest(range(0, (len(t)+{SEG_WORDS}-1)//{SEG_WORDS})) AS u(s)"
+
+
+def _explode_segments(tok: DataFrame, with_nw: bool = False) -> DataFrame:
+    """Explode a (…, t) token frame into SEG_WORDS-token segments —
+    (…, s, seg[, nw]) — the Spark twin of `_D_SEG_SLICE`/`_D_SEG_RANGE`,
+    shared by dedup_paragraph and pipeline_pretrain."""
+    passthrough = [c for c in tok.columns if c != "t"]
+    with_s = tok.select(
+        *passthrough,
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"(size(t)+{SEG_WORDS}-1) div {SEG_WORDS}") - 1
+            )
+        ).alias("s"),
+        "t",
+    )
+    out = [
+        *passthrough,
+        "s",
+        F.expr(f"array_join(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}), ' ')").alias(
+            "seg"
+        ),
+    ]
+    if with_nw:
+        out.append(
+            F.expr(f"size(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}))").alias("nw")
+        )
+    return with_s.select(*out)
+
 
 @query(
     "dedup_paragraph",
     oracle=(
         f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),"
         f" seg AS (SELECT doc_id, s,"
-        f"   array_to_string(t[(s*{SEG_WORDS}+1):(s*{SEG_WORDS}+{SEG_WORDS})], ' ')"
-        f"    AS seg"
-        f"  FROM tk, unnest(range(0, (len(t)+{SEG_WORDS}-1)//{SEG_WORDS})) AS u(s)"
+        f"   array_to_string({_D_SEG_SLICE}, ' ') AS seg"
+        f"  FROM tk, {_D_SEG_RANGE}"
         f"  WHERE len(t) >= 1),"
         f" rk AS (SELECT doc_id, s, seg, row_number()"
         f"   OVER (PARTITION BY md5(seg) ORDER BY doc_id, s) AS rn FROM seg)"
@@ -1691,21 +1750,7 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 1
     )
-    seg = tok.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.expr(f"(size(t)+{SEG_WORDS}-1) div {SEG_WORDS}") - 1
-            )
-        ).alias("s"),
-        "t",
-    ).select(
-        "doc_id",
-        "s",
-        F.expr(f"array_join(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}), ' ')").alias(
-            "seg"
-        ),
-    )
+    seg = _explode_segments(tok)
     w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "s")
     ranked = seg.withColumn("rn", F.row_number().over(w))
     kept_struct = F.when(
@@ -1811,15 +1856,18 @@ PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
 PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
+# coalesce(text, ''): Spark's concat NULL-propagates while DuckDB's
+# concat SKIPS NULL inputs — without the coalesce a NULL-text document
+# scrubs to NULL on one engine and to the injected suffix on the other.
 _INJ_SPARK = (
-    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    "concat(coalesce(text, ''), ' contact user', CAST(doc_id AS STRING),"
     " '@mail.example.com or call 555-',"
     " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
     " ' from 10.', CAST(doc_id % 200 AS STRING),"
     " '.0.', CAST(doc_id % 250 AS STRING))"
 )
 _INJ_DUCK = (
-    "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+    "concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR),"
     " '@mail.example.com or call 555-',"
     " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
     " ' from 10.', CAST(doc_id % 200 AS VARCHAR),"
@@ -1901,19 +1949,12 @@ _SCRUB_DUCK = (
         f"WITH scrub AS (SELECT doc_id, lang, {_SCRUB_DUCK} AS text"
         f"  FROM documents),"
         f" tk AS (SELECT doc_id, lang, {_D_TOKS} AS t FROM scrub),"
-        f" kept AS (SELECT doc_id, lang, t FROM tk WHERE len(t) >= 2"
-        f"  AND len(t) BETWEEN {MIN_WORDS} AND {MAX_WORDS}"
-        f"  AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)"
-        f"      > {MIN_DISTINCT_RATIO}"
-        f"  AND CAST(len({_D_BIGRAMS_T}) - len(list_distinct({_D_BIGRAMS_T}))"
-        f"       AS DOUBLE) / CAST(len({_D_BIGRAMS_T}) AS DOUBLE)"
-        f"      < {MAX_DUP_BIGRAM_FRAC}),"
+        f" kept AS (SELECT doc_id, lang, t FROM tk"
+        f"  WHERE len(t) >= 2 AND {_D_KEEP}),"
         f" seg AS (SELECT doc_id, lang, s,"
-        f"   array_to_string(t[(s*{SEG_WORDS}+1):(s*{SEG_WORDS}+{SEG_WORDS})], ' ')"
-        f"    AS seg,"
-        f"   len(t[(s*{SEG_WORDS}+1):(s*{SEG_WORDS}+{SEG_WORDS})]) AS nw"
-        f"  FROM kept, unnest(range(0, (len(t)+{SEG_WORDS}-1)//{SEG_WORDS}))"
-        f"   AS u(s)),"
+        f"   array_to_string({_D_SEG_SLICE}, ' ') AS seg,"
+        f"   len({_D_SEG_SLICE}) AS nw"
+        f"  FROM kept, {_D_SEG_RANGE}),"
         f" rk AS (SELECT *, row_number()"
         f"   OVER (PARTITION BY md5(seg) ORDER BY doc_id, s) AS rn FROM seg),"
         f" pipe AS (SELECT lang,"
@@ -1960,48 +2001,9 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<IP>",
     )
     tk = docs.select("doc_id", "lang", ta.ws_tokens(scrub).alias("t"))
-    t = F.col("t")
-    n = F.size(t)
-    # Guarded by a lazily-evaluated CASE: for n < 2, sequence(1, n-1)
-    # counts DOWN (Spark's descending-sequence gotcha) and element_at
-    # would read past the array under ANSI mode. Short docs take the
-    # empty branch and fail the keep gate on the word-count bound.
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n.cast("double")
-    n_bi = F.size(bigrams)
-    dup_frac = (n_bi - F.size(F.array_distinct(bigrams))).cast(
-        "double"
-    ) / n_bi.cast("double")
-    kept = tk.filter(
-        (n >= 2)
-        & n.between(MIN_WORDS, MAX_WORDS)
-        & (distinct_ratio > MIN_DISTINCT_RATIO)
-        & (dup_frac < MAX_DUP_BIGRAM_FRAC)
-    )
-    seg = kept.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.expr(f"(size(t)+{SEG_WORDS}-1) div {SEG_WORDS}") - 1
-            )
-        ).alias("s"),
-        "t",
-    ).select(
-        "doc_id",
-        "lang",
-        "s",
-        F.expr(f"array_join(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}), ' ')").alias(
-            "seg"
-        ),
-        F.expr(f"size(slice(t, s*{SEG_WORDS}+1, {SEG_WORDS}))").alias("nw"),
-    )
+    n, _dr, _df, keep = _repetition_metrics(F.col("t"))
+    kept = tk.filter((n >= 2) & keep)
+    seg = _explode_segments(kept, with_nw=True)
     w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "s")
     ranked = seg.withColumn("rn", F.row_number().over(w))
     pipe = ranked.groupBy("lang").agg(
@@ -2039,6 +2041,11 @@ def _bpe_encode_oracle() -> str:
     train = _bpe_oracle()
     train_ctes = train[len("WITH ") :].split(" UNION ALL SELECT ")[0]
     train_ctes = train_ctes[: train_ctes.rindex(" SELECT ")]
+    # Guard the string surgery against a future _bpe_oracle reshape:
+    # the slice must end exactly at the last argmax CTE.
+    assert train_ctes.rstrip().endswith(")") and f"b{BPE_MERGES - 1} AS" in train_ctes, (
+        "bpe_encode oracle surgery out of sync with _bpe_oracle"
+    )
     enc_ctes = [
         f"w AS (SELECT doc_id, unnest({_BPE_TOK_D}) AS word FROM documents)",
         "dw AS (SELECT DISTINCT word FROM w)",
@@ -2102,17 +2109,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", TOKEN_SEP)).alias("word")
     ).filter(F.col("word") != "")
     words = _pin(words, spark)  # two consumers: vocab build + final join
-    wrapped = (
-        "concat('|', array_join(concat(transform(sequence(1, length(word)),"
-        " i -> substr(word, i, 1)), array('</w>')), '||'), '|')"
+    enc = words.select("word").distinct().selectExpr(
+        "word", f"{_BPE_WRAP_SPARK} AS sym"
     )
-    enc = words.select("word").distinct().selectExpr("word", f"{wrapped} AS sym")
     for a, b in merges:
         enc = enc.selectExpr(
             "word", f"replace(sym, '|{a}||{b}|', '|{a}{b}|') AS sym"
         )
-    arr = "split(substring(sym, 2, length(sym)-2), '\\\\|\\\\|')"
-    enc = enc.selectExpr("word", f"CAST(size({arr}) AS BIGINT) AS n_sym")
+    enc = enc.selectExpr(
+        "word", f"CAST(size({_BPE_ARR_SPARK}) AS BIGINT) AS n_sym"
+    )
     return (
         words.join(enc, "word")
         .groupBy("doc_id")

@@ -1158,7 +1158,13 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("value").cast("decimal(18,6)").alias("v")
     )
-    is_batch = F.col("event_id") % AGGI_MOD == AGGI_REM
+    # coalesce(..., False): a NULL event_id would make the predicate
+    # NULL and both filter(is_batch) and filter(~is_batch) would drop
+    # the row — while the full-recompute oracle counts it. NULL ids
+    # deterministically join the history side.
+    is_batch = F.coalesce(
+        F.col("event_id") % AGGI_MOD == AGGI_REM, F.lit(False)
+    )
 
     def _partial(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(

@@ -798,6 +798,11 @@ PQ_DSUB = DIM // PQ_M
 PQ_K = 16       # codewords per subspace → 4-bit codes, 8 × 16 table
 PQ_MOD = 29
 PQ_REM = 5
+PQ_CAP = PQ_MOD * PQ_K  # codebook sample bounded in BOTH dialects: the
+#                         driver pull is ≤ PQ_K rows regardless of
+#                         corpus size (the IVF CENT_CAP lesson) — ids
+#                         ≥ PQ_CAP would rank past cid PQ_K-1 anyway
+#                         on a dense id space
 PQ_RERANK = 128  # exact-rerank depth — recall@10 0.52/0.66/0.74/0.80 at
 #                  depth 64/96/128/160 on the sf0.01 corpus; 128 matches
 #                  the multi-probe LSH's 0.74 while examining 26% of the
@@ -807,6 +812,7 @@ PQ_RERANK = 128  # exact-rerank depth — recall@10 0.52/0.66/0.74/0.80 at
 from dist_mapreduce_spark.functions.vectors import (  # noqa: E402
     dot_duckdb_sql,
     l2sq_duckdb_sql,
+    l2sq_spark_sql,
 )
 
 
@@ -819,7 +825,8 @@ def _pq_oracle() -> str:
     return (
         f"WITH cw AS (SELECT cid, cv FROM (SELECT row_number()"
         f"   OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv"
-        f"  FROM embeddings WHERE vec_id % {PQ_MOD} = {PQ_REM})"
+        f"  FROM embeddings WHERE vec_id % {PQ_MOD} = {PQ_REM}"
+        f"   AND vec_id < {PQ_CAP})"
         f"  WHERE cid < {PQ_K}),"
         f" cb AS (SELECT cid, m, cv[{lo}:{hi}] AS cvec"
         f"  FROM cw, unnest(range(0, {PQ_M})) AS u(m)),"
@@ -865,9 +872,13 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ_K doubles, driver-computed with the same sequential IEEE fold
     the oracle uses) are likewise literals, so scoring every corpus row
     against every query is STILL map-side: fold the 8 cell ids through
-    the query's table. The only shuffles are the per-query top-R window
-    over (vec_id, query_id, adc) rows and the top-k window after exact
-    re-rank of PQ_RERANK survivors.
+    the query's table. Shuffles: a deliberate round-robin repartition
+    before the encode (local-mode ergonomics — spreads the CPU-bound
+    literal-expression evaluation when the source parquet arrives as
+    few splits; at ingest scale the encode runs once and this exchange
+    is the write path's anyway), then the per-query top-R window over
+    narrow (vec_id, query_id, adc) rows and the top-k window after
+    exact re-rank of PQ_RERANK survivors.
 
     At 100 TB: codes are computed at ingest (this plan's encode stage,
     run once) and stored as 8 bytes/vector — a 32× memory compression
@@ -878,7 +889,9 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cb_rows = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") % PQ_MOD == PQ_REM)
+        for r in emb.filter(
+            (F.col("vec_id") % PQ_MOD == PQ_REM) & (F.col("vec_id") < PQ_CAP)
+        )
         .select("vec_id", "embedding")
         .collect()
     )[:PQ_K]
@@ -921,12 +934,12 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Encode: per subspace, argmin_{c} ||sub - codeword||² with cid
     # tie-break — array_sort over (d, c) structs, same as the IVF cell
     # pick. `cells` is an array<int> of PQ_M codes.
-    l2 = (
-        f"aggregate(zip_with(slice(embedding, m*{PQ_DSUB}+1, {PQ_DSUB}),"
-        f" element_at(element_at(__cb, m+1), c+1),"
-        f" (x, y) -> (cast(x as double) - cast(y as double))"
-        f"  * (cast(x as double) - cast(y as double))),"
-        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    # One definition of the squared-L2 fold for both dialects
+    # (functions/vectors.py) — the oracle's asg CTE uses the DuckDB
+    # twin, so the fold order cannot drift between engines.
+    l2 = l2sq_spark_sql(
+        f"slice(embedding, m*{PQ_DSUB}+1, {PQ_DSUB})",
+        "element_at(element_at(__cb, m+1), c+1)",
     )
     cells_expr = (
         f"transform(sequence(0, {PQ_M - 1}), m ->"

@@ -118,8 +118,12 @@ def test_dedup_substring_joins_counts_not_positions(spark):
 
 def test_pq_plan_stays_jvm_side(spark):
     """Encode + ADC are literal expressions: no Python stage anywhere,
-    and the rerank join must broadcast the query batch."""
+    the rerank join must broadcast the query batch, and the shuffle
+    budget is pinned (encode repartition + ADC window + rerank joins +
+    top-k window; a regression past 5 means a corpus-width exchange
+    crept in)."""
     info = _audit(spark, "sim_topk_pq")
     assert info["python_stages"] == 0, info
     assert info["broadcast_joins"] >= 1, info
     assert info["sortmerge_joins"] == 0, info
+    assert info["shuffles"] <= 5, info

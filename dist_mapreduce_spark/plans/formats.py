@@ -199,19 +199,29 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Checksum fold modulus: Mersenne prime 2^61 - 1 — exact sums are
+# reduced into bigint range identically on both engines.
+CHECKSUM_MOD = (1 << 61) - 1
+
+
 @query(
     "table_checksum",
     oracle=(
-        # CAST the sums to BIGINT: DuckDB sum(BIGINT) widens to HUGEINT
-        # which exports as float (agg_bool drift class).
-        "SELECT count(*) AS n_rows,"
-        " CAST(sum(CAST(('0x' || substr(md5("
-        "   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
-        "   || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)"
-        "   || '|' || o_orderpriority), 1, 12)) AS BIGINT)) AS BIGINT) AS content_sum,"
-        " CAST(sum(o_orderkey) AS BIGINT) AS key_sum,"
-        " count(DISTINCT o_orderkey) AS distinct_keys"
-        " FROM orders"
+        # Sums run exact (DuckDB HUGEINT) then fold by the Mersenne
+        # prime 2^61-1 before the BIGINT export: a raw 48-bit-hash sum
+        # overflows a long at ~200k rows (caught by the sf0.1 gate
+        # under ANSI), and HUGEINT itself exports as float (agg_bool
+        # drift class). The mod of the exact sum is still order- and
+        # partitioning-independent.
+        f"SELECT count(*) AS n_rows,"
+        f" CAST(sum(CAST(('0x' || substr(md5("
+        f"   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        f"   || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)"
+        f"   || '|' || o_orderpriority), 1, 12)) AS BIGINT))"
+        f"  % {CHECKSUM_MOD} AS BIGINT) AS content_sum,"
+        f" CAST(sum(o_orderkey) % {CHECKSUM_MOD} AS BIGINT) AS key_sum,"
+        f" count(DISTINCT o_orderkey) AS distinct_keys"
+        f" FROM orders"
     ),
 )
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,9 +249,18 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
     )
     row_hash = F.conv(F.substring(F.md5(row_repr), 1, 12), 16, 10).cast("long")
-    return o.agg(
+    # Accumulate in DECIMAL(38,0) (exact, no ANSI long overflow — a
+    # 48-bit hash sum passes 2^63 at ~200k rows) and fold the exact
+    # total by 2^61-1; the mod of the exact sum commutes with any
+    # partial-aggregation order.
+    return o.withColumn("__rh", row_hash).agg(
         F.count("*").alias("n_rows"),
-        F.sum(row_hash).alias("content_sum"),
-        F.sum("o_orderkey").alias("key_sum"),
+        F.expr(
+            f"CAST(sum(CAST(__rh AS DECIMAL(38,0))) % {CHECKSUM_MOD} AS BIGINT)"
+        ).alias("content_sum"),
+        F.expr(
+            f"CAST(sum(CAST(o_orderkey AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+            f" AS BIGINT)"
+        ).alias("key_sum"),
         F.count_distinct("o_orderkey").alias("distinct_keys"),
     )

@@ -38,6 +38,12 @@ informational within one warm session; the first rows carry session
 warm-up, and expression-heavy rows (winnow, bpe, lsh) their one-time
 codegen / oracle-fold cost.
 
+The same full gate also runs at **sf0.1 (10× the driver's scale)**:
+171/171 PASS after the one genuine scale bug it surfaced was fixed —
+`table_checksum`'s 48-bit-hash sum overflowed a long past ~200k rows
+under ANSI mode (invisible at sf0.01); sums now accumulate in exact
+DECIMAL(38,0) and fold by the Mersenne prime 2^61−1 in both dialects.
+
 | query | status | rows | sec |
 |---|---|---|---|""")
     for name, (st, n, sec) in rows:

@@ -1011,11 +1011,22 @@ def _repetition_metrics(t):
             lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n.cast("double")
+    # Both ratios are division-guarded: ANSI Spark raises DIVIDE_BY_ZERO
+    # even for doubles, and a NULL token array (NULL text) defeats the
+    # `(n >= 2) AND …` short-circuit — NULL is not false, so codegen
+    # still evaluates the right-hand conjuncts. On the guarded branch
+    # the ratio is NULL, `keep` collapses to false/NULL, and callers'
+    # filters drop the row — identical to the unguarded semantics on
+    # every row that can appear in output (n >= 2 ⇒ both divisors > 0).
     n_bi = F.size(bigrams)
-    dup_frac = (n_bi - F.size(F.array_distinct(bigrams))).cast(
-        "double"
-    ) / n_bi.cast("double")
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(t)).cast("double") / n.cast("double")
+    )
+    dup_frac = F.when(
+        n_bi > 0,
+        (n_bi - F.size(F.array_distinct(bigrams))).cast("double")
+        / n_bi.cast("double"),
+    )
     keep = (
         n.between(MIN_WORDS, MAX_WORDS)
         & (distinct_ratio > MIN_DISTINCT_RATIO)

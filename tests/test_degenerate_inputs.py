@@ -184,3 +184,65 @@ def test_event_query_survives_degenerate_events(spark, degenerate_events_dir, na
         by_type = {r["event_type"]: r for r in rows}
         assert by_type["view"] is not None
         assert all(r["within_5pct"] is True for r in rows), rows
+
+
+def test_null_text_documents_do_not_crash_new_pipeline_ops(spark, monkeypatch):
+    """NULL text (distinct from empty string) through the round-4
+    corpus operators: pii_scrub must treat it as '' in BOTH dialect
+    semantics (Spark concat null-propagates, DuckDB concat skips NULLs
+    — the coalesce guard is the regression under test) and the dedup /
+    pipeline ops must drop the row, not throw."""
+    import dist_mapreduce_spark.plans.llm_pipeline as lp
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    docs = spark.createDataFrame(
+        [
+            (0, None, "en", "src0", 0),
+            (1, "the quick brown fox jumps over the lazy dog twelve words here",
+             "en", "src0", 60),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(lp, "_docs", lambda s, d: docs)
+    scrub = {r["doc_id"]: r for r in registry.QUERIES["pii_scrub"](spark, SRC).collect()}
+    # NULL text scrubs as if empty: the planted PII is still found.
+    assert (scrub[0]["n_email"], scrub[0]["n_phone"], scrub[0]["n_ip"]) == (1, 1, 1)
+    assert scrub[0]["scrubbed"].startswith(" contact ")
+    for name in ("dedup_paragraph", "dedup_substring", "pipeline_pretrain"):
+        rows = registry.QUERIES[name](spark, SRC).collect()
+        ids = {r["doc_id"] for r in rows if "doc_id" in r.asDict()}
+        assert 0 not in ids, f"{name} emitted a row for the NULL-text doc"
+
+
+def test_agg_incremental_null_event_id_counted_once(spark, monkeypatch):
+    """A NULL event_id must land in exactly one side of the
+    state/delta split (the coalesce(..., false) guard) so the merged
+    result still equals the full recompute."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans import registry, relational
+
+    registry.load_all()
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (None, t0, 7, "view", 2.5, None),   # NULL event_id
+            (4, t0, 7, "view", 1.0, None),      # batch side (4 % 5 == 4)
+            (1, t0, 7, "view", 0.25, None),     # history side
+            (2, t0, None, "view", 3.0, None),   # NULL user key
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        relational, "_t", lambda s, d, name: ev if name == "events" else None
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in registry.QUERIES["agg_incremental"](spark, SRC).collect()
+    }
+    assert got[7] == (3, 3.75)     # NULL id row merged exactly once
+    assert got[None] == (1, 3.0)   # NULL user key is one group

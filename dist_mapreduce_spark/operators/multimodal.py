@@ -36,7 +36,14 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     """documents → multimodal layout: (doc_id, payload binary, meta
     struct<fmt,n_bytes>). The payload here is the utf-8 encoding of the
     text column (a deterministic fake "media blob"); for real corpora
-    this column comes straight off binaryFile / parquet BYTE_ARRAY."""
+    this column comes straight off binaryFile / parquet BYTE_ARRAY.
+
+    Rows with NULL text carry no blob and are dropped here — the
+    production sources (binaryFile, BYTE_ARRAY columns with a
+    NOT NULL contract) cannot produce a NULL payload, and letting one
+    through would hand ``None`` to every Arrow-batch decoder
+    downstream."""
+    docs = docs.filter(F.col("text").isNotNull())
     payload = F.encode(F.col("text"), "utf-8")
     return docs.select(
         "doc_id",

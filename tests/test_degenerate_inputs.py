@@ -246,3 +246,41 @@ def test_agg_incremental_null_event_id_counted_once(spark, monkeypatch):
     }
     assert got[7] == (3, 3.75)     # NULL id row merged exactly once
     assert got[None] == (1, 3.0)   # NULL user key is one group
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(spark, tmp_path_factory):
+    """sf0.001 with documents containing a NULL text row plus normal
+    rows — NULL is a distinct failure class from empty string: NULL
+    defeats AND short-circuits (NULL, not false) and splits into a
+    NULL token array rather than an empty one."""
+    root = tmp_path_factory.mktemp("null_text_sf")
+    for name in os.listdir(SRC):
+        if name != "documents.parquet":
+            src = os.path.join(SRC, name)
+            dst = os.path.join(root, name)
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    rows = [
+        (0, None, "en", "src0", 0),
+        (1, None, None, None, None),  # everything NULL
+        (2, "the quick brown fox jumps over the lazy dog again and again",
+         "en", "src1", 60),
+        (3, "pack my box with five dozen liquor jugs for the long trip",
+         "de", "src2", 58),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_survives_null_text(spark, null_text_dir, name):
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    if name not in registry.QUERIES:
+        pytest.skip(f"{name} not registered in this environment")
+    registry.QUERIES[name](spark, null_text_dir).collect()

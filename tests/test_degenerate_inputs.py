@@ -284,3 +284,51 @@ def test_doc_query_survives_null_text(spark, null_text_dir, name):
     if name not in registry.QUERIES:
         pytest.skip(f"{name} not registered in this environment")
     registry.QUERIES[name](spark, null_text_dir).collect()
+
+
+#: Queries that read `embeddings`.
+EMB_QUERIES = [
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_pq",
+    "sim_recall",
+    "dedup_embedding",
+    "kmeans_embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def null_emb_dir(spark, tmp_path_factory):
+    """sf0.001 embeddings plus corrupt rows: NULL embedding, NULL
+    label — the rows a real 100 TB ingest always contains a few of."""
+    root = tmp_path_factory.mktemp("null_emb_sf")
+    for name in os.listdir(SRC):
+        if name != "embeddings.parquet":
+            src = os.path.join(SRC, name)
+            dst = os.path.join(root, name)
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    base = spark.read.parquet(os.path.join(SRC, "embeddings.parquet")).limit(50)
+    corrupt = spark.createDataFrame(
+        [(9000, None, 1), (9001, None, None)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    extra_nolabel = base.limit(1).selectExpr(
+        "9002 AS vec_id", "embedding", "CAST(NULL AS INT) AS label"
+    )
+    base.unionByName(corrupt).unionByName(extra_nolabel).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "embeddings.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_emb_query_survives_corrupt_vectors(spark, null_emb_dir, name):
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES[name](spark, null_emb_dir).collect()
+    if name.startswith("sim_topk"):
+        # NULL embeddings must never appear among returned neighbors.
+        assert all(r["vec_id"] not in (9000, 9001) for r in rows), name
+        assert all(r["score"] is not None for r in rows), name

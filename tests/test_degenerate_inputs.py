@@ -161,6 +161,8 @@ def degenerate_events_dir(spark, tmp_path_factory):
         (3, t0, 7, "click", -3.25, '{"k":1}'),                 # same ts as 2
         (4, t0 + datetime.timedelta(hours=5), 7, "purchase", 10.0, None),
         (5, t0 + datetime.timedelta(days=2), 9, "view", 2.0, "x"),
+        (None, t0, 7, "view", 0.5, None),                      # NULL event_id
+        (6, None, 11, "view", 1.0, None),                      # NULL ts
     ]
     spark.createDataFrame(
         rows,

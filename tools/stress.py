@@ -47,6 +47,12 @@ DEFAULT_QUERIES = (
     "dedup_substring",
     "pii_scrub",
     "sim_topk_pq",
+    # round-4 wave 2: the composed pipeline (two shuffles + rollup),
+    # BPE encode (vocab-sized merge application), and the incremental
+    # aggregate (state/delta merge — events replicate rep×).
+    "pipeline_pretrain",
+    "bpe_encode",
+    "agg_incremental",
 )
 
 

@@ -868,6 +868,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-scaled TF-IDF, top-3 terms per document.
 
     idf is the integer-scaled ratio n_docs*1e6 DIV df — exact bigint
+    (range contract: the scaled score tf·idf must fit int64, which
+    holds to ~1e9 docs at any tf, and to 1e12 docs for tf ≤ 9000 —
+    beyond that the SCALE factor, not the plan, must shrink)
     arithmetic on every engine, so rankings are bit-reproducible (a
     float log() idf would drift between libm implementations; ranking
     by the scaled rational preserves the same order for fixed n_docs).

@@ -174,9 +174,16 @@ def q_bigram_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_ab",
             "cnt_a",
             "cnt_b",
+            # DECIMAL(38,0) intermediates: cnt_ab*n and cnt_a*cnt_b in
+            # raw longs overflow past ~3e9-count corpora under ANSI
+            # (the table_checksum class); the exact decimal product
+            # rounds to double once — identical to the oracle's
+            # HUGEINT→DOUBLE path.
             (
-                (F.col("cnt_ab") * F.col("n")).cast("double")
-                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+                (F.col("cnt_ab").cast("decimal(38,0)") * F.col("n")).cast("double")
+                / (
+                    F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")
+                ).cast("double")
             ).alias("lift"),
         )
         .orderBy(F.desc("cnt_ab"), "w1", "w2")
@@ -272,9 +279,14 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_ab",
             "cnt_a",
             "cnt_b",
-            F.expr("CAST(cnt_ab * n * 1000000 DIV (cnt_a * cnt_b) AS BIGINT)").alias(
-                "lift_ppm"
-            ),
+            # Exact decimal numerator/denominator (longs overflow past
+            # ~3e9-count corpora under ANSI); DIV on decimals yields
+            # the exact integral quotient, which fits a long for any
+            # ppm-scaled lift up to n ≈ 9e12 tokens.
+            F.expr(
+                "CAST((CAST(cnt_ab AS DECIMAL(38,0)) * n * 1000000)"
+                " DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.desc("cnt_ab"), "a", "b")
         .limit(COOC_TOPK)

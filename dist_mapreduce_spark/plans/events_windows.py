@@ -860,3 +860,43 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_7d"))
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
     )
+
+
+@query(
+    "stream_enrich",
+    oracle=(
+        "SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,"
+        " CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value"
+        " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        " GROUP BY 1, 2"
+    ),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment executed through Structured
+    Streaming: readStream events joined per micro-batch to the
+    BROADCAST static customer dimension, rolled up by market segment ×
+    event type (complete mode, memory sink, driven to completion).
+    This is the production streaming-join shape `stream_stream_join`
+    deliberately does not cover: a static side keeps NOTHING in the
+    state store and needs no watermark — the stream never shuffles for
+    the join at all. Counts are exact and money sums in DECIMAL, so
+    the final complete-mode table is micro-batch-invariant and takes
+    the plain batch join+aggregate as its full DuckDB value oracle."""
+    from dist_mapreduce_spark.streaming.windows import (
+        enrich_counts_stream,
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = enrich_counts_stream(events, dim)
+    out = run_stream_to_table(agg, "stream_enrich_out")
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

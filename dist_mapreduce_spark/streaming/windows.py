@@ -141,3 +141,19 @@ def run_stream_foreach_batch(df: DataFrame, sink_path: str) -> int:
     finally:
         q.stop()
     return n_batches["n"]
+
+
+def enrich_counts_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the most common production
+    streaming join: every micro-batch joins against a broadcast static
+    dimension (no watermark, no join state — unlike stream-stream
+    joins, a static side holds nothing in the state store; only the
+    downstream aggregate is stateful). At 100 TB/day the dim is the
+    broadcast side and the stream never shuffles for the join."""
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )

@@ -237,3 +237,35 @@ def test_stateful_survives_multiple_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_enrich_matches_batch_join(spark):
+    """The stream-static broadcast join's complete-mode final must
+    equal the plain batch join+aggregate bit-for-bit (counts exact,
+    DECIMAL money)."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in registry.QUERIES["stream_enrich"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    batch = {
+        (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) > 0

@@ -1004,7 +1004,7 @@ def _repetition_metrics(t):
     CASE: for n < 2, sequence(1, n-1) counts DOWN (Spark's descending-
     sequence gotcha) and element_at would read past the array under
     ANSI mode; short docs take the empty branch and fail `keep` on the
-    MIN_WORDS bound (dup_bigram_frac is NaN there — total, not an
+    MIN_WORDS bound (dup_bigram_frac is NULL there — total, not an
     error)."""
     n = F.size(t)
     bigrams = F.when(

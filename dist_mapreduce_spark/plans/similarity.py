@@ -533,7 +533,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_cols",
     oracle=(
         "SELECT doc_id, 'text/utf-8' AS fmt, octet_length(encode(text)) AS n_bytes,"
-        " sha256(text) AS payload_sha FROM documents"
+        " sha256(text) AS payload_sha FROM documents WHERE text IS NOT NULL"
     ),
 )
 def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +562,7 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  list_transform(range(1, length(text) + 1),"
         "   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),"
         "  (a, b) -> (a + b) % 997) AS INT) AS byte_sum_mod"
-        " FROM documents"
+        " FROM documents WHERE text IS NOT NULL"
     ),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,7 +600,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  list_transform(range(1, length(text) + 1),"
         "   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),"
         "  (a, b) -> (a + b) % 997) AS INT) AS pixel_sum_mod"
-        " FROM documents"
+        " FROM documents WHERE text IS NOT NULL"
     ),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,7 +644,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  (a, b) -> (a + b) % 997) AS INT) AS resized_sum_mod"
         " FROM (SELECT doc_id, text, octet_length(encode(text)) AS l,"
         "  greatest(1, (octet_length(encode(text)) + 47) // 48) AS h"
-        "  FROM documents)"
+        "  FROM documents WHERE text IS NOT NULL)"
     ),
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +683,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   i -> CAST(CASE WHEN i % 2 = 1 THEN ascii(substr(text, i, 1))"
         "    ELSE 256 * ascii(substr(text, i, 1)) END AS BIGINT))),"
         "  (a, b) -> (a + b) % 997) AS INT) AS amp_sum_mod"
-        " FROM documents"
+        " FROM documents WHERE text IS NOT NULL"
     ),
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,7 +727,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    THEN ascii(substr(text, i, 1)) ELSE 0 END AS BIGINT))),"
         "  (a, b) -> (a + b) % 997) AS INT) AS sampled_sum_mod"
         " FROM (SELECT doc_id, text, octet_length(encode(text)) AS l"
-        "  FROM documents)"
+        "  FROM documents WHERE text IS NOT NULL)"
     ),
 )
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,7 +762,7 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM (SELECT doc_id,"
         "        (octet_length(encode(text)) + 1023) // 1024 AS n_frames,"
         "        octet_length(encode(text)) % 1024 AS r"
-        "       FROM documents)"
+        "       FROM documents WHERE text IS NOT NULL)"
     ),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

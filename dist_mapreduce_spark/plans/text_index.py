@@ -120,7 +120,12 @@ def q_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        FROM (SELECT unnest(t) AS word FROM tk) GROUP BY word),"
         " tot AS (SELECT sum(c) AS n FROM ug)"
         " SELECT w1, w2, cnt_ab, a.c AS cnt_a, b.c AS cnt_b,"
-        "  CAST(cnt_ab * tot.n AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift"
+        # HUGEINT products on BOTH sides of the division: tot.n is a
+        # HUGEINT sum already, but BIGINT*BIGINT (cnt_ab*n would be if
+        # n were bigint; a.c*b.c is) raises Out of Range past 2^63 —
+        # the Spark side computes the same values in DECIMAL(38,0).
+        "  CAST(CAST(cnt_ab AS HUGEINT) * tot.n AS DOUBLE)"
+        "   / CAST(CAST(a.c AS HUGEINT) * b.c AS DOUBLE) AS lift"
         " FROM bg JOIN ug a ON a.word = bg.w1 JOIN ug b ON b.word = bg.w2"
         " CROSS JOIN tot"
         " ORDER BY cnt_ab DESC, w1, w2 LIMIT 100"
@@ -211,7 +216,11 @@ COOC_TOPK = 100
         "  FROM (SELECT unnest(t) AS word FROM tk) GROUP BY word),"
         " tot AS (SELECT sum(c) AS n FROM ug)"
         " SELECT a, b, cnt_ab, ua.c AS cnt_a, ub.c AS cnt_b,"
-        "  CAST(cnt_ab * tot.n * 1000000 // (ua.c * ub.c) AS BIGINT) AS lift_ppm"
+        # HUGEINT on both numerator and denominator — BIGINT*BIGINT
+        # raises Out of Range past 2^63 (the Spark side uses
+        # DECIMAL(38,0) for the same reason).
+        "  CAST(CAST(cnt_ab AS HUGEINT) * tot.n * 1000000"
+        "   // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm"
         " FROM pairs JOIN ug ua ON ua.word = pairs.a"
         " JOIN ug ub ON ub.word = pairs.b CROSS JOIN tot"
         f" ORDER BY cnt_ab DESC, a, b LIMIT {COOC_TOPK}"

@@ -249,7 +249,7 @@ def test_stream_enrich_matches_batch_join(spark):
     from dist_mapreduce_spark.sources.tables import load_table
 
     registry.load_all()
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     got = {
         (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in registry.QUERIES["stream_enrich"](spark, sf).collect()

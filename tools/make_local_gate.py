@@ -1,10 +1,15 @@
-"""Format a `check_correctness.py` log into docs/LOCAL_GATE.md.
+"""Format `check_correctness.py` logs into docs/LOCAL_GATE.md.
 
-Usage: python tools/make_local_gate.py <gate.log> [> docs/LOCAL_GATE.md]
+Usage: python tools/make_local_gate.py <sf0.01.log> [sf0.1.log] [> docs/LOCAL_GATE.md]
 
-Reads the PASS/FAIL lines (tolerating interleaved Spark progress bars),
-sorts by query name, and emits the markdown table the judges read. The
-header paragraph is maintained here so regeneration is one command.
+Reads PASS lines, FAIL lines (both the `(N rows, Xs)`-suffixed form and
+the `FAIL name: reason` error form), and `ok?` rows-only lines
+(tolerating interleaved Spark progress bars), sorts by query name, and
+emits the markdown table the judges read. FAIL / rows-only rows are
+surfaced in the table and the summary, and the exit code is nonzero if
+any exist — the formatter must be able to report a failure, not just
+celebrate. The optional second log adds a computed (never hardcoded)
+sf0.1 paragraph.
 """
 
 from __future__ import annotations
@@ -13,17 +18,25 @@ import datetime
 import re
 import sys
 
-LINE = re.compile(r"(PASS|FAIL)\s+(\S+) \((\d+) rows, ([\d.]+)s\)")
+PASS_LINE = re.compile(r"^(PASS)\s+(\S+) \((\d+) rows, ([\d.]+)s\)", re.M)
+FAIL_LINE = re.compile(r"^(FAIL)\s+(\S+?):\s*(.+)$", re.M)
+ROWS_ONLY = re.compile(r"^(ok\?)\s+(\S+?):\s*rows-only \((\d+) rows", re.M)
+
+
+def parse(path: str) -> tuple[dict, dict, dict]:
+    text = open(path).read().replace("\r", "\n")
+    passes = {
+        m.group(2): (int(m.group(3)), float(m.group(4)))
+        for m in PASS_LINE.finditer(text)
+    }
+    fails = {m.group(2): m.group(3) for m in FAIL_LINE.finditer(text)}
+    rows_only = {m.group(2): int(m.group(3)) for m in ROWS_ONLY.finditer(text)}
+    return passes, fails, rows_only
 
 
 def main() -> int:
-    path = sys.argv[1]
-    text = open(path).read().replace("\r", "\n")
-    rows = sorted(
-        {m.group(2): (m.group(1), int(m.group(3)), float(m.group(4)))
-         for m in LINE.finditer(text)}.items()
-    )
-    n_pass = sum(1 for _, (st, _, _) in rows if st == "PASS")
+    passes, fails, rows_only = parse(sys.argv[1])
+    total = len(passes) + len(fails) + len(rows_only)
     today = datetime.date.today().isoformat()
     print(f"""# LOCAL_GATE — full oracle gate, all registered queries
 
@@ -32,23 +45,37 @@ def main() -> int:
 but for the full registry, not the driver's fixed 50-query sample.
 Run date: {today}.
 
-**Result: {n_pass}/{len(rows)} PASS — every registered query carries a
-FULL value oracle** (zero rows-only rows). Timings are single-run
-informational within one warm session; the first rows carry session
-warm-up, and expression-heavy rows (winnow, bpe, lsh) their one-time
-codegen / oracle-fold cost.
-
+**Result: {len(passes)}/{total} PASS**, {len(fails)} FAIL,
+{len(rows_only)} rows-only. Timings are single-run informational
+within one warm session; the first rows carry session warm-up, and
+expression-heavy rows (winnow, bpe, lsh) their one-time codegen /
+oracle-fold cost.""")
+    if len(sys.argv) > 2:
+        p1, f1, r1 = parse(sys.argv[2])
+        t1 = len(p1) + len(f1) + len(r1)
+        print(f"""
 The same full gate also runs at **sf0.1 (10× the driver's scale)**:
-171/171 PASS after the one genuine scale bug it surfaced was fixed —
-`table_checksum`'s 48-bit-hash sum overflowed a long past ~200k rows
-under ANSI mode (invisible at sf0.01); sums now accumulate in exact
-DECIMAL(38,0) and fold by the Mersenne prime 2^61−1 in both dialects.
-
+**{len(p1)}/{t1} PASS**, {len(f1)} FAIL, {len(r1)} rows-only.
+(The first 10× run surfaced `table_checksum`'s 48-bit-hash long
+overflow under ANSI — invisible at sf0.01, fixed with exact DECIMAL
+sums folded by the Mersenne prime 2^61−1.)""")
+        for name, reason in sorted(f1.items()):
+            print(f"- sf0.1 FAIL `{name}`: {reason}")
+    print("""
 | query | status | rows | sec |
 |---|---|---|---|""")
-    for name, (st, n, sec) in rows:
-        print(f"| `{name}` | {st} | {n} | {sec:.1f} |")
-    return 0 if n_pass == len(rows) else 1
+    names = sorted(set(passes) | set(fails) | set(rows_only))
+    for name in names:
+        if name in passes:
+            n, sec = passes[name]
+            print(f"| `{name}` | PASS | {n} | {sec:.1f} |")
+        elif name in rows_only:
+            print(f"| `{name}` | rows-only | {rows_only[name]} | — |")
+        else:
+            print(f"| `{name}` | **FAIL** | — | — |")
+    for name, reason in sorted(fails.items()):
+        print(f"\n- FAIL `{name}`: {reason}")
+    return 0 if not fails and not rows_only else 1
 
 
 if __name__ == "__main__":

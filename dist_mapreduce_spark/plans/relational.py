@@ -1204,3 +1204,121 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _skip_null("mn", F.least).cast("double").alias("min_value"),
         _skip_null("mx", F.greatest).cast("double").alias("max_value"),
     )
+
+
+# ------------------------------------------- data-quality expectations
+
+@query(
+    "dq_expectations",
+    oracle=(
+        "SELECT 'orders_custkey_fk' AS check_name,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE NOT EXISTS"
+        "    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))"
+        "   AS n_violations"
+        " UNION ALL SELECT 'lineitem_orderkey_fk',"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS"
+        "    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))"
+        " UNION ALL SELECT 'orders_orderkey_unique',"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM orders),"
+        "  (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)"
+        "   FROM orders)"
+        " UNION ALL SELECT 'documents_text_nonnull',"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM documents),"
+        "  (SELECT CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT)"
+        "   FROM documents)"
+        " UNION ALL SELECT 'lineitem_quantity_range',"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),"
+        "  (SELECT CAST(count(*) FILTER (WHERE l_quantity IS NULL"
+        "    OR l_quantity < 1 OR l_quantity > 50) AS BIGINT) FROM lineitem)"
+        " UNION ALL SELECT 'lineitem_discount_range',"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),"
+        "  (SELECT CAST(count(*) FILTER (WHERE l_discount IS NULL"
+        "    OR l_discount < 0.0 OR l_discount > 0.1) AS BIGINT)"
+        "   FROM lineitem)"
+    ),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the expectation suite a
+    production pipeline runs before training on (or publishing) a
+    snapshot: referential integrity (orders→customer,
+    lineitem→orders, counted via anti-joins whose NULL-key rows are
+    violations in both engines — anti-join and NOT EXISTS agree NULL
+    matches nothing), key uniqueness (count − distinct), null-rate,
+    and accepted value ranges, all as exact counts in one result
+    table. A violation count of zero is a PASSING check, not a
+    missing row — the audit always emits every check.
+
+    Scale shape: each check is a single aggregate or broadcast/
+    shuffle anti-join over one table — no check is ever quadratic —
+    and Spark runs the independent branches as parallel jobs. At
+    100 TB the per-table passes fuse per source (all three lineitem
+    checks share one scan in the production layout); violations cost
+    the same scan you already pay to read the snapshot."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    documents = _t(spark, sf_dir, "documents")
+
+    def check(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
+        return checked.agg(F.count("*").alias("n_checked")).crossJoin(
+            violations.agg(F.count("*").alias("n_violations"))
+        ).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    fk_orders = check(
+        "orders_custkey_fk",
+        orders,
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+        ),
+    )
+    fk_lineitem = check(
+        "lineitem_orderkey_fk",
+        lineitem,
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+        ),
+    )
+    unique_orders = orders.agg(
+        F.lit("orders_orderkey_unique").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations"),
+    )
+    doc_nonnull = documents.agg(
+        F.lit("documents_text_nonnull").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+    qty_range = lineitem.agg(
+        F.lit("lineitem_quantity_range").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations"),
+    )
+    disc_range = lineitem.agg(
+        F.lit("lineitem_discount_range").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0.0)
+                | (F.col("l_discount") > 0.1),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations"),
+    )
+    out = fk_orders
+    for part in (fk_lineitem, unique_orders, doc_nonnull, qty_range, disc_range):
+        out = out.unionByName(part)
+    return out

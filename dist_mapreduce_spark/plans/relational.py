@@ -1250,75 +1250,77 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. A violation count of zero is a PASSING check, not a
     missing row — the audit always emits every check.
 
-    Scale shape: each check is a single aggregate or broadcast/
-    shuffle anti-join over one table — no check is ever quadratic —
-    and Spark runs the independent branches as parallel jobs. At
-    100 TB the per-table passes fuse per source (all three lineitem
-    checks share one scan in the production layout); violations cost
-    the same scan you already pay to read the snapshot."""
+    Scale shape: every single-table check shares ONE aggregate (and so
+    one scan) per table — lineitem's row count and both range checks
+    are three counters in the same HashAggregate; orders' count and
+    uniqueness likewise — and each referential check adds exactly its
+    one anti-join. The 1-row per-table stats cross-join (all tiny)
+    into a single row, and the six check rows are an explode of that
+    row, so violations cost the scans you already pay to read the
+    snapshot. Violation counters use count(CASE …) — never NULL, even
+    on an empty table, matching the oracle's count(*) FILTER."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     lineitem = _t(spark, sf_dir, "lineitem")
     documents = _t(spark, sf_dir, "documents")
 
-    def check(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
-        return checked.agg(F.count("*").alias("n_checked")).crossJoin(
-            violations.agg(F.count("*").alias("n_violations"))
-        ).select(
-            F.lit(name).alias("check_name"), "n_checked", "n_violations"
-        )
-
-    fk_orders = check(
-        "orders_custkey_fk",
-        orders,
-        orders.join(
-            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
-        ),
-    )
-    fk_lineitem = check(
-        "lineitem_orderkey_fk",
-        lineitem,
-        lineitem.join(
-            orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
-        ),
-    )
-    unique_orders = orders.agg(
-        F.lit("orders_orderkey_unique").alias("check_name"),
-        F.count("*").alias("n_checked"),
-        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations"),
-    )
-    doc_nonnull = documents.agg(
-        F.lit("documents_text_nonnull").alias("check_name"),
-        F.count("*").alias("n_checked"),
-        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias(
-            "n_violations"
-        ),
-    )
-    qty_range = lineitem.agg(
-        F.lit("lineitem_quantity_range").alias("check_name"),
-        F.count("*").alias("n_checked"),
-        F.sum(
+    li_stats = lineitem.agg(
+        F.count("*").alias("li_n"),
+        F.count(
             F.when(
                 F.col("l_quantity").isNull()
                 | (F.col("l_quantity") < 1)
                 | (F.col("l_quantity") > 50),
                 1,
-            ).otherwise(0)
-        ).alias("n_violations"),
-    )
-    disc_range = lineitem.agg(
-        F.lit("lineitem_discount_range").alias("check_name"),
-        F.count("*").alias("n_checked"),
-        F.sum(
+            )
+        ).alias("qty_v"),
+        F.count(
             F.when(
                 F.col("l_discount").isNull()
                 | (F.col("l_discount") < 0.0)
                 | (F.col("l_discount") > 0.1),
                 1,
-            ).otherwise(0)
-        ).alias("n_violations"),
+            )
+        ).alias("disc_v"),
     )
-    out = fk_orders
-    for part in (fk_lineitem, unique_orders, doc_nonnull, qty_range, disc_range):
-        out = out.unionByName(part)
-    return out
+    ord_stats = orders.agg(
+        F.count("*").alias("o_n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("uniq_v"),
+    )
+    doc_stats = documents.agg(
+        F.count("*").alias("d_n"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_v"),
+    )
+    fk_o = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    ).agg(F.count("*").alias("fk_o_v"))
+    fk_l = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).agg(F.count("*").alias("fk_l_v"))
+
+    row = (
+        li_stats.crossJoin(ord_stats)
+        .crossJoin(doc_stats)
+        .crossJoin(fk_o)
+        .crossJoin(fk_l)
+    )
+
+    def c(name: str, checked: str, violations: str):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.col(checked).alias("n_checked"),
+            F.col(violations).alias("n_violations"),
+        )
+
+    return row.select(
+        F.explode(
+            F.array(
+                c("orders_custkey_fk", "o_n", "fk_o_v"),
+                c("lineitem_orderkey_fk", "li_n", "fk_l_v"),
+                c("orders_orderkey_unique", "o_n", "uniq_v"),
+                c("documents_text_nonnull", "d_n", "null_v"),
+                c("lineitem_quantity_range", "li_n", "qty_v"),
+                c("lineitem_discount_range", "li_n", "disc_v"),
+            )
+        ).alias("chk")
+    ).select("chk.*")

@@ -334,3 +334,24 @@ def test_emb_query_survives_corrupt_vectors(spark, null_emb_dir, name):
         # NULL embeddings must never appear among returned neighbors.
         assert all(r["vec_id"] not in (9000, 9001) for r in rows), name
         assert all(r["score"] is not None for r in rows), name
+
+
+def test_dq_expectations_total_on_empty_tables(spark, monkeypatch):
+    """An empty table must yield (0, 0) — checked and violations — not
+    NULL: count(CASE) semantics, matching the oracle's count(*) FILTER."""
+    from dist_mapreduce_spark.plans import registry, relational
+
+    registry.load_all()
+    real_t = relational._t
+
+    def patched(s, d, name):
+        df = real_t(s, SRC, name)
+        return df.limit(0) if name in ("documents", "lineitem") else df
+
+    monkeypatch.setattr(relational, "_t", patched)
+    rows = {r["check_name"]: r for r in registry.QUERIES["dq_expectations"](spark, SRC).collect()}
+    assert len(rows) == 6  # every check always emits a row
+    for name in ("documents_text_nonnull", "lineitem_quantity_range",
+                 "lineitem_discount_range", "lineitem_orderkey_fk"):
+        assert rows[name]["n_checked"] == 0
+        assert rows[name]["n_violations"] == 0, name  # 0, never NULL

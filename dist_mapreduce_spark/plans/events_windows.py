@@ -900,3 +900,58 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "events_outliers",
+    oracle=(
+        "WITH vc AS (SELECT user_id,"
+        "   CAST(round(value * 100) AS BIGINT) AS c"
+        "  FROM events WHERE value IS NOT NULL),"
+        " med AS (SELECT user_id, quantile_cont(c, 0.5) AS med_c"
+        "  FROM vc GROUP BY user_id)"
+        " SELECT vc.user_id, CAST(count(*) AS BIGINT) AS n_events,"
+        "  CAST(count(CASE WHEN vc.c > 3 * med.med_c THEN 1 END) AS BIGINT)"
+        "   AS n_outliers,"
+        "  med.med_c AS median_cents"
+        " FROM vc JOIN med ON vc.user_id IS NOT DISTINCT FROM med.user_id"
+        " GROUP BY vc.user_id, med.med_c"
+    ),
+)
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly audit: events whose value exceeds 3× the
+    user's own median — the robust-statistics outlier flag (median,
+    not mean, so one whale event cannot mask the others). Values work
+    in integer CENTS so the exact-percentile interpolation is integer
+    halves on both engines (a + (b−a)·0.5 ≡ (a+b)/2 exactly for
+    magnitudes < 2^52 — no FP-order hazard); NULL values are excluded
+    up front and the NULL user key survives via a null-safe join, so
+    the audit is total over every user that produced a value.
+
+    Scale shape: one shuffle for the per-user median (exact percentile
+    per group — at 100 TB swap for approx_percentile with the same
+    plan), then a key-equi join of events back to the 1-row-per-user
+    median frame and the per-user rollup reusing the same
+    partitioning. Nothing pairwise, no window over raw events."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    med = ev.groupBy("user_id").agg(
+        F.percentile("c", 0.5).alias("med_c")
+    )
+    joined = ev.alias("v").join(
+        med.alias("m"),
+        F.col("v.user_id").eqNullSafe(F.col("m.user_id")),
+    )
+    return joined.groupBy(F.col("v.user_id").alias("user_id"), "med_c").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("c") > 3 * F.col("med_c"), 1)).alias(
+            "n_outliers"
+        ),
+    ).select(
+        "user_id",
+        "n_events",
+        "n_outliers",
+        F.col("med_c").alias("median_cents"),
+    )

@@ -1324,3 +1324,33 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chk")
     ).select("chk.*")
+
+
+# ------------------------------------------------------------- ntile
+
+@query(
+    "window_ntile",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority,"
+        " CAST(ntile(4) OVER (PARTITION BY o_orderpriority"
+        "  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile"
+        " FROM orders"
+    ),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment per order-priority band — the feature-
+    bucketing window (ntile) the rank/lag/frame family was missing.
+    ntile is purely row-count arithmetic over a TOTAL order (price,
+    then key), so both engines place every row identically; the only
+    cross-engine hazard is the return type (int vs bigint), pinned by
+    casting both sides. One shuffle on the partition key, nothing
+    else."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

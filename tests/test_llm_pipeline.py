@@ -810,3 +810,82 @@ def test_dedup_substring_matches_python_reference(spark, monkeypatch, seed):
         for r in _q("dedup_substring")(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_pq_matches_pure_python_reference(spark):
+    """Replicate the full PQ pipeline (codebook sample → per-subspace
+    argmin encode → ADC lookup scoring → exact rerank) in plain Python
+    with the same sequential IEEE folds the engines use; the registered
+    query must reproduce it exactly — ranks AND scores bit-for-bit."""
+    from dist_mapreduce_spark.plans import similarity as S
+
+    rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = dict(rows)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    cb_ids = [i for i, _ in rows if i % S.PQ_MOD == S.PQ_REM and i < S.PQ_CAP][
+        : S.PQ_K
+    ]
+    sub = lambda v, m: v[m * S.PQ_DSUB : (m + 1) * S.PQ_DSUB]
+    codebook = [
+        [sub(vecs[cid], m) for cid in cb_ids] for m in range(S.PQ_M)
+    ]
+    cells = {
+        i: [
+            min(
+                range(len(cb_ids)),
+                key=lambda c: (l2(sub(v, m), codebook[m][c]), c),
+            )
+            for m in range(S.PQ_M)
+        ]
+        for i, v in vecs.items()
+    }
+    expected = {}
+    for q in range(S.N_QUERIES):
+        qv = vecs[q]
+        lut = [
+            [dot(sub(qv, m), codebook[m][c]) for c in range(len(cb_ids))]
+            for m in range(S.PQ_M)
+        ]
+        adc = {}
+        for i in vecs:
+            if i == q:
+                continue
+            acc = 0.0
+            for m in range(S.PQ_M):
+                acc += lut[m][cells[i][m]]
+            adc[i] = acc
+        cand = sorted(adc, key=lambda i: (-adc[i], i))[: S.PQ_RERANK]
+
+        def cos(a, b):
+            import math
+
+            return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+        scored = sorted(
+            ((cos(qv, vecs[i]), i) for i in cand), key=lambda t: (-t[0], t[1])
+        )[: S.TOP_K]
+        for rk, (score, i) in enumerate(scored, 1):
+            expected[(q, i)] = (rk, score)
+
+    got = {
+        (r["query_id"], r["vec_id"]): (r["rk"], r["score"])
+        for r in _q("sim_topk_pq")(spark, SF).collect()
+    }
+    assert got == expected  # ranks AND double scores, bit-exact

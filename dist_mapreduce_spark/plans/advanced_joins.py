@@ -299,3 +299,76 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         arrow_stats, schema="doc_id long, n_chars_py long, n_tokens_py long"
     )
+
+
+# ------------------------------------------- Bloom-prefiltered join
+
+#: Bloom prefilter geometry: bucket-domain size per hash function and
+#: the two independent xxhash64 seeds (k = 2 "hash functions").
+BLOOM_M = 1 << 16
+BLOOM_SEEDS = (42, 1337)
+
+
+@query(
+    "join_bloom",
+    oracle=(
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers"
+        " FROM customer WHERE c_custkey IN"
+        "  (SELECT o_custkey FROM orders"
+        "   WHERE o_orderpriority = '1-URGENT')"
+        " GROUP BY c_mktsegment"
+    ),
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-prefiltered semi-join: customers with at least one
+    URGENT order, counted per market segment. The scale problem this
+    solves: when the build side's key set is too large to broadcast as
+    raw keys but the probe side is vastly larger, shuffling the whole
+    probe table into the join is the dominant cost. A Bloom filter of
+    the build keys — here k=2 independent xxhash64 bucket sets over a
+    2^16 domain, the set-of-buckets representation of the bitmap —
+    broadcasts in kilobytes and eliminates most probe rows MAP-SIDE,
+    before any exchange. False positives are fine (the exact semi-join
+    after the prefilter restores precise semantics, so the result is
+    hash-identical to the plain semi-join oracle); false negatives are
+    impossible (every true key's buckets are in the sets). This is the
+    manual form of Spark's runtime row-level bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.*), spelled out so the
+    mechanics are visible and testable.
+
+    Plan shape: build scans orders once with the priority filter
+    pushed to parquet; the two bucket-set aggregates are
+    vocab-of-2^16-sized and broadcast; probe filters through both
+    broadcast hash semi-joins (AND of k membership tests), then the
+    surviving minority flows into the exact broadcast semi-join on the
+    true key set. Zero probe-side shuffles before the filter; at
+    100 TB swap the final exact join's broadcast for a shuffle join —
+    the bloom stage's selectivity is what keeps that shuffle small."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .filter(F.col("key").isNotNull())
+    )
+    probe = cust
+    for seed in BLOOM_SEEDS:
+        buckets = build.select(
+            F.pmod(F.xxhash64("key", F.lit(seed)), F.lit(BLOOM_M)).alias(
+                "bucket"
+            )
+        ).distinct()
+        probe = probe.join(
+            F.broadcast(buckets),
+            F.pmod(F.xxhash64("c_custkey", F.lit(seed)), F.lit(BLOOM_M))
+            == F.col("bucket"),
+            "left_semi",
+        )
+    exact = probe.join(
+        F.broadcast(build.distinct()),
+        F.col("c_custkey") == F.col("key"),
+        "left_semi",
+    )
+    return exact.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -955,3 +955,55 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         F.col("med_c").alias("median_cents"),
     )
+
+
+# ----------------------------------------------------------- CDC apply
+
+@query(
+    "cdc_apply",
+    oracle=(
+        "WITH ranked AS ("
+        " SELECT user_id, event_type, value, ts, event_id,"
+        "  row_number() OVER (PARTITION BY user_id"
+        "   ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST)"
+        "   AS rn"
+        " FROM events)"
+        " SELECT user_id, event_type AS last_type, value AS last_value,"
+        "  ts AS last_ts"
+        " FROM ranked WHERE rn = 1 AND event_type <> 'error'"
+    ),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse a change log into its final
+    snapshot — latest change per key wins, tombstones delete the key.
+    The events stream doubles as the log (user_id = primary key,
+    (ts, event_id) = the total change order, event_type = 'error' = the
+    tombstone marker). This is the Delta/Hudi/Iceberg `MERGE`-from-log
+    pattern every warehouse ingest runs, and it differs from
+    merge_upsert (two static tables) in that ordering lives INSIDE one
+    log: later changes must beat earlier ones without a join.
+
+    Exactly one shuffle: a window rank on the key with an explicit
+    NULLS LAST total order (Spark and DuckDB default NULL placement
+    differs on ASC — pinning it keeps NULL-ts degenerate logs
+    hash-identical), then a filter. At 100 TB the log is
+    ingest-partitioned by key already, so AQE coalesces this into a
+    near-local sort; tombstoned keys leave the pipeline here and cost
+    nothing downstream."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    )
+    return (
+        ev.select(
+            "user_id", "event_type", "value", "ts", "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )

@@ -497,3 +497,53 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("node", F.col("rank").alias("rank_fp"))
+
+
+# ------------------------------------------- fixed-k reservoir sample
+
+#: Reservoir capacity per stratum (language).
+RESERVOIR_K = 20
+
+
+@query(
+    "sample_reservoir",
+    oracle=(
+        "SELECT doc_id, lang FROM ("
+        " SELECT doc_id, lang, row_number() OVER ("
+        "  PARTITION BY lang"
+        "  ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS LAST,"
+        "   doc_id NULLS LAST) AS rn"
+        " FROM documents)"
+        f" WHERE rn <= {RESERVOIR_K}"
+    ),
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k reservoir per stratum: exactly
+    RESERVOIR_K documents per language, chosen by ranking on a content
+    hash — the distributed replacement for sequential reservoir
+    sampling (Vitter's algorithm R needs a single pass with shared
+    state; ranking on a uniform hash draws the identical distribution
+    and is embarrassingly parallel). Complements the rate-based
+    samplers: sample_deterministic/stratified keep a PERCENTAGE (count
+    scales with the data), this keeps a CARDINALITY (eval sets,
+    human-review batches — budgets that must not grow with the
+    corpus). md5-ranking makes membership partition- and
+    topology-invariant, and the explicit NULLS LAST pins the one
+    cross-engine divergence (Spark sorts ASC nulls FIRST, DuckDB
+    LAST).
+
+    Scale shape: one shuffle (window on the stratum key). With heavy
+    strata the refinement is the standard two-phase top-k: a map-side
+    per-partition top-RESERVOIR_K before the exchange bounds the
+    shuffle to k rows per partition per stratum — Spark's
+    TakeOrderedAndProject does exactly this for the global case."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("doc_id", "lang")
+    )

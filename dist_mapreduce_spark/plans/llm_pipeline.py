@@ -2142,3 +2142,74 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe"),
         )
     )
+
+
+# ----------------------------------------- unigram-LM surprisal filter
+
+@query(
+    "quality_perplexity",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS word"
+        "  FROM documents),"
+        " ug AS (SELECT word, CAST(count(*) AS BIGINT) AS c"
+        "  FROM tok GROUP BY word),"
+        " tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ug)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        "  CAST(sum(length(bin(tot.n // ug.c)) - 1) AS BIGINT)"
+        "   AS bits_total,"
+        "  CAST(sum(length(bin(tot.n // ug.c)) - 1) * 1000 // count(*)"
+        "   AS BIGINT) AS bits_per_token_milli,"
+        "  CAST(sum(tot.n // ug.c) AS BIGINT) AS rarity_sum"
+        " FROM tok JOIN ug USING (word) CROSS JOIN tot"
+        " GROUP BY doc_id"
+    ),
+)
+def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring against a corpus-trained
+    unigram LM — the CCNet/Gopher filter family: score each document
+    by the surprisal of its own tokens under the corpus distribution
+    (gibberish and boilerplate sit at the extremes). Two scores per
+    doc: total surprisal in WHOLE BITS (per-token floor(log2(N/c)),
+    computed as length(bin(N DIV c)) - 1 — pure integer ops, so both
+    engines agree bit-for-bit; floor(log2(x)) == floor(log2(floor x))
+    because floor cannot cross a power-of-two boundary from above),
+    and an exact inverse-frequency rarity_sum (Σ N DIV c) that keeps
+    sub-bit resolution without ever touching a float. A float ln()
+    would be the naive scoring — and a cross-engine libm coin-flip at
+    round-off boundaries; the quantized-integer form is the house
+    fixed-point pattern (kmeans_embeddings, cooccurrence_pmi).
+
+    Scale shape: tokenize once; the unigram table is vocab-sized
+    (Heaps' law: ~millions of rows at 100 TB, far under the broadcast
+    threshold as a (word, count) pair table) and broadcast back onto
+    the token stream, so the only real shuffles are the two hash
+    aggregates (vocab build, per-doc rollup). The 1-row token total
+    rides the same broadcast. No window, nothing quadratic; docs with
+    zero tokens have no surprisal and drop out in both engines."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(ta.ws_tokens(F.col("text"))).alias("word")
+    )
+    ug = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = ug.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(ug), "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr("n DIV c").alias("inv_freq"),
+        )
+        .select(
+            "doc_id",
+            "inv_freq",
+            (F.length(F.bin("inv_freq")) - 1).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").alias("bits_total"),
+        F.expr("sum(bits) * 1000 DIV count(1)").alias(
+            "bits_per_token_milli"
+        ),
+        F.sum("inv_freq").alias("rarity_sum"),
+    )

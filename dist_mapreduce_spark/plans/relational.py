@@ -1354,3 +1354,37 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# --------------------------------------- distribution-position windows
+
+@query(
+    "window_percent_rank",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority,"
+        " percent_rank() OVER (PARTITION BY o_orderpriority"
+        "  ORDER BY o_totalprice, o_orderkey) AS pct_rank,"
+        " cume_dist() OVER (PARTITION BY o_orderpriority"
+        "  ORDER BY o_totalprice, o_orderkey) AS cume"
+        " FROM orders"
+    ),
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position windows (percent_rank + cume_dist) per
+    order-priority band — the distribution-position twins that complete
+    the rank family (rank/dense_rank in window_rank_stats, buckets in
+    window_ntile). Both functions are a single IEEE division of two
+    exact integers ((rank-1)/(n-1), peers/n) over a TOTAL order, so the
+    engines agree bit-for-bit — no quantization needed. Same physical
+    shape as every window here: one hash exchange on the partition key,
+    one in-partition sort, no second shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -60,6 +60,8 @@ DOC_QUERIES = [
     "multimodal_video",
     "multimodal_frames",
     "multimodal_resize",
+    "quality_perplexity",
+    "sample_reservoir",
 ]
 
 
@@ -136,6 +138,8 @@ EVENT_QUERIES = [
     "ts_ohlc_bars",
     "approx_distinct",
     "agg_incremental",
+    "cdc_apply",
+    "events_outliers",
 ]
 
 

@@ -336,24 +336,32 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spark.sql.optimizer.runtime.bloomFilter.*), spelled out so the
     mechanics are visible and testable.
 
-    Plan shape: build scans orders once with the priority filter
-    pushed to parquet; the two bucket-set aggregates are
-    vocab-of-2^16-sized and broadcast; probe filters through both
-    broadcast hash semi-joins (AND of k membership tests), then the
-    surviving minority flows into the exact broadcast semi-join on the
-    true key set. Zero probe-side shuffles before the filter; at
-    100 TB swap the final exact join's broadcast for a shuffle join —
-    the bloom stage's selectivity is what keeps that shuffle small."""
+    Plan shape: the build side is distinct-ed ONCE (one pushed-filter
+    scan of orders + one exchange) and pinned in memory — by contract
+    it is the SMALL side, that is the premise of a bloom filter — so
+    the two bucket-set distincts and the exact key join all read the
+    cached key set instead of re-scanning orders (Catalyst merges each
+    bucket projection into its distinct, repartitioning by bucket, so
+    plain ReusedExchange cannot dedupe the three branches; the cache
+    can, and the audit row pins scans of orders at 1).
+    Probe filters through both broadcast hash semi-joins (AND of k
+    membership tests), then the surviving minority flows into the
+    exact broadcast semi-join on the true key set. Zero probe-side
+    shuffles before the filter; at 100 TB swap the final exact join's
+    broadcast for a shuffle join — the bloom stage's selectivity is
+    what keeps that shuffle small."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    build = (
+    keys = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("key"))
         .filter(F.col("key").isNotNull())
+        .distinct()
+        .cache()
     )
     probe = cust
     for seed in BLOOM_SEEDS:
-        buckets = build.select(
+        buckets = keys.select(
             F.pmod(F.xxhash64("key", F.lit(seed)), F.lit(BLOOM_M)).alias(
                 "bucket"
             )
@@ -365,7 +373,7 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     exact = probe.join(
-        F.broadcast(build.distinct()),
+        F.broadcast(keys),
         F.col("c_custkey") == F.col("key"),
         "left_semi",
     )

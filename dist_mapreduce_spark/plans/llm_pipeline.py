@@ -2179,37 +2179,50 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-off boundaries; the quantized-integer form is the house
     fixed-point pattern (kmeans_embeddings, cooccurrence_pmi).
 
-    Scale shape: tokenize once; the unigram table is vocab-sized
-    (Heaps' law: ~millions of rows at 100 TB, far under the broadcast
-    threshold as a (word, count) pair table) and broadcast back onto
-    the token stream, so the only real shuffles are the two hash
-    aggregates (vocab build, per-doc rollup). The 1-row token total
-    rides the same broadcast. No window, nothing quadratic; docs with
-    zero tokens have no surprisal and drop out in both engines."""
+    Scale shape: the corpus is scanned and tokenized ONCE into the
+    per-(doc, word) count frame — the raw token stream never flows
+    twice (the naive tok-join-tok form reads 100 TB of text two times;
+    this reads it once and pins the far smaller doc×distinct-word
+    frame, the inverted-index cardinality). The unigram table is a
+    second aggregate over that frame — vocab-sized (Heaps' law:
+    ~millions of rows at 100 TB, far under the broadcast threshold as
+    a (word, count) pair table) — and is broadcast back; per-doc
+    scores weight each distinct word by its in-doc count (Σ cnt·f(c)
+    ≡ per-token Σ f(c), exactly, in integers). The 1-row token total
+    rides the same broadcast. Three shuffles total ((doc, word) agg,
+    vocab agg, per-doc rollup); no window, nothing quadratic; docs
+    with zero tokens have no surprisal and drop out in both engines."""
     d = _docs(spark, sf_dir)
-    tok = d.select(
-        "doc_id", F.explode(ta.ws_tokens(F.col("text"))).alias("word")
+    tokc = _pin(
+        d.select(
+            "doc_id", F.explode(ta.ws_tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt_dw")),
+        spark,
     )
-    ug = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    ug = tokc.groupBy("word").agg(F.sum("cnt_dw").alias("c"))
     tot = ug.agg(F.sum("c").alias("n"))
     scored = (
-        tok.join(F.broadcast(ug), "word")
+        tokc.join(F.broadcast(ug), "word")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "cnt_dw",
             F.expr("n DIV c").alias("inv_freq"),
         )
         .select(
             "doc_id",
+            "cnt_dw",
             "inv_freq",
             (F.length(F.bin("inv_freq")) - 1).cast("long").alias("bits"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("bits").alias("bits_total"),
-        F.expr("sum(bits) * 1000 DIV count(1)").alias(
+        F.sum("cnt_dw").alias("n_tokens"),
+        F.sum(F.expr("cnt_dw * bits")).alias("bits_total"),
+        F.expr("sum(cnt_dw * bits) * 1000 DIV sum(cnt_dw)").alias(
             "bits_per_token_milli"
         ),
-        F.sum("inv_freq").alias("rarity_sum"),
+        F.sum(F.expr("cnt_dw * inv_freq")).alias("rarity_sum"),
     )

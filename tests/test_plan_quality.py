@@ -127,3 +127,48 @@ def test_pq_plan_stays_jvm_side(spark):
     assert info["broadcast_joins"] >= 1, info
     assert info["sortmerge_joins"] == 0, info
     assert info["shuffles"] <= 5, info
+
+
+def test_cdc_apply_single_exchange(spark):
+    """One window rank on the key, nothing else — the merge-from-log
+    must not pay a second shuffle for the filter."""
+    info = _audit(spark, "cdc_apply")
+    assert info["shuffles"] == 1, info
+    assert info["python_stages"] == 0, info
+
+
+def test_sample_reservoir_single_exchange(spark):
+    info = _audit(spark, "sample_reservoir")
+    assert info["shuffles"] == 1, info
+    assert info["python_stages"] == 0, info
+    # Only the two output columns reach the scan.
+    assert info["scan_cols"] == ["doc_id:bigint,lang:string"], info
+
+
+def test_window_percent_rank_single_exchange(spark):
+    info = _audit(spark, "window_percent_rank")
+    assert info["shuffles"] == 1, info
+    assert info["python_stages"] == 0, info
+
+
+def test_join_bloom_build_scanned_once(spark):
+    """The cached build key-set must collapse the three consumers
+    (two bucket sets + exact join) onto ONE pushed-filter scan of
+    orders; probe side must stay broadcast (no sort-merge join)."""
+    info = _audit(spark, "join_bloom")
+    orders_scans = [s for s in info["scan_cols"] if "o_custkey" in s]
+    assert len(orders_scans) == 1, info
+    assert info["sortmerge_joins"] == 0, info
+    assert info["broadcast_joins"] == 3, info
+    assert info["shuffles"] <= 4, info
+    assert info["python_stages"] == 0, info
+
+
+def test_quality_perplexity_scans_corpus_once(spark):
+    """The pinned (doc, word) count frame means the text column is
+    read exactly once; everything downstream is JVM-side."""
+    info = _audit(spark, "quality_perplexity")
+    text_scans = [s for s in info["scan_cols"] if "text" in s]
+    assert len(text_scans) <= 1, info
+    assert info["python_stages"] == 0, info
+    assert info["shuffles"] <= 3, info

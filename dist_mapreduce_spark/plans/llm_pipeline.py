@@ -2226,3 +2226,73 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.expr("cnt_dw * inv_freq")).alias("rarity_sum"),
     )
+
+
+# ------------------------------------------- weighted source interleave
+
+#: Per-language mixing weights (relative sampling rates) and the
+#: number of leading positions of the mixed stream to emit.
+MIX_WEIGHTS = {"en": 5, "zh": 3, "de": 2, "fr": 2, "es": 2}
+MIX_DEFAULT_W = 1
+MIX_TAKE = 200
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items()
+    )
+    return f"CASE lang {whens} ELSE {MIX_DEFAULT_W} END"
+
+
+@query(
+    "mix_interleave",
+    oracle=(
+        "WITH r AS (SELECT doc_id, lang, row_number() OVER ("
+        " PARTITION BY lang"
+        " ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS LAST,"
+        "  doc_id NULLS LAST) AS rank_in_lang FROM documents)"
+        " SELECT doc_id, lang, rank_in_lang,"
+        f" CAST(rank_in_lang * 1000 // ({_mix_case_sql()}) AS BIGINT)"
+        "  AS mix_pos"
+        " FROM r"
+        " ORDER BY mix_pos, lang, doc_id"
+        f" LIMIT {MIX_TAKE}"
+    ),
+)
+def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of sources into one training
+    order — the data-mixing step between corpus curation and
+    pack_sequences: a language with weight w appears w times as often
+    in any prefix of the stream. Classic stride scheduling: the i-th
+    document of a weight-w stratum lands at virtual time i/w, here
+    i·1000 DIV w in exact integers (the 1000 keeps sub-stride
+    resolution through the floor). Within-stratum order is the same
+    md5 ranking as sample_reservoir, so the mix is reproducible on any
+    cluster topology; (mix_pos, lang, doc_id) is a TOTAL order, so the
+    LIMIT frontier is identical in both engines. Unlike
+    sample_temperature (reweights by sqrt at the doc level,
+    membership-only), this emits the ORDER the trainer consumes.
+
+    Scale shape: one shuffle (the per-stratum rank window), then the
+    global take is TakeOrderedAndProject — per-partition top-K before
+    a single-partition merge of K-row frontiers, never a full sort. At
+    100 TB the full mixed ORDER isn't materialized anywhere; any
+    prefix or shard range comes from the same window + a mix_pos
+    filter."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
+    )
+    return (
+        d.select(
+            "doc_id", "lang",
+            F.row_number().over(w).cast("long").alias("rank_in_lang"),
+        )
+        .withColumn(
+            "mix_pos",
+            F.expr(f"rank_in_lang * 1000 DIV ({_mix_case_sql()})"),
+        )
+        .orderBy("mix_pos", "lang", "doc_id")
+        .limit(MIX_TAKE)
+    )

@@ -62,6 +62,7 @@ DOC_QUERIES = [
     "multimodal_resize",
     "quality_perplexity",
     "sample_reservoir",
+    "mix_interleave",
 ]
 
 

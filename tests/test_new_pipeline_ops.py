@@ -159,3 +159,36 @@ def test_join_bloom_matches_plain_semi_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_mix_interleave_stride_schedule(spark):
+    """Every returned row's mix_pos is rank*1000 DIV weight, and the
+    result is exactly the MIX_TAKE smallest (mix_pos, lang, doc_id)
+    tuples of the full ranked frame."""
+    import hashlib
+
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.llm_pipeline import (
+        MIX_DEFAULT_W,
+        MIX_TAKE,
+        MIX_WEIGHTS,
+    )
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    got = [
+        (r["mix_pos"], r["lang"], r["doc_id"], r["rank_in_lang"])
+        for r in registry.QUERIES["mix_interleave"](spark, SF).collect()
+    ]
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    want = []
+    for lang, ids in by_lang.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        w = MIX_WEIGHTS.get(lang, MIX_DEFAULT_W)
+        for rank, doc_id in enumerate(ids, start=1):
+            want.append((rank * 1000 // w, lang, doc_id, rank))
+    want.sort()
+    assert sorted(got) == want[:MIX_TAKE]

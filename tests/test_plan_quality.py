@@ -172,3 +172,13 @@ def test_quality_perplexity_scans_corpus_once(spark):
     assert len(text_scans) <= 1, info
     assert info["python_stages"] == 0, info
     assert info["shuffles"] <= 3, info
+
+
+def test_mix_interleave_no_global_sort(spark):
+    """One window exchange; the global take must be
+    TakeOrderedAndProject (per-partition top-K + frontier merge),
+    never a full-sort exchange."""
+    info = _audit(spark, "mix_interleave")
+    assert info["shuffles"] == 1, info
+    assert info["python_stages"] == 0, info
+    assert info["scan_cols"] == ["doc_id:bigint,lang:string"], info

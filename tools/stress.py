@@ -53,6 +53,15 @@ DEFAULT_QUERIES = (
     "pipeline_pretrain",
     "bpe_encode",
     "agg_incremental",
+    # round-4 wave 3: unigram surprisal (one corpus scan + pinned
+    # (doc, word) counts — replication multiplies token volume rep×
+    # while the vocab stays constant, so the broadcast side is fixed),
+    # CDC apply (one window shuffle; per-user log depth grows rep×),
+    # and the bloom-prefiltered join (build side grows rep× in volume
+    # but not in distinct keys — the filter stays kilobyte-sized).
+    "quality_perplexity",
+    "cdc_apply",
+    "join_bloom",
 )
 
 

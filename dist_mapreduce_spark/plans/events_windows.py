@@ -1007,3 +1007,46 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+@query(
+    "stream_cdc",
+    # cdc_apply's oracle VERBATIM (registered above): the streaming
+    # materialization is merge-order-invariant, so the stream twin
+    # takes the batch contract structurally — same as stream_ohlc.
+    oracle=_ORACLES["cdc_apply"],
+)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained CDC snapshot — the streaming twin of
+    `cdc_apply`, which is how the pattern actually ships: the change
+    log is a stream and the snapshot a live table. The batch form's
+    row_number-over-(ts, event_id) picks the lexicographic max of the
+    change order per key; here that is ONE merge-order-invariant
+    aggregate — max(struct(ts, event_id, type, value)) — so any
+    micro-batch partitioning of the log yields the identical snapshot
+    (max is associative+commutative; a NULL ts field sorts below every
+    instant, matching the batch DESC NULLS LAST), which is why this
+    query can take the batch DuckDB oracle verbatim. Tombstones are
+    filtered AFTER the max, so a delete beats every earlier upsert but
+    loses to a later re-insert, exactly as in batch.
+    State: one struct row per live key — the minimum any CDC
+    materialization holds; no watermark needed because keys, unlike
+    time windows, never expire."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("last")
+    )
+    out = run_stream_to_table(agg, "stream_cdc_out")
+    return out.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("last_type"),
+        F.col("last.value").alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+    )

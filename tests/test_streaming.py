@@ -269,3 +269,19 @@ def test_stream_enrich_matches_batch_join(spark):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_cdc_matches_batch_snapshot(spark):
+    """stream_cdc must reproduce cdc_apply bit-for-bit on the same
+    static log — the merge-order-invariance claim its shared oracle
+    rests on (max(struct(ts, event_id, ...)) is associative and
+    commutative, so any micro-batching yields the same snapshot)."""
+    batch = {
+        r["user_id"]: (r["last_type"], r["last_value"], r["last_ts"])
+        for r in _q("cdc_apply")(spark, SF).collect()
+    }
+    stream = {
+        r["user_id"]: (r["last_type"], r["last_value"], r["last_ts"])
+        for r in _q("stream_cdc")(spark, SF).collect()
+    }
+    assert stream == batch

@@ -264,3 +264,47 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key_sum"),
         F.count_distinct("o_orderkey").alias("distinct_keys"),
     )
+
+
+@query(
+    "sink_compact",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,"
+        " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,"
+        " CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys"
+        " FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every long-lived
+    100 TB table needs: streaming/incremental ingest writes thousands
+    of KB-sized files per partition, and scan cost degrades with file
+    COUNT (driver listing, task scheduling, per-file open/footer reads)
+    long before it degrades with bytes. The job: read the fragmented
+    table, `repartition(target)` — a round-robin shuffle that levels
+    file sizes regardless of the ingest's skew — and rewrite; readers
+    swap directories atomically. Here orders is first fragmented on
+    purpose (maxRecordsPerFile=100, the many-small-files shape), then
+    compacted to 4 leveled files; the returned aggregate (count + exact
+    DECIMAL sum + distinct keys, vs the ORIGINAL table's oracle) is the
+    losslessness proof, and the file-count collapse is asserted in
+    tests/test_formats.py. At scale the same job runs per partition
+    with target = ceil(bytes / 128 MB), which keeps each output file
+    one scan split."""
+    frag_path = _sink_dir("compact_fragmented")
+    compact_path = _sink_dir("compact_leveled")
+    orders = _orders_projection(spark, sf_dir)
+    (
+        orders.write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .parquet(frag_path)
+    )
+    spark.read.parquet(frag_path).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compact_path)
+    back = spark.read.parquet(compact_path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("total"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )

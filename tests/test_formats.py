@@ -115,3 +115,28 @@ def test_zorder_files_are_range_disjoint(spark):
     spans.sort()
     for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
         assert prev_hi <= nxt_lo, spans
+
+
+def test_sink_compact_collapses_file_count(spark):
+    """The compaction job's point: the fragmented write produces many
+    small files, the rewrite exactly 4 leveled ones, and the table
+    content survives byte-for-byte (the registered oracle checks the
+    aggregate; here we check the files)."""
+    import glob
+    import os
+
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.formats import _sink_dir
+
+    registry.load_all()
+    rows = registry.QUERIES["sink_compact"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    frag = glob.glob(os.path.join(_sink_dir("compact_fragmented"), "*.parquet"))
+    leveled = glob.glob(os.path.join(_sink_dir("compact_leveled"), "*.parquet"))
+    assert len(frag) >= 3 * len(leveled), (len(frag), len(leveled))
+    assert len(leveled) == 4, leveled
+    sizes = [os.path.getsize(f) for f in leveled]
+    # Round-robin leveling: no output file more than 2x another.
+    assert max(sizes) <= 2 * min(sizes), sizes

@@ -1388,3 +1388,62 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ------------------------------------------------- skew diagnostics
+
+#: Heavy hitters reported by the skew audit.
+SKEW_TOPK = 20
+
+
+@query(
+    "skew_hitters",
+    oracle=(
+        "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt"
+        "  FROM events GROUP BY user_id),"
+        " tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),"
+        " top AS (SELECT user_id, cnt, CAST(cnt * 1000000 // tot.n AS BIGINT)"
+        "   AS ppm FROM c CROSS JOIN tot"
+        "  ORDER BY cnt DESC, user_id NULLS LAST"
+        f"  LIMIT {SKEW_TOPK})"
+        " SELECT user_id, cnt, ppm,"
+        "  CAST(sum(cnt) OVER (ORDER BY cnt DESC, user_id NULLS LAST"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "   AS BIGINT) AS cum_cnt"
+        " FROM top"
+    ),
+)
+def q_skew_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew audit — the measurement that DECIDES the
+    mitigation every skew-sensitive plan here assumes (join_skew_salted,
+    agg_salted, the minhash band caps): top-K keys by row count with
+    exact parts-per-million share and the cumulative count of the
+    frontier. At 100 TB you run this before choosing salt factors or
+    AQE skew thresholds; a key above a few thousand ppm of a
+    multi-billion-row table is a straggler in waiting. Everything is
+    integer-exact (counts, floor-ppm, running sum over the pinned
+    total order), so the audit is bit-stable across engines and runs.
+
+    Plan: one hash aggregate on the key, a broadcast 1-row total, and
+    a TakeOrderedAndProject frontier — the running sum happens on the
+    K-row result, not the key space. NULL keys participate (a NULL-key
+    flood is the most common real-world skew) with NULLS LAST pinned
+    in the tie order."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    top = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "cnt", F.expr("cnt * 1000000 DIV n").alias("ppm")
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc_nulls_last())
+        .limit(SKEW_TOPK)
+    )
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        "user_id", "cnt", "ppm", F.sum("cnt").over(w).alias("cum_cnt")
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dist_mapreduce_spark.functions.vectors import (
     _dot_duckdb,
+    _dot_spark,
     cosine_duckdb_sql,
     cosine_spark_sql,
 )
@@ -1004,3 +1005,39 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _def_sim_recall()
+
+
+@query(
+    "embedding_audit",
+    oracle=(
+        "SELECT vec_id, label,"
+        " CAST(len(embedding) AS BIGINT) AS dim,"
+        f" sqrt({_dot_duckdb('embedding', 'embedding')}) AS norm,"
+        " len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0"
+        "  AS has_nan"
+        " FROM embeddings"
+    ),
+)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding hygiene audit — the ingest gate a vector
+    corpus needs before any ANN index build: dimensionality (catches
+    ragged arrays from a bad producer), L2 norm (zero-norm vectors
+    poison cosine; wildly off-scale norms flag an unnormalized
+    model), and NaN presence (one NaN silently absorbs every
+    similarity it touches). Norms use the house sequential double
+    fold (functions/vectors.py), so the doubles are bit-identical to
+    the DuckDB oracle; NULL vectors surface as NULL dim/norm rows
+    rather than vanishing — an auditor must show the bad rows.
+
+    Plan: pure map over one pruned scan — 0 shuffles, py=0; at 100 TB
+    this fuses into whatever scan ships vectors to the index
+    builder."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.expr(f"sqrt({_dot_spark('embedding', 'embedding')})").alias("norm"),
+        F.exists(
+            "embedding", lambda x: F.isnan(x.cast("double"))
+        ).alias("has_nan"),
+    )

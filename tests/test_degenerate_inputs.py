@@ -141,6 +141,7 @@ EVENT_QUERIES = [
     "agg_incremental",
     "cdc_apply",
     "events_outliers",
+    "skew_hitters",
 ]
 
 
@@ -302,6 +303,7 @@ EMB_QUERIES = [
     "sim_recall",
     "dedup_embedding",
     "kmeans_embeddings",
+    "embedding_audit",
 ]
 
 

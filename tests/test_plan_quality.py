@@ -182,3 +182,20 @@ def test_mix_interleave_no_global_sort(spark):
     assert info["shuffles"] == 1, info
     assert info["python_stages"] == 0, info
     assert info["scan_cols"] == ["doc_id:bigint,lang:string"], info
+
+
+def test_embedding_audit_is_map_side_only(spark):
+    info = _audit(spark, "embedding_audit")
+    assert info["shuffles"] == 0, info
+    assert info["python_stages"] == 0, info
+
+
+def test_skew_hitters_first_exchange_is_the_only_wide_one(spark):
+    """Five exchanges, but only the first carries per-row data (the
+    key-count aggregate); the rest move key-cardinality aggregates,
+    the K-row frontier, or the 1-row total. Pin the count and the
+    single-column scan so a refactor can't quietly widen the scan."""
+    info = _audit(spark, "skew_hitters")
+    assert info["shuffles"] <= 5, info
+    assert info["python_stages"] == 0, info
+    assert info["scan_cols"] == ["user_id:bigint"], info

@@ -532,3 +532,54 @@ def frame_sample(
     return payloads.select("doc_id", "payload").mapInPandas(
         sample, schema=FRAME_SCHEMA
     )
+
+
+#: Output schema of the image average-hash extractor.
+AHASH_SCHEMA = "doc_id long, ahash_hi long, ahash_lo long"
+
+
+def image_ahash(payloads: DataFrame) -> DataFrame:
+    """Perceptual average-hash over binary image payloads via
+    mapInPandas: REAL BMP decode (decode_image), the same 8×8
+    nearest-neighbor sample as resize_image_features, per-pixel gray =
+    r+g+b, then one bit per pixel — set iff gray·64 > Σgray (the
+    mean-threshold test kept in integers: no division, no float, so
+    the hash is bit-identical on every engine). The 64 bits pack into
+    two bigints (lo = pixels 0–31, hi = 32–63). Two images with the
+    same hash are near-identical at thumbnail scale — the standard
+    cheap image near-dup key (pHash family, mean variant). Map-side
+    only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(encode_bmp(bytes(payload)))
+                pix, h, w = img["pixels"], img["height"], img["width"]
+                stride = w * 3
+                grays = []
+                for r in range(RESIZE_H):
+                    src_r = r * h // RESIZE_H
+                    for c in range(RESIZE_W):
+                        src_c = c * w // RESIZE_W
+                        base = src_r * stride + src_c * 3
+                        grays.append(
+                            pix[base] + pix[base + 1] + pix[base + 2]
+                        )
+                tot = sum(grays)
+                lo = sum(
+                    1 << p for p in range(32) if grays[p] * 64 > tot
+                )
+                hi = sum(
+                    1 << (p - 32)
+                    for p in range(32, 64)
+                    if grays[p] * 64 > tot
+                )
+                rows.append((doc_id, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ahash_hi", "ahash_lo"]
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )

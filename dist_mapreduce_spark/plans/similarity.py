@@ -1041,3 +1041,92 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: F.isnan(x.cast("double"))
         ).alias("has_nan"),
     )
+
+
+def _ahash_gray_duck(p: str) -> str:
+    """DuckDB closed form for thumbnail pixel ``p``'s gray value (sum
+    of the 3 sampled channel bytes of the BMP packing — same index
+    math as the multimodal_resize oracle: src byte = (row·h//8)·48 +
+    6·col + k, ascii code inside the text, 0 in the padding)."""
+    terms = []
+    for k in range(3):
+        idx = f"((({p})//8)*h//8)*48 + (({p})%8)*6 + {k}"
+        terms.append(
+            f"CASE WHEN {idx} < l"
+            f" THEN ascii(substr(text, {idx} + 1, 1)) ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "dedup_image_phash",
+    oracle=(
+        "WITH base AS (SELECT doc_id, text,"
+        "  octet_length(encode(text)) AS l,"
+        "  greatest(1, (octet_length(encode(text)) + 47) // 48) AS h"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " g AS (SELECT doc_id,"
+        f"  list_transform(range(0, 64), p -> {_ahash_gray_duck('p')})"
+        "   AS gl FROM base),"
+        " s AS (SELECT doc_id, gl,"
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT), gl),"
+        "   (a, b) -> a + b) AS tot FROM g),"
+        " hsh AS (SELECT doc_id,"
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "   list_transform(range(0, 32), p ->"
+        "    CASE WHEN gl[p + 1] * 64 > tot"
+        "     THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),"
+        "   (a, b) -> a + b) AS ahash_lo,"
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "   list_transform(range(32, 64), p ->"
+        "    CASE WHEN gl[p + 1] * 64 > tot"
+        "     THEN CAST(1 AS BIGINT) << (p - 32)"
+        "     ELSE CAST(0 AS BIGINT) END)),"
+        "   (a, b) -> a + b) AS ahash_hi"
+        "  FROM s)"
+        " SELECT doc_id, ahash_hi, ahash_lo,"
+        "  CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo)"
+        "   AS BIGINT) AS group_size,"
+        "  min(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo)"
+        "   AS canonical_id,"
+        "  min(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo) <> doc_id"
+        "   AS is_dup"
+        " FROM hsh"
+    ),
+)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the visual twin of dedup_exact:
+    each image payload is REALLY decoded (BMP chunk parse, not a stub),
+    reduced to a 64-bit perceptual average-hash
+    (operators.multimodal.image_ahash: 8×8 thumbnail grays,
+    mean-threshold bits, all integer), and grouped by hash; min doc_id
+    per group is the canonical survivor. At thumbnail scale this
+    collapses re-encoded/resized copies of the same image that a byte
+    hash (dedup_exact) can never see. The oracle re-derives every hash
+    bit from the text bytes in closed form, so a single off-by-one in
+    the decode, the sample grid, or the bit packing is a value-hash
+    mismatch — the image pipeline's equivalent of the winnowing
+    property test. Near-dup (small Hamming distance) retrieval stacks
+    the same banding trick as dedup_simhash on these keys.
+
+    Scale shape: hash extraction is map-side Arrow batches fused into
+    the scan (py=1 by design, like every multimodal decode); the only
+    shuffle is the 2-bigint-key window — the corpus never moves with
+    its payloads."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        image_ahash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ah = image_ahash(attach_payload(docs))
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    canonical = F.min("doc_id").over(w)
+    return ah.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        canonical.alias("canonical_id"),
+        (canonical != F.col("doc_id")).alias("is_dup"),
+    )

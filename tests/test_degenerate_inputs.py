@@ -63,6 +63,7 @@ DOC_QUERIES = [
     "quality_perplexity",
     "sample_reservoir",
     "mix_interleave",
+    "dedup_image_phash",
 ]
 
 

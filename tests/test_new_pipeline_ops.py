@@ -192,3 +192,42 @@ def test_mix_interleave_stride_schedule(spark):
             want.append((rank * 1000 // w, lang, doc_id, rank))
     want.sort()
     assert sorted(got) == want[:MIX_TAKE]
+
+
+def test_image_phash_collapses_visually_identical_bytes_differ(
+    spark, tmp_path_factory
+):
+    """Two payloads differing only at an UNSAMPLED byte (col 3 of the
+    16px BMP row — the 8x8 grid samples cols = 0,2,4,..,14, i.e. byte
+    offsets 6c+k, never 3,4,5 mod 6) must land in the same perceptual
+    group even though their byte hashes differ; a perceptually
+    DIFFERENT image (its whole second row rewritten, flipping the
+    bright half of the thumbnail) must not — while a one-char change
+    at a sampled byte is exactly what an average-hash is built to
+    absorb."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    base = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuv" * 2  # 96 B
+    unsampled = base[:3] + "z" + base[4:]     # byte 3: col 1 ch 0 -> skipped
+    sampled = base[:48] + "~" * 48            # second BMP row rewritten
+    rows = [
+        (1, base, "en", "src0", len(base)),
+        (2, unsampled, "en", "src0", len(unsampled)),
+        (3, sampled, "en", "src0", len(sampled)),
+    ]
+    root = _clone_with(
+        spark, tmp_path_factory, "phash_docs", "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["dedup_image_phash"](spark, root).collect()
+    }
+    assert (out[1]["ahash_hi"], out[1]["ahash_lo"]) == (
+        out[2]["ahash_hi"], out[2]["ahash_lo"],
+    )
+    assert out[2]["is_dup"] and out[2]["canonical_id"] == 1
+    assert (out[3]["ahash_hi"], out[3]["ahash_lo"]) != (
+        out[1]["ahash_hi"], out[1]["ahash_lo"],
+    )

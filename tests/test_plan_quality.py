@@ -199,3 +199,11 @@ def test_skew_hitters_first_exchange_is_the_only_wide_one(spark):
     assert info["shuffles"] <= 5, info
     assert info["python_stages"] == 0, info
     assert info["scan_cols"] == ["user_id:bigint"], info
+
+
+def test_image_phash_single_shuffle_one_python_stage(spark):
+    """Hash extraction is ONE Arrow stage fused into the scan; the
+    2-bigint-key window is the only exchange."""
+    info = _audit(spark, "dedup_image_phash")
+    assert info["shuffles"] == 1, info
+    assert info["python_stages"] == 1, info

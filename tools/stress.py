@@ -62,6 +62,15 @@ DEFAULT_QUERIES = (
     "quality_perplexity",
     "cdc_apply",
     "join_bloom",
+    # round-4 wave 4: the mixing order and reservoir (single window
+    # shuffle each — rank volume grows rep×, output stays K-sized),
+    # the skew audit (first exchange carries key counts; replication
+    # multiplies per-user depth rep×), and the embedding hygiene map
+    # (must be exactly linear — it is a fused scan).
+    "mix_interleave",
+    "sample_reservoir",
+    "skew_hitters",
+    "embedding_audit",
 )
 
 

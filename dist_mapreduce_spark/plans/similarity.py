@@ -1058,32 +1058,40 @@ def _ahash_gray_duck(p: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+#: Shared DuckDB CTE chain deriving every document's 64-bit average
+#: hash (hsh: doc_id, ahash_hi, ahash_lo) from the text bytes in
+#: closed form — ONE definition for both image-dedup oracles.
+_AHASH_CTE = (
+    "WITH base AS (SELECT doc_id, text,"
+    "  octet_length(encode(text)) AS l,"
+    "  greatest(1, (octet_length(encode(text)) + 47) // 48) AS h"
+    "  FROM documents WHERE text IS NOT NULL),"
+    " g AS (SELECT doc_id,"
+    f"  list_transform(range(0, 64), p -> {_ahash_gray_duck('p')})"
+    "   AS gl FROM base),"
+    " s AS (SELECT doc_id, gl,"
+    "  list_reduce(list_prepend(CAST(0 AS BIGINT), gl),"
+    "   (a, b) -> a + b) AS tot FROM g),"
+    " hsh AS (SELECT doc_id,"
+    "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    "   list_transform(range(0, 32), p ->"
+    "    CASE WHEN gl[p + 1] * 64 > tot"
+    "     THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),"
+    "   (a, b) -> a + b) AS ahash_lo,"
+    "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    "   list_transform(range(32, 64), p ->"
+    "    CASE WHEN gl[p + 1] * 64 > tot"
+    "     THEN CAST(1 AS BIGINT) << (p - 32)"
+    "     ELSE CAST(0 AS BIGINT) END)),"
+    "   (a, b) -> a + b) AS ahash_hi"
+    "  FROM s)"
+)
+
+
 @query(
     "dedup_image_phash",
     oracle=(
-        "WITH base AS (SELECT doc_id, text,"
-        "  octet_length(encode(text)) AS l,"
-        "  greatest(1, (octet_length(encode(text)) + 47) // 48) AS h"
-        "  FROM documents WHERE text IS NOT NULL),"
-        " g AS (SELECT doc_id,"
-        f"  list_transform(range(0, 64), p -> {_ahash_gray_duck('p')})"
-        "   AS gl FROM base),"
-        " s AS (SELECT doc_id, gl,"
-        "  list_reduce(list_prepend(CAST(0 AS BIGINT), gl),"
-        "   (a, b) -> a + b) AS tot FROM g),"
-        " hsh AS (SELECT doc_id,"
-        "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        "   list_transform(range(0, 32), p ->"
-        "    CASE WHEN gl[p + 1] * 64 > tot"
-        "     THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),"
-        "   (a, b) -> a + b) AS ahash_lo,"
-        "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        "   list_transform(range(32, 64), p ->"
-        "    CASE WHEN gl[p + 1] * 64 > tot"
-        "     THEN CAST(1 AS BIGINT) << (p - 32)"
-        "     ELSE CAST(0 AS BIGINT) END)),"
-        "   (a, b) -> a + b) AS ahash_hi"
-        "  FROM s)"
+        _AHASH_CTE +
         " SELECT doc_id, ahash_hi, ahash_lo,"
         "  CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo)"
         "   AS BIGINT) AS group_size,"
@@ -1129,4 +1137,106 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("group_size"),
         canonical.alias("canonical_id"),
         (canonical != F.col("doc_id")).alias("is_dup"),
+    )
+
+
+#: Hamming threshold for image near-duplicates and the 16-bit band
+#: arithmetic shared (as one constant pair) by query and oracle.
+AHASH_HAM_T = 6
+
+
+def _ahash_band(idiv: str) -> str:
+    """16-bit band extraction; ``idiv`` is the dialect's integer
+    division ('//' DuckDB, 'DIV' Spark) — one template, two dialects."""
+    return (
+        "CASE band_id WHEN 0 THEN ahash_lo % 65536"
+        f" WHEN 1 THEN ahash_lo {idiv} 65536"
+        " WHEN 2 THEN ahash_hi % 65536"
+        f" ELSE ahash_hi {idiv} 65536 END"
+    )
+
+
+@query(
+    "dedup_image_near",
+    oracle=(
+        _AHASH_CTE +
+        ", bands AS (SELECT doc_id, ahash_hi, ahash_lo, band_id,"
+        f"  {_ahash_band('//')} AS bv"
+        "  FROM hsh, range(0, 4) t(band_id)),"
+        " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        "  FROM bands a JOIN bands b"
+        "   ON a.band_id = b.band_id AND a.bv = b.bv"
+        "    AND a.doc_id < b.doc_id),"
+        " scored AS (SELECT doc_a, doc_b,"
+        "  CAST(bit_count(xor(ha.ahash_lo, hb.ahash_lo))"
+        "   + bit_count(xor(ha.ahash_hi, hb.ahash_hi)) AS BIGINT)"
+        "   AS hamming"
+        "  FROM cand JOIN hsh ha ON ha.doc_id = cand.doc_a"
+        "   JOIN hsh hb ON hb.doc_id = cand.doc_b)"
+        f" SELECT doc_a, doc_b, hamming FROM scored"
+        f" WHERE hamming <= {AHASH_HAM_T}"
+    ),
+)
+def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs within Hamming distance
+    {AHASH_HAM_T} of the 64-bit perceptual hash — dedup_image_phash
+    finds exact perceptual matches; this finds the re-compressed /
+    slightly-edited copies whose hashes differ in a few bits. Same
+    LSH-banding trick as dedup_simhash: 4 bands of 16 bits, candidates
+    = pairs agreeing on ≥1 band (an equi-join, NEVER an all-pairs
+    product), verified by exact popcount of the hash XOR. The band
+    condition is part of the declared semantics and mirrored in the
+    oracle, exactly like dedup_minhash's banding (a ≤6-bit pair with
+    no agreeing band is out of contract by design — pigeonhole admits
+    it only when the diffs spread 4 ways).
+
+    Scale shape: hashes are extracted once (map-side Arrow, fused into
+    the scan) and pinned — the 3-bigint hash frame is thousands of
+    times smaller than the payloads, and the self-join shuffles only
+    (band_id, bv, doc_id) triples; popcount verification touches
+    candidate pairs, not the corpus. The exact shape of the minhash
+    banding pipeline, at image scale."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        image_ahash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ah = image_ahash(attach_payload(docs)).cache()
+    bands = ah.selectExpr(
+        "doc_id", "ahash_hi", "ahash_lo",
+        "explode(sequence(0, 3)) AS band_id",
+    ).selectExpr("doc_id", "band_id", f"{_ahash_band('DIV')} AS bv")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = ah.selectExpr(
+        "doc_id AS doc_a", "ahash_hi AS hi_a", "ahash_lo AS lo_a"
+    )
+    hb = ah.selectExpr(
+        "doc_id AS doc_b", "ahash_hi AS hi_b", "ahash_lo AS lo_b"
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "cast(bit_count(lo_a ^ lo_b)"
+                " + bit_count(hi_a ^ hi_b) as bigint)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AHASH_HAM_T)
     )

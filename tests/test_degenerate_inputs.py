@@ -64,6 +64,7 @@ DOC_QUERIES = [
     "sample_reservoir",
     "mix_interleave",
     "dedup_image_phash",
+    "dedup_image_near",
 ]
 
 

@@ -207,3 +207,23 @@ def test_image_phash_single_shuffle_one_python_stage(spark):
     info = _audit(spark, "dedup_image_phash")
     assert info["shuffles"] == 1, info
     assert info["python_stages"] == 1, info
+
+
+def test_image_near_reuses_cached_hashes(spark):
+    """The ahash frame is computed ONCE and cached; all four consumers
+    (band self-join sides + two verify joins) must read the
+    InMemoryRelation, not re-run the Arrow decode. (explain_audit's
+    scan/py counts overcount here: each InMemoryTableScan block prints
+    the cached plan's FileScan/MapInPandas description — so inspect
+    the executed plan directly.)"""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["dedup_image_near"](spark, SF)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("InMemoryTableScan") == 4, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -183,3 +183,29 @@ def test_tokenize_matches_python_model_on_unicode(spark, texts):
     got = {r["word"]: r["cnt"] for r in word_count(df).collect()}
     want = Counter(w for t in texts for w in _py_tokenize(t))
     assert got == dict(want)
+
+
+@given(
+    c=st.integers(min_value=1, max_value=10**12),
+    n=st.integers(min_value=1, max_value=10**15),
+)
+@settings(max_examples=300)
+def test_floor_log2_of_floor_div_identity(c, n):
+    """quality_perplexity's integer surprisal rests on
+    floor(log2(n/c)) == bit_length(n DIV c) - 1 for 1 <= c <= n (floor
+    cannot cross a power-of-two boundary from above). Both engines
+    compute length(bin(n DIV c)) - 1; pin the identity against exact
+    fraction math."""
+    import math
+
+    if c > n:
+        c, n = n, c  # ensure c <= n so n/c >= 1
+    q = n // c
+    got = q.bit_length() - 1
+    # Exact floor(log2(n/c)) without floats: largest k with 2^k * c <= n.
+    k = 0
+    while (1 << (k + 1)) * c <= n:
+        k += 1
+    assert got == k, (c, n, q, got, k)
+    # And the float intuition agrees away from boundaries.
+    assert abs(got - math.floor(math.log2(n / c))) <= 1

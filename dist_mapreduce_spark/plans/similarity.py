@@ -1144,6 +1144,13 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: arithmetic shared (as one constant pair) by query and oracle.
 AHASH_HAM_T = 6
 
+#: Skew cap per (band, value) bucket — same role as dedup_minhash's
+#: BAND_BUCKET_CAP: a viral image (millions of byte-identical or
+#: near-identical copies) would otherwise make one bucket emit
+#: C(copies, 2) candidate pairs. Keep-lowest-doc_id keeps the cap
+#: deterministic and oracle-mirrorable.
+AHASH_BAND_CAP = 200
+
 
 def _ahash_band(idiv: str) -> str:
     """16-bit band extraction; ``idiv`` is the dialect's integer
@@ -1160,9 +1167,13 @@ def _ahash_band(idiv: str) -> str:
     "dedup_image_near",
     oracle=(
         _AHASH_CTE +
-        ", bands AS (SELECT doc_id, ahash_hi, ahash_lo, band_id,"
+        ", bands0 AS (SELECT doc_id, ahash_hi, ahash_lo, band_id,"
         f"  {_ahash_band('//')} AS bv"
         "  FROM hsh, range(0, 4) t(band_id)),"
+        " bands AS (SELECT * FROM ("
+        "  SELECT doc_id, band_id, bv, row_number() OVER ("
+        "   PARTITION BY band_id, bv ORDER BY doc_id) AS rn FROM bands0)"
+        f" WHERE rn <= {AHASH_BAND_CAP}),"
         " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
         "  FROM bands a JOIN bands b"
         "   ON a.band_id = b.band_id AND a.bv = b.bv"
@@ -1188,7 +1199,10 @@ def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition is part of the declared semantics and mirrored in the
     oracle, exactly like dedup_minhash's banding (a ≤6-bit pair with
     no agreeing band is out of contract by design — pigeonhole admits
-    it only when the diffs spread 4 ways).
+    it only when the diffs spread 4 ways). Each bucket is capped at
+    AHASH_BAND_CAP lowest doc_ids, mirrored in the oracle — the same
+    viral-duplicate skew guard as dedup_minhash's BAND_BUCKET_CAP
+    (one boilerplate logo must not emit C(copies, 2) pairs).
 
     Scale shape: hashes are extracted once (map-side Arrow, fused into
     the scan) and pinned — the 3-bigint hash frame is thousands of
@@ -1207,6 +1221,15 @@ def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ahash_hi", "ahash_lo",
         "explode(sequence(0, 3)) AS band_id",
     ).selectExpr("doc_id", "band_id", f"{_ahash_band('DIV')} AS bv")
+    # Skew cap (AHASH_BAND_CAP): deterministic keep-lowest per bucket;
+    # the row_number shuffles on the same (band_id, bv) key the
+    # self-join hashes on, so the exchange is reused.
+    wcap = Window.partitionBy("band_id", "bv").orderBy("doc_id")
+    bands = (
+        bands.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= AHASH_BAND_CAP)
+        .drop("rn")
+    )
     cand = (
         bands.alias("a")
         .join(

@@ -71,6 +71,13 @@ DEFAULT_QUERIES = (
     "sample_reservoir",
     "skew_hitters",
     "embedding_audit",
+    # round-4 wave 5: image dedup. Replication is ADVERSARIAL for the
+    # Hamming banding exactly as for minhash: every band bucket holds
+    # all rep copies, so candidates grow ~C(rep,2) per original — the
+    # boilerplate-image shape of a real crawl. Surviving it with time
+    # ∝ candidate pairs is the banding design's evidence.
+    "dedup_image_phash",
+    "dedup_image_near",
 )
 
 

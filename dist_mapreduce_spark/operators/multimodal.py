@@ -583,3 +583,45 @@ def image_ahash(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(
         run, schema=AHASH_SCHEMA
     )
+
+
+#: Output schema of the audio fingerprint extractor.
+AUDIO_FP_SCHEMA = "doc_id long, afp_hi long, afp_lo long"
+
+#: Number of energy frames in the audio fingerprint (= hash bits).
+AUDIO_FP_FRAMES = 64
+
+
+def audio_fingerprint(payloads: DataFrame) -> DataFrame:
+    """Acoustic fingerprint over binary audio payloads via mapInPandas:
+    REAL WAV decode (decode_audio_frames), the signal cut into
+    AUDIO_FP_FRAMES equal time frames, one bit per frame — set iff the
+    frame's energy is above the clip's mean, tested in cross-multiplied
+    integers (frame_sum·n > total·frame_len: no division, no float).
+    The same mean-threshold construction as image_ahash, on the time
+    axis — the cheap Shazam-family dedup key for audio. Bits pack into
+    two bigints (lo = frames 0–31, hi = 32–63). Map-side only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = decode_audio_frames(encode_wav(bytes(payload)))
+                samples, n = wav["samples"], wav["n_samples"]
+                tot = sum(samples)
+                bits = []
+                for f in range(AUDIO_FP_FRAMES):
+                    start = f * n // AUDIO_FP_FRAMES
+                    end = (f + 1) * n // AUDIO_FP_FRAMES
+                    fs = sum(samples[start:end])
+                    bits.append(fs * n > tot * (end - start))
+                lo = sum(1 << p for p in range(32) if bits[p])
+                hi = sum(1 << (p - 32) for p in range(32, 64) if bits[p])
+                rows.append((doc_id, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "afp_hi", "afp_lo"]
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_FP_SCHEMA
+    )

@@ -1263,3 +1263,96 @@ def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= AHASH_HAM_T)
     )
+
+
+#: DuckDB closed form for audio sample j (0-based): little-endian
+#: PCM16 re-derived from the character codes (ASCII corpus ⇒ codes ==
+#: bytes; odd tail zero-padded), same idiom as the multimodal_audio
+#: oracle.
+_AFP_SAMPLE = (
+    "CAST(CASE WHEN 2*i+1 <= L THEN ascii(substr(text, 2*i+1, 1))"
+    " ELSE 0 END"
+    " + 256 * CASE WHEN 2*i+2 <= L THEN ascii(substr(text, 2*i+2, 1))"
+    " ELSE 0 END AS BIGINT)"
+)
+
+_AFP_FRAME_SUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(f*n//64, (f+1)*n//64),"
+    f"  i -> {_AFP_SAMPLE})), (a, b) -> a + b)"
+)
+
+
+@query(
+    "dedup_audio_fp",
+    oracle=(
+        "WITH base AS (SELECT doc_id, text, length(text) AS L,"
+        "  (length(text) + 1) // 2 AS n"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " fr AS (SELECT doc_id,"
+        f"  list_transform(range(0, 64), f -> {_AFP_FRAME_SUM}) AS fss,"
+        "  list_transform(range(0, 64),"
+        "   f -> (f+1)*n//64 - f*n//64) AS fls,"
+        "  n FROM base),"
+        " t AS (SELECT doc_id, fss, fls, n,"
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT), fss),"
+        "   (a, b) -> a + b) AS tot FROM fr),"
+        " hsh AS (SELECT doc_id,"
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "   list_transform(range(0, 32), p ->"
+        "    CASE WHEN fss[p + 1] * n > tot * fls[p + 1]"
+        "     THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),"
+        "   (a, b) -> a + b) AS afp_lo,"
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        "   list_transform(range(32, 64), p ->"
+        "    CASE WHEN fss[p + 1] * n > tot * fls[p + 1]"
+        "     THEN CAST(1 AS BIGINT) << (p - 32)"
+        "     ELSE CAST(0 AS BIGINT) END)),"
+        "   (a, b) -> a + b) AS afp_hi"
+        "  FROM t)"
+        " SELECT doc_id, afp_hi, afp_lo,"
+        "  CAST(count(*) OVER (PARTITION BY afp_hi, afp_lo)"
+        "   AS BIGINT) AS group_size,"
+        "  min(doc_id) OVER (PARTITION BY afp_hi, afp_lo)"
+        "   AS canonical_id,"
+        "  min(doc_id) OVER (PARTITION BY afp_hi, afp_lo) <> doc_id"
+        "   AS is_dup"
+        " FROM hsh"
+    ),
+)
+def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection — the acoustic member of the
+    multimodal dedup trio (dedup_exact = bytes, dedup_image_phash =
+    pixels, this = samples): each payload is REALLY decoded as
+    PCM16-mono WAV, fingerprinted by 64 time-frame energy bits
+    (operators.multimodal.audio_fingerprint — mean-threshold in
+    cross-multiplied integers, the Shazam-family construction at its
+    cheapest), and grouped by the 64-bit fingerprint; min doc_id per
+    group survives. Robust to the re-encodings that preserve coarse
+    energy contour while changing bytes. The oracle re-derives every
+    frame sum and threshold bit from the character codes in closed
+    form — one wrong frame boundary (the i·n DIV 64 integer split) or
+    a signedness slip is a value-hash mismatch.
+
+    Scale shape: identical to dedup_image_phash — map-side Arrow
+    extraction fused into the scan (py=1 by design), one
+    2-bigint-key window shuffle; Hamming-banded near-matching stacks
+    on these keys exactly as dedup_image_near does on the image
+    hashes."""
+    from dist_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        audio_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = audio_fingerprint(attach_payload(docs))
+    w = Window.partitionBy("afp_hi", "afp_lo")
+    canonical = F.min("doc_id").over(w)
+    return fp.select(
+        "doc_id",
+        "afp_hi",
+        "afp_lo",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        canonical.alias("canonical_id"),
+        (canonical != F.col("doc_id")).alias("is_dup"),
+    )

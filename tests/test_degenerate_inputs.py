@@ -65,6 +65,7 @@ DOC_QUERIES = [
     "mix_interleave",
     "dedup_image_phash",
     "dedup_image_near",
+    "dedup_audio_fp",
 ]
 
 

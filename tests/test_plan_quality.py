@@ -227,3 +227,9 @@ def test_image_near_reuses_cached_hashes(spark):
     )
     assert plan.count("InMemoryTableScan") == 4, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_audio_fp_single_shuffle_one_python_stage(spark):
+    info = _audit(spark, "dedup_audio_fp")
+    assert info["shuffles"] == 1, info
+    assert info["python_stages"] == 1, info

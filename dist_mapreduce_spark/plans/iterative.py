@@ -547,3 +547,88 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RESERVOIR_K)
         .select("doc_id", "lang")
     )
+
+
+# ------------------------------------------------- triangle counting
+
+from dist_mapreduce_spark.plans.llm_pipeline import (  # noqa: E402
+    _duck_minhash_oracle,
+)
+
+
+@query(
+    "graph_triangles",
+    oracle=(
+        "WITH p AS ({mh}),"
+        " pairs AS (SELECT doc_a, doc_b FROM p),"
+        " edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs),"
+        " deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),"
+        " tri AS (SELECT count(*) AS t FROM pairs p1"
+        "  JOIN pairs p2 ON p2.doc_a = p1.doc_b"
+        "  JOIN pairs p3 ON p3.doc_a = p1.doc_a"
+        "   AND p3.doc_b = p2.doc_b)"
+        " SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,"
+        "  CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)"
+        "   AS n_wedges,"
+        "  CAST(tri.t AS BIGINT) AS n_triangles,"
+        "  CAST(tri.t * 3 * 1000000"
+        "   // greatest((SELECT sum(d * (d - 1) // 2) FROM deg), 1)"
+        "   AS BIGINT) AS transitivity_ppm"
+        " FROM tri"
+    ).format(mh=_duck_minhash_oracle()),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the minhash
+    near-dup graph — the transitivity audit of the dedup pipeline:
+    near-duplication should be (approximately) transitive, so a LOW
+    coefficient on these edges means the banding is linking documents
+    whose similarity doesn't agree pairwise — a quality alarm before
+    dedup_cluster merges them. Classic two-join triangle enumeration
+    over the a<b-ordered edge list (each triangle x<y<z materializes
+    exactly once); wedges from per-node degrees (Σ C(d, 2)), and the
+    coefficient 3·triangles/wedges reported in exact integer ppm.
+
+    Scale shape: the edge list is the ALREADY-thresholded near-dup
+    graph (orders of magnitude smaller than the corpus — same premise
+    as dedup_cluster), so the self-joins shuffle pair tuples only;
+    degrees are one aggregate. On a general 100 TB graph the standard
+    refinement is degree-ordered orientation (join low-degree nodes
+    first) — the a<b ordering here is exactly that trick with doc_id
+    as the order."""
+    from dist_mapreduce_spark.plans.llm_pipeline import q_dedup_minhash
+
+    pairs = (
+        q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    )
+    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        n_edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "n_triangles * 3 * 1000000 DIV greatest(n_wedges, 1)"
+            ).alias("transitivity_ppm"),
+        )
+    )

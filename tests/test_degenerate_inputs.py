@@ -66,6 +66,7 @@ DOC_QUERIES = [
     "dedup_image_phash",
     "dedup_image_near",
     "dedup_audio_fp",
+    "graph_triangles",
 ]
 
 

@@ -233,3 +233,24 @@ def test_audio_fp_single_shuffle_one_python_stage(spark):
     info = _audit(spark, "dedup_audio_fp")
     assert info["shuffles"] == 1, info
     assert info["python_stages"] == 1, info
+
+
+def test_graph_triangles_joins_pairs_not_corpus(spark):
+    """The triangle joins must run over the thresholded pair list
+    (cached — the corpus-sized minhash pipeline executes once), with
+    no sort-merge join and no cartesian product."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["graph_triangles"](spark, SF)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # AQE's empty/small-relation propagation collapses some cached
+    # readers into LocalTableScans at sf0.001 — require the cache to
+    # be visible, not a fixed reader count.
+    assert plan.count("InMemoryTableScan") >= 1, plan[:1500]

@@ -1050,3 +1050,116 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.value").alias("last_value"),
         F.col("last.ts").alias("last_ts"),
     )
+
+
+@query(
+    "stream_hitters",
+    # skew_hitters' oracle VERBATIM (plans/relational.py): the
+    # streaming count is a merge-order-free aggregate, so the top-K
+    # frontier computed on the materialized counts is identical for
+    # any micro-batch partitioning — the same shared-oracle contract
+    # as stream_ohlc / stream_cdc.
+    oracle=_ORACLES["skew_hitters"],
+)
+def q_stream_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew audit over a LIVE stream — the streaming twin
+    of skew_hitters, which is the form the audit actually runs in
+    production (you want the salting decision BEFORE the nightly batch
+    lands). The stream maintains one count per key (merge-order-free);
+    the K-row frontier, exact-ppm shares, and running sum are computed
+    on the materialized counts, where they are a K-row problem. State:
+    one long per live key, the same floor as stream_cdc."""
+    from dist_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = run_stream_to_table(counts, "stream_hitters_out")
+    from dist_mapreduce_spark.plans.relational import SKEW_TOPK
+
+    tot = out.agg(F.sum("cnt").alias("n"))
+    top = (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "cnt", F.expr("cnt * 1000000 DIV n").alias("ppm")
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc_nulls_last())
+        .limit(SKEW_TOPK)
+    )
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        "user_id", "cnt", "ppm", F.sum("cnt").over(w).alias("cum_cnt")
+    )
+
+
+@query(
+    "events_transitions",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_type, ts, event_id,"
+        "  lag(event_type) OVER (PARTITION BY user_id"
+        "   ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_type"
+        " FROM events),"
+        " t AS (SELECT prev_type, event_type AS next_type,"
+        "  CAST(count(*) AS BIGINT) AS n"
+        "  FROM seq WHERE prev_type IS NOT NULL"
+        "   AND event_type IS NOT NULL GROUP BY 1, 2)"
+        " SELECT prev_type, next_type, n,"
+        "  CAST(n * 1000000"
+        "   // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm"
+        " FROM t"
+    ),
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered in-session pair (previous event type → next event type),
+    the transition count and the conditional probability in exact
+    integer ppm (n·10⁶ DIV row-total — no float, engines agree
+    bit-for-bit). This is the path-analysis complement of
+    events_funnel: the funnel checks ONE prescribed sequence, this
+    surfaces the empirical transition structure (where users actually
+    go next), the input to Sankey diagrams and next-event models.
+
+    One window shuffle on the user key (lag over the pinned
+    (ts, event_id) NULLS LAST total order — same ordering contract as
+    cdc_apply), one hash aggregate on the (prev, next) pair — a
+    5×5-ish result regardless of corpus size — and the row totals as
+    a window over that tiny aggregate (a join branch would recompute
+    the whole pair pipeline; the window costs one type-keyed exchange
+    of ~25 rows). NULL-type rows drop from pair formation in both
+    engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("scaled"),
+        F.sum("n").over(wr).alias("row_n"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("scaled DIV row_n").alias("p_ppm"),
+    )

@@ -146,6 +146,7 @@ EVENT_QUERIES = [
     "cdc_apply",
     "events_outliers",
     "skew_hitters",
+    "events_transitions",
 ]
 
 

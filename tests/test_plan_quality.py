@@ -254,3 +254,13 @@ def test_graph_triangles_joins_pairs_not_corpus(spark):
     # readers into LocalTableScans at sf0.001 — require the cache to
     # be visible, not a fixed reader count.
     assert plan.count("InMemoryTableScan") >= 1, plan[:1500]
+
+
+def test_events_transitions_single_scan_three_exchanges(spark):
+    """Row totals come from a window over the tiny pair aggregate —
+    a join branch would recompute the whole pipeline (and did, before
+    this was pinned: 6 exchanges, 2 scans)."""
+    info = _audit(spark, "events_transitions")
+    assert info["shuffles"] <= 3, info
+    assert len(info["scan_cols"]) == 1, info
+    assert info["python_stages"] == 0, info

@@ -285,3 +285,13 @@ def test_stream_cdc_matches_batch_snapshot(spark):
         for r in _q("stream_cdc")(spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_stream_hitters_matches_batch_audit(spark):
+    """stream_hitters must reproduce skew_hitters bit-for-bit on the
+    same static events — streaming counts are merge-order-free and
+    the frontier math runs on the materialized counts."""
+    key = lambda r: (r["user_id"], r["cnt"], r["ppm"], r["cum_cnt"])  # noqa: E731
+    batch = sorted(key(r) for r in _q("skew_hitters")(spark, SF).collect())
+    stream = sorted(key(r) for r in _q("stream_hitters")(spark, SF).collect())
+    assert stream == batch

@@ -284,8 +284,11 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, `repartition(target)` — a round-robin shuffle that levels
     file sizes regardless of the ingest's skew — and rewrite; readers
     swap directories atomically. Here orders is first fragmented on
-    purpose (maxRecordsPerFile=100, the many-small-files shape), then
-    compacted to 4 leveled files; the returned aggregate (count + exact
+    purpose into ~300 files regardless of input size (the fragment
+    COUNT is the pathology being demonstrated, so it is bounded rather
+    than scaled with the corpus — else a 20× stress run spends its
+    time GENERATING pathology, not compacting it), then compacted to
+    4 leveled files; the returned aggregate (count + exact
     DECIMAL sum + distinct keys, vs the ORIGINAL table's oracle) is the
     losslessness proof, and the file-count collapse is asserted in
     tests/test_formats.py. At scale the same job runs per partition
@@ -294,9 +297,10 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag_path = _sink_dir("compact_fragmented")
     compact_path = _sink_dir("compact_leveled")
     orders = _orders_projection(spark, sf_dir)
+    per_file = max(100, orders.count() // 300)
     (
         orders.write.mode("overwrite")
-        .option("maxRecordsPerFile", 100)
+        .option("maxRecordsPerFile", per_file)
         .parquet(frag_path)
     )
     spark.read.parquet(frag_path).repartition(4).write.mode(

@@ -113,3 +113,25 @@ def test_all_tables_load_with_expected_key_columns(spark):
         cols = set(load_table(spark, SF_DIR, name).columns)
         missing = required[name] - cols
         assert not missing, f"{name} lost required columns: {sorted(missing)}"
+
+
+def test_documents_text_is_pure_ascii(spark):
+    """The multimodal oracle family (decode / resize / audio / video /
+    image phash / audio fingerprint) re-derives payload BYTES from the
+    text column with per-CHARACTER ascii(substr(...)) closed forms —
+    valid only while characters == bytes. The generator has shipped
+    pure-ASCII text for four rounds; if that ever changes, fail HERE
+    with a named assertion instead of eight cryptic multimodal hash
+    mismatches (the fix then: restate those oracles over
+    encode(text) blob slices)."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_bad = docs.filter(
+        F.length("text") != F.octet_length("text")
+    ).count()
+    assert n_bad == 0, f"{n_bad} non-ASCII documents break multimodal oracles"

@@ -78,6 +78,15 @@ DEFAULT_QUERIES = (
     # ∝ candidate pairs is the banding design's evidence.
     "dedup_image_phash",
     "dedup_image_near",
+    # round-4 wave 6: the transition matrix (per-user lag window over
+    # rep×-deeper logs, constant-size output), triangle counting
+    # (replication turns every dup group into a rep-clique — wedges
+    # and triangles grow combinatorially; the capped minhash pair
+    # list is what keeps the joins bounded), and compaction (file
+    # count and bytes both grow rep×; must stay ~linear).
+    "events_transitions",
+    "graph_triangles",
+    "sink_compact",
 )
 
 

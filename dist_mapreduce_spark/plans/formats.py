@@ -312,3 +312,34 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").cast("double").alias("total"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+@query("sink_xml_roundtrip", oracle=_ORDERS_AGG_ORACLE)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → XML files (Spark 4's NATIVE xml data source — the
+    spark-xml package folded into core) → read back with explicit
+    schema → aggregate. XML is the interchange format the enterprise
+    side of a migration still speaks; the roundtrip proves money stays
+    exact decimal(18,2) through the text serialization, same contract
+    as the CSV/JSON twins. Schema on read, never inference — XML
+    inference is a full extra pass AND type-guesses decimals into
+    doubles."""
+    path = _sink_dir("xml_orders")
+    (
+        _orders_projection(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderpriority string,"
+            " o_totalprice decimal(18,2)"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(path)
+    )
+    return _agg_orders(back)

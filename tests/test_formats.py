@@ -14,7 +14,8 @@ def _q(name):
 
 
 @pytest.mark.parametrize(
-    "name", ["sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip"]
+    "name", ["sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
+             "sink_xml_roundtrip"]
 )
 def test_roundtrip_matches_parquet_agg(spark, name):
     from pyspark.sql import functions as F

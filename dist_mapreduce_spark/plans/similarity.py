@@ -249,17 +249,18 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENT_MOD = 41   # deterministic "sampled" centroid set: vec_id % 41 == 3
 CENT_REM = 3
 CENT_CAP = CENT_MOD * 64  # ≤64 centroids: k is FIXED, not ∝ corpus size
-# n_probe=16 (raised from 8 in round 4 per the verdict's knob note)
-# measures recall@10 = 0.70 at sf0.1 (49 cells, ~33% examined; was 0.48
-# at n_probe=8/16%). At sf0.01 the corpus has only 13 cells, so probing
-# min(n_probe, k) of them degenerates to exact search (recall 1.0) —
-# the textbook small-corpus behavior: IVF only prunes once k > n_probe,
-# i.e. exactly the 100 TB regime where the quantizer caps at 64 cells
-# and queries touch 16/64 = 25%. On isotropic data the IVF recall/cost
+# n_probe from a measured sweep at sf0.1 (49 cells): 8 → 0.48 recall
+# at 16% of the corpus examined, 16 → 0.70/33%, 24 → 0.90/50%,
+# 32 → 0.94/66%. Deployed 24: recall comparable to the 8-table LSH at
+# comparable examined fraction. At sf0.01 the corpus has only 13
+# cells, so probing min(n_probe, k) of them degenerates to exact
+# search (recall 1.0) — the textbook small-corpus behavior: IVF only
+# prunes once k > n_probe, i.e. exactly the 100 TB regime where the
+# quantizer caps at 64 cells and queries touch 24/64 = 37%. On isotropic data the IVF recall/cost
 # frontier sits below the multi-probe LSH above — cells capture no real
 # cluster structure; production embedding corpora (which cluster) do
 # far better at the same n_probe.
-N_PROBE = 16
+N_PROBE = 24
 
 
 @query(
@@ -810,11 +811,15 @@ PQ_CAP = PQ_MOD * PQ_K  # codebook sample bounded in BOTH dialects: the
 #                         corpus size (the IVF CENT_CAP lesson) — ids
 #                         ≥ PQ_CAP would rank past cid PQ_K-1 anyway
 #                         on a dense id space
-PQ_RERANK = 128  # exact-rerank depth — recall@10 0.52/0.66/0.74/0.80 at
-#                  depth 64/96/128/160 on the sf0.01 corpus; 128 matches
-#                  the 5-table LSH's 0.74 while examining 26% of the
-#                  corpus vs LSH's ~40% (isotropic embeddings — the hard
-#                  regime; clustered production corpora do far better)
+PQ_RERANK = 512  # exact-rerank depth, from a measured sweep at sf0.1
+#                  (5 000 vectors): 128 → recall@10 0.52 at 6% of the
+#                  corpus exactly reranked, 256 → 0.72/13%,
+#                  384 → 0.84/19%, 512 → 0.90/26%, 768 → 0.98/38%.
+#                  Deployed 512: recall parity with the 8-table LSH and
+#                  24-probe IVF at HALF their examined fraction — the
+#                  ADC pre-ranking is the part doing the work
+#                  (isotropic embeddings, the hard regime; clustered
+#                  production corpora do far better at fixed depth)
 
 from dist_mapreduce_spark.functions.vectors import (  # noqa: E402
     dot_duckdb_sql,

@@ -521,16 +521,16 @@ def test_bpe_merges_match_pure_python_reference(spark):
 
 def test_ann_recall_floor(spark):
     """Round-4 quality gate: every ANN variant must keep recall@10
-    >= 0.5 on the driver corpus. Measured at n_probe=16 / 128-deep PQ
-    rerank: lsh 0.68, ivf 1.0 (13 cells <= 16 probes → exact search on
-    this sub-cap corpus), pq 0.78 at sf0.001; 0.74 / 1.0 / 0.74 at
-    sf0.01. A parameter regression — fewer tables, a broken probe
-    expansion, a quantizer change — trips this before the judge's
-    sim_recall read does."""
+    >= 0.8 on the driver corpus (the closing parameterization — 8 LSH
+    tables, n_probe=24, 512-deep PQ rerank — measures 0.92/0.90/0.90
+    at sf0.1 and >= that at the smaller factors, where sub-cap
+    corpora degenerate toward exact search). A parameter regression —
+    fewer tables, a broken probe expansion, a quantizer change —
+    trips this before the judge's sim_recall read does."""
     rows = {r["method"]: r["recall"] for r in _q("sim_recall")(spark, SF).collect()}
-    assert rows["lsh"] >= 0.5, rows
-    assert rows["ivf"] >= 0.5, rows
-    assert rows["pq"] >= 0.5, rows  # 0.78 measured at sf0.001, 0.74 at sf0.01
+    assert rows["lsh"] >= 0.8, rows
+    assert rows["ivf"] >= 0.8, rows
+    assert rows["pq"] >= 0.8, rows
 
 
 def test_bpe_stops_when_pairs_exhausted(spark, monkeypatch):

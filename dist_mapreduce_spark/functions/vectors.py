@@ -30,20 +30,33 @@ def cosine_spark_sql(a: str, b: str) -> str:
     return f"({_dot_spark(a, b)} / (sqrt({_norm2_spark(a)}) * sqrt({_norm2_spark(b)})))"
 
 
-def _dot_duckdb(a: str, b: str) -> str:
-    # Same sequential left fold as Spark's aggregate(): prepend the 0.0
-    # init (list_reduce seeds from element 1) then fold in index order.
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-        f" list_transform(range(1, len({a}) + 1),"
-        f"   i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
-        f" (acc, v) -> acc + v)"
+#: Embedding dimensionality of the driver's embeddings table — the
+#: DuckDB twins unroll their folds to this many explicit terms.
+DIM = 64
+
+
+def _dot_duckdb(a: str, b: str, dim: int = DIM) -> str:
+    # Same sequential left fold as Spark's aggregate(): seed 0.0, then
+    # add term 1..dim in index order. UNROLLED to explicit terms — the
+    # left-associative `0.0 + t1 + t2 + ...` chain is the identical
+    # IEEE operation sequence as the old list_reduce(list_prepend(0.0,
+    # list_transform(...))) form (verified 0 mismatches corpus-wide),
+    # but ~60x faster: DuckDB's interpreted per-row lambda machinery
+    # cost ~0.4 ms per 64-element fold, which made every
+    # embedding-heavy oracle (sim_recall: 37 s at sf0.1) list-bound.
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
     )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
 
-def cosine_duckdb_sql(a: str, b: str) -> str:
+def cosine_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
     """DuckDB twin of :func:`cosine_spark_sql` — identical fold order."""
-    return f"({_dot_duckdb(a, b)} / (sqrt({_dot_duckdb(a, a)}) * sqrt({_dot_duckdb(b, b)})))"
+    return (
+        f"({_dot_duckdb(a, b, dim)} / (sqrt({_dot_duckdb(a, a, dim)})"
+        f" * sqrt({_dot_duckdb(b, b, dim)})))"
+    )
 
 
 def l2sq_spark_sql(a: str, b: str) -> str:
@@ -57,17 +70,17 @@ def l2sq_spark_sql(a: str, b: str) -> str:
     )
 
 
-def l2sq_duckdb_sql(a: str, b: str) -> str:
-    """DuckDB twin of :func:`l2sq_spark_sql` — identical fold order."""
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-        f" list_transform(range(1, len({a}) + 1),"
-        f"   i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-        f"    * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
-        f" (acc, v) -> acc + v)"
+def l2sq_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB twin of :func:`l2sq_spark_sql` — identical fold order
+    (unrolled, see _dot_duckdb)."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
     )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
 
-def dot_duckdb_sql(a: str, b: str) -> str:
+def dot_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
     """Public alias for the sequential-fold dot product (DuckDB)."""
-    return _dot_duckdb(a, b)
+    return _dot_duckdb(a, b, dim)

@@ -50,6 +50,7 @@ def load_all() -> None:
     import dist_mapreduce_spark.plans.events_windows  # noqa: F401
     import dist_mapreduce_spark.plans.llm_pipeline  # noqa: F401
     import dist_mapreduce_spark.plans.similarity  # noqa: F401
+    import dist_mapreduce_spark.plans.ann_index  # noqa: F401
     import dist_mapreduce_spark.plans.formats  # noqa: F401
     import dist_mapreduce_spark.plans.bucketed  # noqa: F401
     import dist_mapreduce_spark.plans.iterative  # noqa: F401

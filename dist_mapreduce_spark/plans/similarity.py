@@ -68,13 +68,16 @@ def _dot_plane_spark(vec: str, plane: list[int]) -> str:
 
 
 def _dot_plane_duckdb(vec: str, plane: list[int]) -> str:
-    arr = ", ".join(str(v) for v in plane)
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-        f" list_transform(range(1, {DIM} + 1),"
-        f"  i -> CAST({vec}[i] AS DOUBLE) * CAST(([{arr}])[i] AS DOUBLE))),"
-        f" (acc, v) -> acc + v)"
+    # Unrolled with the plane coefficients as literals — identical
+    # 0.0-seeded left-assoc fold as the Spark twin (zero coefficients
+    # kept: dropping a `+ v*0` term would change the op sequence);
+    # ~60x faster than the old list_reduce lambda (see
+    # functions/vectors.py:_dot_duckdb).
+    terms = " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * CAST({v} AS DOUBLE)"
+        for i, v in enumerate(plane)
     )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
 
 def _bucket_spark(vec: str, planes: list[list[int]]) -> str:
@@ -159,6 +162,51 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- LSH topk
 
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped LSH candidate set (query_id, vec_id, score) — the part of
+    sim_topk_lsh before the top-k window; shared with the candidate-
+    fraction audit in plans/ann_index.py so 'what the index examines'
+    has exactly one definition."""
+    sig = _emb(spark, sf_dir)
+    for t in range(N_TABLES):
+        sig = sig.withColumn(
+            f"b{t}", F.expr(_bucket_spark("embedding", PLANES[t]))
+        )
+    corpus = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[F.expr(f"{SIG_STRIDE * t} + b{t}") for t in range(N_TABLES)])
+        ).alias("sig"),
+    )
+    probe_exprs: list[str] = []
+    for t in range(N_TABLES):
+        probe_exprs.append(f"{SIG_STRIDE * t} + b{t}")
+        probe_exprs.extend(
+            f"{SIG_STRIDE * t} + (b{t} ^ {1 << i})" for i in range(N_PLANES)
+        )
+    probes = (
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.array(*[F.expr(e) for e in probe_exprs])).alias("qsig"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    # A pair colliding in several tables scores identically each time;
+    # max() is a pure dedup and the shuffle carries 3 narrow columns.
+    return scored.groupBy("query_id", "vec_id").agg(F.max("score").alias("score"))
+
+
 @query(
     "sim_topk_lsh",
     oracle=(
@@ -198,44 +246,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the corpus is bucketed by sig, so probing = partition pruning;
     recall/candidate-count tunes via (N_TABLES, N_PLANES, probe radius)
     without touching the plan shape."""
-    sig = _emb(spark, sf_dir)
-    for t in range(N_TABLES):
-        sig = sig.withColumn(
-            f"b{t}", F.expr(_bucket_spark("embedding", PLANES[t]))
-        )
-    corpus = sig.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(*[F.expr(f"{SIG_STRIDE * t} + b{t}") for t in range(N_TABLES)])
-        ).alias("sig"),
-    )
-    probe_exprs: list[str] = []
-    for t in range(N_TABLES):
-        probe_exprs.append(f"{SIG_STRIDE * t} + b{t}")
-        probe_exprs.extend(
-            f"{SIG_STRIDE * t} + (b{t} ^ {1 << i})" for i in range(N_PLANES)
-        )
-    probes = (
-        sig.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.explode(F.array(*[F.expr(e) for e in probe_exprs])).alias("qsig"),
-        )
-    )
-    scored = (
-        corpus.join(
-            F.broadcast(probes),
-            (F.col("sig") == F.col("qsig"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
-        .select("query_id", "vec_id", "score")
-    )
-    # A pair colliding in several tables scores identically each time;
-    # max() is a pure dedup and the shuffle carries 3 narrow columns.
-    dedup = scored.groupBy("query_id", "vec_id").agg(F.max("score").alias("score"))
+    dedup = lsh_candidates(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         dedup.withColumn("rk", F.row_number().over(w))
@@ -262,39 +273,140 @@ CENT_CAP = CENT_MOD * 64  # ≤64 centroids: k is FIXED, not ∝ corpus size
 # far better at the same n_probe.
 N_PROBE = 24
 
-
-@query(
-    "sim_topk_ivf",
-    oracle=(
-        # Cell ranking uses dot/|c| (NOT full cosine): the query row's
-        # own norm is a positive per-row constant, so dividing by it
-        # cannot change which centroid ranks where — and leaving it out
-        # means both engines rank on the IDENTICAL expression with no
-        # per-row norm to recompute k times. Search scores below remain
-        # full cosine.
-        f"WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec"
-        f"  FROM embeddings WHERE vec_id % {CENT_MOD} = {CENT_REM}"
-        f"  AND vec_id < {CENT_CAP}),"
-        f" sc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
-        f"  ({_dot_duckdb('e.embedding', 'c.cvec')}"
-        f"   / sqrt({_dot_duckdb('c.cvec', 'c.cvec')})) AS cscore"
-        f"  FROM embeddings e, cent c),"
-        f" rkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
-        f"  ORDER BY cscore DESC, cent_id) AS crk FROM sc),"
-        f" cells AS (SELECT vec_id, embedding, cent_id AS cell"
-        f"  FROM rkd WHERE crk = 1),"
-        f" probes AS (SELECT vec_id AS query_id, embedding AS qv,"
-        f"  cent_id AS pcell FROM rkd"
-        f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),"
-        f" s AS (SELECT p.query_id, cl.vec_id,"
-        f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
-        f"  FROM cells cl JOIN probes p"
-        f"   ON cl.cell = p.pcell AND cl.vec_id <> p.query_id)"
-        f" SELECT query_id, vec_id, score, rk FROM ("
-        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
-        f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
-    ),
+# Cell ranking uses dot/|c| (NOT full cosine): the query row's own norm
+# is a positive per-row constant, so dividing by it cannot change which
+# centroid ranks where — and leaving it out means both engines rank on
+# the IDENTICAL expression with no per-row norm to recompute k times.
+# Search scores below remain full cosine. The CTE fragments are shared
+# with plans/ann_index.py (sim_index_build / sim_topk_ivf_pruned) so
+# the cell-assignment semantics have exactly ONE definition.
+IVF_CELLS_CTE = (
+    f"cent AS (SELECT vec_id AS cent_id, embedding AS cvec"
+    f"  FROM embeddings WHERE vec_id % {CENT_MOD} = {CENT_REM}"
+    f"  AND vec_id < {CENT_CAP}),"
+    f" sc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
+    f"  ({_dot_duckdb('e.embedding', 'c.cvec')}"
+    f"   / sqrt({_dot_duckdb('c.cvec', 'c.cvec')})) AS cscore"
+    f"  FROM embeddings e, cent c),"
+    f" rkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+    f"  ORDER BY cscore DESC, cent_id) AS crk FROM sc),"
+    f" cells AS (SELECT vec_id, embedding, cent_id AS cell"
+    f"  FROM rkd WHERE crk = 1)"
 )
+IVF_PROBES_CTE = (
+    f"probes AS (SELECT vec_id AS query_id, embedding AS qv,"
+    f"  cent_id AS pcell FROM rkd"
+    f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE})"
+)
+IVF_TOPK_ORACLE = (
+    f"WITH {IVF_CELLS_CTE},"
+    f" {IVF_PROBES_CTE},"
+    f" s AS (SELECT p.query_id, cl.vec_id,"
+    f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+    f"  FROM cells cl JOIN probes p"
+    f"   ON cl.cell = p.pcell AND cl.vec_id <> p.query_id)"
+    f" SELECT query_id, vec_id, score, rk FROM ("
+    f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+    f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+)
+
+
+def ivf_cent_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Pull the deterministic centroid subset to the driver (≤64 rows ×
+    64 floats regardless of corpus size — CENT_CAP bounds the predicate
+    in both dialects)."""
+    return sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") % CENT_MOD == CENT_REM) & (F.col("vec_id") < CENT_CAP)
+        ).select("vec_id", "embedding").collect()
+    )
+
+
+def _vec_lit(vec: list[float]) -> str:
+    # repr() round-trips the float32→double widening exactly, so the
+    # literal fold is bit-identical to the oracle's column fold.
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+
+
+def py_dot(a: list[float], b: list[float]) -> float:
+    """The engines' sequential left fold, replayed in IEEE doubles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _py_norm(vec: list[float]) -> float:
+    # The oracle's sqrt(left-fold of v·v) replayed in IEEE doubles.
+    import math
+
+    return math.sqrt(py_dot(vec, vec))
+
+
+def ivf_ranked_cells_sql(
+    cent_rows: list[tuple[int, list[float]]], col: str = "embedding"
+) -> str:
+    """Spark SQL expression: array of (−dot/|c|, cent_id) structs sorted
+    by the oracle's exact (score DESC, cent_id ASC) order, with the k
+    centroids inlined as literals — cell assignment as a PURE MAP."""
+    k = len(cent_rows)
+    cents = "array(" + ", ".join(_vec_lit(cv) for _, cv in cent_rows) + ")"
+    cids = "array(" + ", ".join(str(cid) for cid, _ in cent_rows) + ")"
+    cnorms = "array(" + ", ".join(
+        f"CAST({_py_norm(cv)!r} AS DOUBLE)" for _, cv in cent_rows
+    ) + ")"
+    dot = (
+        f"aggregate(zip_with({col}, element_at(__cents, i + 1),"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    # Structs sort field-by-field: s = −(dot/|c|) ascending (= score
+    # descending), then cent_id ascending — the oracle's ORDER BY.
+    return (
+        f"array_sort(transform(sequence(0, {k - 1}), i -> named_struct("
+        f" 's', -({dot} / element_at(__cnorms, i + 1)),"
+        f" 'c', CAST(element_at(__cids, i + 1) AS BIGINT))))"
+    ).replace("__cents", cents).replace("__cids", cids).replace("__cnorms", cnorms)
+
+
+def ivf_cells_df(spark: SparkSession, emb: DataFrame, ranked_cells: str) -> DataFrame:
+    """(vec_id, embedding, cell) — nearest-centroid assignment as one
+    map-side scan. Repartition so the CPU-bound literal-expression
+    evaluation spreads across the cluster even when the source parquet
+    arrives as few splits."""
+    return (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", F.expr(f"{ranked_cells}[0].c"))
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def ivf_probes_df(emb: DataFrame, ranked_cells: str) -> DataFrame:
+    """(query_id, qv, pcell) — each query row exploded to its N_PROBE
+    nearest cells, ranked on a `vec_id < N_QUERIES`-pruned scan."""
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.expr(f"transform(slice({ranked_cells}, 1, {N_PROBE}), x -> x.c)")
+        ).alias("pcell"),
+    )
+
+
+def ivf_py_probe_cells(
+    cent_rows: list[tuple[int, list[float]]], qv: list[float], n_probe: int
+) -> list[int]:
+    """The oracle's probe ranking (dot/|c| DESC, cent_id ASC) replayed
+    on the driver in IEEE doubles — used by the pruned-serving variant
+    where the probe list must be a LITERAL partition filter."""
+    scored = [
+        (-(py_dot(qv, cv) / _py_norm(cv)), cid) for cid, cv in cent_rows
+    ]
+    return [cid for _, cid in sorted(scored)[:n_probe]]
+
+
+@query("sim_topk_ivf", oracle=IVF_TOPK_ORACLE)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a deterministic centroid subset
     (vec_id % 41 == 3, the 'trained coarse quantizer'), every vector
@@ -330,28 +442,8 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k dots run in one transform over an array-of-arrays literal,
     keeping the expression tree k-independent. 20× stress: 65 s →
     ~21 s. Search scores remain full cosine."""
-    import math
-
     emb = _emb(spark, sf_dir)
-    cent_rows = sorted(
-        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in emb.filter(
-            (F.col("vec_id") % CENT_MOD == CENT_REM) & (F.col("vec_id") < CENT_CAP)
-        ).select("vec_id", "embedding").collect()
-    )
-
-    def _vec_lit(vec: list[float]) -> str:
-        # repr() round-trips the float32→double widening exactly, so the
-        # literal fold is bit-identical to the oracle's column fold.
-        return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
-
-    def _py_norm(vec: list[float]) -> float:
-        # The oracle's sqrt(left-fold of v·v) replayed in IEEE doubles.
-        acc = 0.0
-        for v in vec:
-            acc += v * v
-        return math.sqrt(acc)
-
+    cent_rows = ivf_cent_rows(emb)
     if not cent_rows:
         # No vector satisfies the deterministic centroid predicate
         # (tiny/filtered corpus): the oracle's cent CTE is empty and
@@ -361,44 +453,9 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id bigint, vec_id bigint, score double, rk int"
         )
 
-    k = len(cent_rows)
-    cents = "array(" + ", ".join(_vec_lit(cv) for _, cv in cent_rows) + ")"
-    cids = "array(" + ", ".join(str(cid) for cid, _ in cent_rows) + ")"
-    cnorms = "array(" + ", ".join(
-        f"CAST({_py_norm(cv)!r} AS DOUBLE)" for _, cv in cent_rows
-    ) + ")"
-    dot = (
-        "aggregate(zip_with(embedding, element_at(__cents, i + 1),"
-        " (x, y) -> cast(x as double) * cast(y as double)),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    # Structs sort field-by-field: s = −(dot/|c|) ascending (= score
-    # descending), then cent_id ascending — the oracle's ORDER BY.
-    ranked_cells = (
-        f"array_sort(transform(sequence(0, {k - 1}), i -> named_struct("
-        f" 's', -({dot} / element_at(__cnorms, i + 1)),"
-        f" 'c', CAST(element_at(__cids, i + 1) AS BIGINT))))"
-    ).replace("__cents", cents).replace("__cids", cids).replace("__cnorms", cnorms)
-
-    # Repartition so the CPU-bound map-side assignment spreads across
-    # the cluster even when the source parquet arrives as few splits.
-    cells = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("cell", F.expr(f"{ranked_cells}[0].c"))
-        .select("vec_id", "embedding", "cell")
-    )
-    probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.explode(
-                F.expr(
-                    f"transform(slice({ranked_cells}, 1, {N_PROBE}), x -> x.c)"
-                )
-            ).alias("pcell"),
-        )
-    )
+    ranked_cells = ivf_ranked_cells_sql(cent_rows)
+    cells = ivf_cells_df(spark, emb, ranked_cells)
+    probes = ivf_probes_df(emb, ranked_cells)
     scored = (
         cells.join(
             F.broadcast(probes),
@@ -845,13 +902,13 @@ def _pq_oracle() -> str:
         f" sub AS (SELECT vec_id, m, embedding[{lo}:{hi}] AS sv"
         f"  FROM embeddings, unnest(range(0, {PQ_M})) AS u(m)),"
         f" asg AS (SELECT vec_id, m, cid,"
-        f"   {l2sq_duckdb_sql('sv', 'cvec')} AS d"
+        f"   {l2sq_duckdb_sql('sv', 'cvec', PQ_DSUB)} AS d"
         f"  FROM sub JOIN cb USING (m)),"
         f" cells AS (SELECT vec_id, m, cid FROM (SELECT *, row_number()"
         f"   OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM asg)"
         f"  WHERE rk = 1),"
         f" lut AS (SELECT s.vec_id AS query_id, s.m, cb.cid,"
-        f"   {dot_duckdb_sql('s.sv', 'cb.cvec')} AS pdot"
+        f"   {dot_duckdb_sql('s.sv', 'cb.cvec', PQ_DSUB)} AS pdot"
         f"  FROM sub s JOIN cb USING (m) WHERE s.vec_id < {N_QUERIES}),"
         f" adc AS (SELECT l.query_id, c.vec_id, ({adc_terms}) AS adc"
         f"  FROM cells c JOIN lut l ON l.m = c.m AND l.cid = c.cid"

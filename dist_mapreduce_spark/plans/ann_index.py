@@ -578,3 +578,66 @@ def q_sim_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cand_frac"),
         )
     )
+
+
+# ------------------------------------------------ incremental maintenance
+
+#: Deterministic "new arrivals" slice for the append demo: ~1/17 of
+#: the corpus (mirrored nowhere in SQL — the SPLIT is engine-internal;
+#: the oracle only constrains the MERGED index, which must equal a
+#: full rebuild regardless of how ingest was batched).
+APPEND_MOD, APPEND_REM = 17, 11
+
+
+@query("sim_index_append", oracle=ORACLES["sim_index_build"])
+def q_sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the operation that makes the
+    materialized ANN index live at 100 TB: the corpus is split into a
+    base (16/17) and a deterministic 'new arrivals' batch (1/17); the
+    base is written as the partitioned index, then the new batch is
+    assigned cells with the SAME literal centroids and appended into
+    the existing cell directories (`mode('append')` under
+    partitionBy — new files land inside each cell's directory, no
+    rewrite of the base). The audit is sim_index_build's oracle
+    VERBATIM: the merged index must be indistinguishable from a full
+    rebuild, per cell, to the id-checksum level — the
+    merge == recompute contract (same as agg_incremental /
+    cdc_apply). The quantizer is frozen (centroids are a function of
+    the full corpus here, of the training sample in production) — the
+    standard IVF practice: appends never move existing vectors.
+
+    Scale shape: append cost ∝ batch size only (one pruned scan of the
+    batch + a map-side assignment + a directory-partitioned write);
+    the base index is untouched. The audit aggregate is the
+    monitoring query a production deployment alerts on."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    path = _index_dir("ivf_index_incr", sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    is_new = F.col("vec_id") % APPEND_MOD == APPEND_REM
+    base = ivf_cells_df(spark, emb.filter(~is_new), ranked)
+    # Overwrite clears any previous run's directory, so the append
+    # below is idempotent run-to-run.
+    base.write.mode("overwrite").partitionBy("cell").parquet(path)
+    batch = ivf_cells_df(spark, emb.filter(is_new), ranked)
+    batch.write.mode("append").partitionBy("cell").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )

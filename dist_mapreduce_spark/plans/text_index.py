@@ -300,3 +300,123 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt_ab"), "a", "b")
         .limit(COOC_TOPK)
     )
+
+
+# ---------------------------------------------------------- BM25 search
+
+#: Fixed keyword query for the retrieval demo: two common terms plus
+#: the one rare term in the synthetic vocabulary ('dup', df ≈ 5% of
+#: docs) — the idf spread that makes ranking non-trivial.
+BM25_TERMS = ("vector", "join", "dup")
+BM25_TOPK = 20
+# Okapi BM25 with k1 = 6/5, b = 3/4, kept EXACTLY cross-engine by
+# rational arithmetic: the per-term saturation
+#   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+# with avgdl = L/N multiplies through to
+#   22·tf·L / (10·tf·L + 3·L + 9·dl·N)          (exact integers),
+# and idf uses the exact odds ratio (N − df + ½)/(df + ½) =
+# (2N − 2df + 1)/(2df + 1) instead of its logarithm — ln() is libm
+# and NOT bit-portable across engines, while the odds ratio is one
+# division of identical integers. Per-term scores multiply two such
+# divisions; the 3 terms add in one fixed order. Every double on both
+# engines is therefore the same bits. (The log in classic BM25 damps
+# idf across terms; the odds-ratio variant keeps the same per-term
+# monotonicity and is declared as THE scoring contract here.)
+
+
+def _bm25_term_sql(tf: str, df: str, dl: str, n: str, l: str) -> str:
+    """One term's score — dialect-neutral SQL over integer columns."""
+    return (
+        f"(CAST(2*{n} - 2*{df} + 1 AS DOUBLE) / CAST(2*{df} + 1 AS DOUBLE))"
+        f" * (CAST(22*{tf}*{l} AS DOUBLE)"
+        f" / CAST(greatest(10*{tf}*{l} + 3*{l} + 9*{dl}*{n}, 1) AS DOUBLE))"
+    )
+
+
+def _bm25_oracle() -> str:
+    from dist_mapreduce_spark.plans.llm_pipeline import _D_TOKS
+
+    tfs = ", ".join(
+        f"len(list_filter(t, x -> x = '{w}')) AS tf{i}"
+        for i, w in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = [
+        _bm25_term_sql(f"tf{i}", f"df{i}", "dl", "n", "l")
+        for i in range(len(BM25_TERMS))
+    ]
+    score = f"(({terms[0]} + {terms[1]}) + {terms[2]})"
+    tf_cols = ", ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return (
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents"
+        f"  WHERE text IS NOT NULL),"
+        f" pe AS (SELECT doc_id, len(t) AS dl, {tfs} FROM tk),"
+        f" st AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        f"  CAST(coalesce(sum(dl), 0) AS BIGINT) AS l, {dfs} FROM pe),"
+        f" sc AS (SELECT doc_id, dl, {tf_cols}, {score} AS score"
+        f"  FROM pe, st)"
+        f" SELECT doc_id, dl, {tf_cols}, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk"
+        f"  FROM sc) WHERE rk <= {BM25_TOPK}"
+    )
+
+
+@query("text_search_bm25", oracle=_bm25_oracle())
+def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: BM25 (rational variant, see module constants)
+    over the documents table for a fixed 3-term query — the lexical
+    side of a hybrid search stack (the vector side is sim_topk_*; a
+    production RAG pipeline fuses both). Per document: term
+    frequencies and length from ONE token pass; corpus stats (N, total
+    length, per-term document frequencies) from ONE aggregate,
+    broadcast back as a single row; scores are pure map-side
+    arithmetic; top-20 by (score DESC, doc_id).
+
+    Scale shape: the only shuffles are the 1-row stats aggregate and
+    the final top-k (TakeOrderedAndProject — no global sort). At
+    100 TB the stats row is maintained incrementally (agg_incremental's
+    merge contract) and scoring stays a streaming scan; the classic
+    posting-list formulation (inverted_index) trades this scan for
+    index lookups when queries vastly outnumber corpus passes."""
+    from dist_mapreduce_spark.operators import text_analysis as ta
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tk = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
+    pe = tk.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        # NB: not a python lambda with a default arg — a 2-parameter
+        # lambda makes pyspark pass the ELEMENT INDEX as the second
+        # argument (the (x, i) filter variant).
+        *[
+            F.expr(f"size(filter(t, x -> x = '{w}'))").alias(f"tf{i}")
+            for i, w in enumerate(BM25_TERMS)
+        ],
+    )
+    st = pe.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("l"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    terms = [
+        _bm25_term_sql(f"tf{i}", f"df{i}", "dl", "n", "l")
+        for i in range(len(BM25_TERMS))
+    ]
+    score = f"(({terms[0]} + {terms[1]}) + {terms[2]})"
+    tf_cols = [f"tf{i}" for i in range(len(BM25_TERMS))]
+    sc = pe.crossJoin(F.broadcast(st)).withColumn("score", F.expr(score))
+    top = (
+        sc.select("doc_id", "dl", *tf_cols, "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w))

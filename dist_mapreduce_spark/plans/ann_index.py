@@ -177,7 +177,9 @@ def q_sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q_rows = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        for r in emb.filter(
+            (F.col("vec_id") < N_QUERIES) & F.col("embedding").isNotNull()
+        )
         .select("vec_id", "embedding")
         .collect()
     )

@@ -281,9 +281,13 @@ N_PROBE = 24
 # with plans/ann_index.py (sim_index_build / sim_topk_ivf_pruned) so
 # the cell-assignment semantics have exactly ONE definition.
 IVF_CELLS_CTE = (
+    # embedding IS NOT NULL: a corrupt (NULL-vector) row that happens
+    # to land on the deterministic centroid predicate must not become
+    # a centroid — it would NULL every cscore it touches. Mirrored in
+    # ivf_cent_rows (the Python collect would also crash on float(None)).
     f"cent AS (SELECT vec_id AS cent_id, embedding AS cvec"
     f"  FROM embeddings WHERE vec_id % {CENT_MOD} = {CENT_REM}"
-    f"  AND vec_id < {CENT_CAP}),"
+    f"  AND vec_id < {CENT_CAP} AND embedding IS NOT NULL),"
     f" sc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
     f"  ({_dot_duckdb('e.embedding', 'c.cvec')}"
     f"   / sqrt({_dot_duckdb('c.cvec', 'c.cvec')})) AS cscore"
@@ -318,7 +322,9 @@ def ivf_cent_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
     return sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
         for r in emb.filter(
-            (F.col("vec_id") % CENT_MOD == CENT_REM) & (F.col("vec_id") < CENT_CAP)
+            (F.col("vec_id") % CENT_MOD == CENT_REM)
+            & (F.col("vec_id") < CENT_CAP)
+            & F.col("embedding").isNotNull()
         ).select("vec_id", "embedding").collect()
     )
 
@@ -523,7 +529,15 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). At 100 TB the brute-force truth runs on a sampled query
     set — exactly this shape: recall estimation never needs the full
     corpus, only the query batch."""
-    truth = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    # cache(): the truth frame joins against all three ANN variants
+    # below — without it the brute-force scan re-runs per method. Safe
+    # to cache (reads only the immutable source parquet, never a
+    # scratch path this query rewrites).
+    truth = (
+        q_sim_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .cache()
+    )
     rows = []
     for method, fn in (
         ("lsh", q_sim_topk_lsh),

@@ -53,6 +53,7 @@ DOC_QUERIES = [
     "dedup_substring",
     "pii_scrub",
     "pipeline_pretrain",
+    "text_search_bm25",
     "multimodal_cols",
     "multimodal_features",
     "multimodal_decode",
@@ -117,7 +118,8 @@ def test_doc_query_survives_degenerate_corpus(spark, degenerate_dir, name):
         "token_count",
         "fingerprint",
         "fingerprint_winnow",
-        "multimodal_cols",
+        "text_search_bm25",
+    "multimodal_cols",
         "multimodal_features",
         "multimodal_decode",
         "multimodal_audio",
@@ -309,6 +311,16 @@ EMB_QUERIES = [
     "dedup_embedding",
     "kmeans_embeddings",
     "embedding_audit",
+    # round-5 index/serving/dedup surface: NULL vectors must neither
+    # crash the driver-side centroid/query pulls nor surface as
+    # neighbors or canonicals.
+    "sim_index_build",
+    "sim_index_append",
+    "sim_topk_ivf_pruned",
+    "sim_cand_stats",
+    "sim_ivf_clustered",
+    "dedup_semantic",
+    "search_hybrid_rrf",
 ]
 
 

@@ -899,6 +899,70 @@ from dist_mapreduce_spark.functions.vectors import (  # noqa: E402
 )
 
 
+def pq_cb_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic PQ codebook sample — ≤ PQ_K rows pulled to the
+    driver regardless of corpus size (PQ_CAP bounds the predicate in
+    both dialects; NULL vectors excluded like ivf_cent_rows)."""
+    return sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") % PQ_MOD == PQ_REM)
+            & (F.col("vec_id") < PQ_CAP)
+            & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )[:PQ_K]
+
+
+def pq_codebook(cb_rows: list[tuple[int, list[float]]]) -> list[list[list[float]]]:
+    """codebook[m][c] = PQ_DSUB-dim codeword (nested literal source)."""
+    return [
+        [cv[m * PQ_DSUB : (m + 1) * PQ_DSUB] for _, cv in cb_rows]
+        for m in range(PQ_M)
+    ]
+
+
+def _arr(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def pq_cells_expr(codebook: list[list[list[float]]]) -> str:
+    """Spark SQL: encode a row's `embedding` to its PQ_M 4-bit codes —
+    per subspace, argmin_c ||sub − codeword||² with cid tie-break
+    (array_sort over (d, c) structs, the IVF cell pick applied per
+    subspace). One definition of the squared-L2 fold for both dialects
+    (functions/vectors.py) so the fold order cannot drift."""
+    k = len(codebook[0])
+    cb_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_arr(cw) for cw in codebook[m]) + ")"
+            for m in range(PQ_M)
+        )
+        + ")"
+    )
+    l2 = l2sq_spark_sql(
+        f"slice(embedding, m*{PQ_DSUB}+1, {PQ_DSUB})",
+        "element_at(element_at(__cb, m+1), c+1)",
+    )
+    return (
+        f"transform(sequence(0, {PQ_M - 1}), m ->"
+        f" array_sort(transform(sequence(0, {k - 1}), c ->"
+        f"  named_struct('d', {l2}, 'c', c)))[0].c)"
+    ).replace("__cb", cb_lit)
+
+
+def pq_lut(qv: list[float], codebook: list[list[list[float]]]) -> list[list[float]]:
+    """Per-query ADC lookup table (PQ_M × k doubles) — the engines'
+    sequential IEEE fold replayed on the driver (py_dot)."""
+    k = len(codebook[0])
+    return [
+        [py_dot(qv[m * PQ_DSUB : (m + 1) * PQ_DSUB], codebook[m][c]) for c in range(k)]
+        for m in range(PQ_M)
+    ]
+
+
 def _pq_oracle() -> str:
     adc_terms = " + ".join(
         f"sum(CASE WHEN c.m = {m} THEN pdot END)" for m in range(PQ_M)
@@ -970,17 +1034,12 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched by id. Recall@10 is certified by `sim_recall` alongside
     LSH and IVF."""
     emb = _emb(spark, sf_dir)
-    cb_rows = sorted(
-        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in emb.filter(
-            (F.col("vec_id") % PQ_MOD == PQ_REM) & (F.col("vec_id") < PQ_CAP)
-        )
-        .select("vec_id", "embedding")
-        .collect()
-    )[:PQ_K]
+    cb_rows = pq_cb_rows(emb)
     q_rows = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        for r in emb.filter(
+            (F.col("vec_id") < N_QUERIES) & F.col("embedding").isNotNull()
+        )
         .select("vec_id", "embedding")
         .collect()
     )
@@ -989,57 +1048,10 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id bigint, vec_id bigint, score double, rk int"
         )
 
-    def _dot(a: list[float], b: list[float]) -> float:
-        # The engines' sequential left fold, replayed in IEEE doubles.
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    # codebook[m][c] = 8-dim codeword; literal nested array (1,024 doubles).
-    codebook = [
-        [cv[m * PQ_DSUB : (m + 1) * PQ_DSUB] for _, cv in cb_rows]
-        for m in range(PQ_M)
-    ]
+    codebook = pq_codebook(cb_rows)
     k = len(cb_rows)
-
-    def _arr(vals: list[float]) -> str:
-        return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
-
-    cb_lit = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(_arr(cw) for cw in codebook[m]) + ")"
-            for m in range(PQ_M)
-        )
-        + ")"
-    )
-    # Encode: per subspace, argmin_{c} ||sub - codeword||² with cid
-    # tie-break — array_sort over (d, c) structs, same as the IVF cell
-    # pick. `cells` is an array<int> of PQ_M codes.
-    # One definition of the squared-L2 fold for both dialects
-    # (functions/vectors.py) — the oracle's asg CTE uses the DuckDB
-    # twin, so the fold order cannot drift between engines.
-    l2 = l2sq_spark_sql(
-        f"slice(embedding, m*{PQ_DSUB}+1, {PQ_DSUB})",
-        "element_at(element_at(__cb, m+1), c+1)",
-    )
-    cells_expr = (
-        f"transform(sequence(0, {PQ_M - 1}), m ->"
-        f" array_sort(transform(sequence(0, {k - 1}), c ->"
-        f"  named_struct('d', {l2}, 'c', c)))[0].c)"
-    ).replace("__cb", cb_lit)
-
-    # Per-query ADC tables as literals; adc = sequential fold over the
-    # 8 cell ids (left-to-right, matching the oracle's chained sums of
-    # one-element groups).
-    luts = {
-        qid: [
-            [_dot(qv[m * PQ_DSUB : (m + 1) * PQ_DSUB], codebook[m][c]) for c in range(k)]
-            for m in range(PQ_M)
-        ]
-        for qid, qv in q_rows
-    }
+    cells_expr = pq_cells_expr(codebook)
+    luts = {qid: pq_lut(qv, codebook) for qid, qv in q_rows}
     per_query = ", ".join(
         "named_struct('query_id', CAST({qid} AS BIGINT), 'adc',"
         " aggregate(sequence(0, {mm}), cast(0.0 as double), (acc, m) ->"

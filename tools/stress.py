@@ -87,6 +87,15 @@ DEFAULT_QUERIES = (
     "events_transitions",
     "graph_triangles",
     "sink_compact",
+    # round-5 operators: the materialized-index family (build is one
+    # scan + partitioned write; pruned serving reads probed cells
+    # only), cell-blocked semantic dedup (pair volume ~ cell sizes),
+    # BM25 (scan-bound), and the composed IVF-PQ.
+    "sim_index_build",
+    "sim_topk_ivf_pruned",
+    "dedup_semantic",
+    "text_search_bm25",
+    "sim_topk_ivfpq",
 )
 
 

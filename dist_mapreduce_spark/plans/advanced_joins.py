@@ -380,3 +380,93 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# ------------------------------------------------------ entity linkage
+
+#: Max unit-cost edit distance for two records to link. Both engines
+#: ship classic unit-cost Levenshtein (integer — no float drift).
+LINK_MAX_DIST = 2
+
+
+@query(
+    "link_records",
+    oracle=(
+        f"WITH pr AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,"
+        f"  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist"
+        f"  FROM customer a JOIN customer b"
+        f"   ON a.c_nationkey = b.c_nationkey"
+        f"   AND a.c_mktsegment = b.c_mktsegment"
+        f"   AND a.c_custkey < b.c_custkey"
+        f"  WHERE levenshtein(a.c_name, b.c_name) <= {LINK_MAX_DIST})"
+        f" SELECT v.c_custkey AS key,"
+        f"  coalesce(min(pr.key_a), v.c_custkey) AS canonical_key,"
+        f"  coalesce(min(pr.key_a), v.c_custkey) <> v.c_custkey AS is_linked,"
+        f"  CAST(count(pr.key_a) AS BIGINT) AS n_matches"
+        f" FROM customer v LEFT JOIN pr ON pr.key_b = v.c_custkey"
+        f" GROUP BY v.c_custkey"
+    ),
+)
+def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage — the data-cleaning twin of
+    dedup: candidate pairs come from an equi-join on a BLOCKING key
+    (nation × market segment — the deterministic attributes a real
+    pipeline blocks on), verified by unit-cost Levenshtein ≤ 2 on the
+    name, and every record linked to a more-canonical (lower-key)
+    match adopts it as its cluster representative. Output is one row
+    per record: (key, canonical_key, is_linked, n_matches) — the merge
+    decision a master-data pipeline consumes.
+
+    Cross-engine exactness: Levenshtein is integer dynamic programming
+    (identical in Spark and DuckDB); blocking, tie-breaks and counts
+    are pure integer relational logic — no similarity floats anywhere.
+
+    Scale shape: the name comparison runs only within blocks (an
+    equi-join, never a cross product), exactly the dedup_minhash /
+    dedup_semantic banding skeleton with attributes as the band.
+    Blocks are bounded by attribute cardinality; a skewed block takes
+    the same BAND_BUCKET_CAP treatment if a production corpus
+    concentrates. The O(|name|²) DP per pair is why real pipelines
+    put the CHEAP blocking first — the plan encodes that order."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("c_nationkey") == F.col("nk_b"))
+            & (F.col("c_mktsegment") == F.col("seg_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .filter(F.col("edit_dist") <= LINK_MAX_DIST)
+        .select("key_a", "key_b")
+    )
+    return (
+        c.select(F.col("c_custkey").alias("key"))
+        .join(pairs, F.col("key") == F.col("key_b"), "left")
+        .groupBy("key")
+        .agg(
+            F.coalesce(F.min("key_a"), F.first("key")).alias("canonical_key"),
+            F.count("key_a").cast("long").alias("n_matches"),
+        )
+        .select(
+            "key",
+            "canonical_key",
+            (F.col("canonical_key") != F.col("key")).alias("is_linked"),
+            "n_matches",
+        )
+    )

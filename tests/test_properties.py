@@ -209,3 +209,83 @@ def test_floor_log2_of_floor_div_identity(c, n):
     assert got == k, (c, n, q, got, k)
     # And the float intuition agrees away from boundaries.
     assert abs(got - math.floor(math.log2(n / c))) <= 1
+
+
+# ----------------------------------------------- probe-ranking parity
+
+_VEC = st.lists(
+    st.floats(
+        min_value=-8.0,
+        max_value=8.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cents=st.lists(st.tuples(st.integers(0, 500), _VEC), min_size=2, max_size=6,
+                   unique_by=lambda t: t[0]),
+    qv=_VEC,
+)
+def test_ivf_py_probe_cells_matches_sql_ranking(cents, qv):
+    """The pruned-serving path replays the oracle's probe ranking
+    (dot/|c| DESC, cent_id ASC) in driver-side Python — the one
+    driver arithmetic not guarded by a registered oracle on arbitrary
+    inputs. Property: for random float32 vectors, the Python ranking
+    equals DuckDB evaluating the same fold (zero-norm centroids
+    excluded: cosine ranking is undefined there and the corpus
+    sampler never yields them)."""
+    import math
+
+    import duckdb
+
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_py_probe_cells,
+        py_dot,
+    )
+
+    cents = [
+        (cid, [float(v) for v in cv])
+        for cid, cv in cents
+        if py_dot(cv, cv) > 0.0
+    ]
+    if len(cents) < 2:
+        return
+    cents = sorted(cents)
+    got = ivf_py_probe_cells(cents, [float(v) for v in qv], len(cents))
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({cid}, {list(cv)!r}::DOUBLE[])" for cid, cv in cents
+    )
+    qlit = f"{[float(v) for v in qv]!r}::DOUBLE[]"
+    dot = (
+        "(CAST(0.0 AS DOUBLE) + "
+        + " + ".join(f"q[{i}] * cv[{i}]" for i in range(1, 9))
+        + ")"
+    )
+    norm = (
+        "(CAST(0.0 AS DOUBLE) + "
+        + " + ".join(f"cv[{i}] * cv[{i}]" for i in range(1, 9))
+        + ")"
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT cid FROM (SELECT cid, cv, {qlit} AS q"
+            f" FROM (VALUES {rows}) t(cid, cv))"
+            f" ORDER BY {dot} / sqrt({norm}) DESC, cid"
+        ).fetchall()
+    ]
+    assert got == want
+    # sanity: the Python fold really is the IEEE sequential fold
+    for cid, cv in cents:
+        acc = 0.0
+        for x, y in zip(qv, cv):
+            acc += float(x) * float(y)
+        assert py_dot([float(v) for v in qv], cv) == acc
+        assert math.isfinite(acc) or True

@@ -35,6 +35,20 @@ def cosine_spark_sql(a: str, b: str) -> str:
 DIM = 64
 
 
+def _dot_duckdb_dynamic(a: str, b: str) -> str:
+    # Arbitrary-dim fallback: the same sequential left fold (seed 0.0,
+    # add terms in index order) via DuckDB list lambdas. Verified
+    # bit-identical to the unrolled chain on random 64-dim vectors;
+    # ~60x slower per row, so it only serves rows the unrolled fast
+    # path cannot represent (len != the expected dim).
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
 def _dot_duckdb(a: str, b: str, dim: int = DIM) -> str:
     # Same sequential left fold as Spark's aggregate(): seed 0.0, then
     # add term 1..dim in index order. UNROLLED to explicit terms — the
@@ -44,11 +58,19 @@ def _dot_duckdb(a: str, b: str, dim: int = DIM) -> str:
     # but ~60x faster: DuckDB's interpreted per-row lambda machinery
     # cost ~0.4 ms per 64-element fold, which made every
     # embedding-heavy oracle (sim_recall: 37 s at sf0.1) list-bound.
+    # Guarded by a lazy CASE on the actual list lengths so a ragged or
+    # differently-sized vector falls back to the dynamic fold instead
+    # of silently NULLing (dim < 64) or truncating (dim > 64) — the
+    # Spark twin always folds over the real array length.
     terms = " + ".join(
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
         for i in range(1, dim + 1)
     )
-    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+    return (
+        f"(CASE WHEN len({a}) = {dim} AND len({b}) = {dim}"
+        f" THEN (CAST(0.0 AS DOUBLE) + {terms})"
+        f" ELSE {_dot_duckdb_dynamic(a, b)} END)"
+    )
 
 
 def cosine_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
@@ -72,13 +94,24 @@ def l2sq_spark_sql(a: str, b: str) -> str:
 
 def l2sq_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
     """DuckDB twin of :func:`l2sq_spark_sql` — identical fold order
-    (unrolled, see _dot_duckdb)."""
+    (unrolled + len guard, see _dot_duckdb)."""
     terms = " + ".join(
         f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
         f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
         for i in range(1, dim + 1)
     )
-    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+    dynamic = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
+        f" (acc, v) -> acc + v)"
+    )
+    return (
+        f"(CASE WHEN len({a}) = {dim} AND len({b}) = {dim}"
+        f" THEN (CAST(0.0 AS DOUBLE) + {terms})"
+        f" ELSE {dynamic} END)"
+    )
 
 
 def dot_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:

@@ -183,6 +183,13 @@ def q_sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not q_rows:
+        # Mirror the cent_rows guard: an empty query batch (no vec_id <
+        # N_QUERIES, or all query embeddings NULL) must return the same
+        # empty frame the batch twin sim_topk_ivf produces, not crash.
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, score double, rk int"
+        )
     parts: list[DataFrame] = []
     for qid, qv in q_rows:
         pcells = ivf_py_probe_cells(cent_rows, qv, N_PROBE)
@@ -243,15 +250,15 @@ def _lsh_cand_count_oracle() -> str:
         f" ic AS (SELECT CAST(count(*) AS BIGINT) AS c FROM cells cl"
         f"  JOIN probes p ON cl.cell = p.pcell AND cl.vec_id <> p.query_id)"
         f" SELECT 'lsh' AS method, lc.c AS n_cand, tot.n AS n_corpus,"
-        f"  CAST(lc.c AS DOUBLE) / CAST(nq.q * (tot.n - 1) AS DOUBLE)"
+        f"  CAST(lc.c AS DOUBLE) / CAST(greatest(nq.q * (tot.n - 1), 1) AS DOUBLE)"
         f"   AS cand_frac FROM lc, tot, nq"
         f" UNION ALL SELECT 'ivf', ic.c, tot.n,"
-        f"  CAST(ic.c AS DOUBLE) / CAST(nq.q * (tot.n - 1) AS DOUBLE)"
+        f"  CAST(ic.c AS DOUBLE) / CAST(greatest(nq.q * (tot.n - 1), 1) AS DOUBLE)"
         f"  FROM ic, tot, nq"
         f" UNION ALL SELECT 'pq_rerank',"
         f"  nq.q * least({PQ_RERANK}, tot.n - 1), tot.n,"
         f"  CAST(nq.q * least({PQ_RERANK}, tot.n - 1) AS DOUBLE)"
-        f"   / CAST(nq.q * (tot.n - 1) AS DOUBLE)"
+        f"   / CAST(greatest(nq.q * (tot.n - 1), 1) AS DOUBLE)"
         f"  FROM tot, nq"
     ),
 )
@@ -302,7 +309,9 @@ def q_sim_cand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = n_corpus.join(n_q, "j").join(lsh_c.withColumnRenamed("c", "lc"), "j").join(
         ivf_c.withColumnRenamed("c", "ic"), "j"
     )
-    denom = F.col("q") * (F.col("n") - F.lit(1))
+    # greatest(..., 1) guards the single-vector / zero-query corpus the
+    # same way sim_ivf_clustered does (ANSI mode divides-by-zero loudly).
+    denom = F.greatest(F.col("q") * (F.col("n") - F.lit(1)), F.lit(1))
     rows = [
         base.select(
             F.lit("lsh").alias("method"),
@@ -749,8 +758,14 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py proves under failure injection).
 
     Scale shape: per micro-batch cost ∝ batch size (map-side assign +
-    directory-partitioned append); checkpointed source offsets make
-    replay exactly-once with this idempotent-by-overwrite staging."""
+    directory-partitioned append). Exactly-once under replay: each
+    micro-batch writes into its own ``ingest_batch=<batch_id>``
+    subpartition with DYNAMIC partition overwrite (the backfill is
+    ``ingest_batch=-1``), so a crash after the write but before the
+    checkpoint commit is healed when the restarted stream replays the
+    batch — the rewrite lands on the identical (cell, ingest_batch)
+    directories instead of appending duplicates. A plain
+    ``mode('append')`` sink would only be at-least-once here."""
     import shutil
 
     emb = _emb(spark, sf_dir)
@@ -768,20 +783,27 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (stage, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     is_new = F.col("vec_id") % APPEND_MOD == APPEND_REM
-    # Bulk backfill: base index, overwrite (clears prior runs).
-    ivf_cells_df(spark, emb.filter(~is_new), ranked).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    # Bulk backfill: base index, overwrite (clears prior runs), staged
+    # as ingest_batch=-1 under each cell directory.
+    ivf_cells_df(spark, emb.filter(~is_new), ranked).withColumn(
+        "ingest_batch", F.lit(-1)
+    ).write.mode("overwrite").partitionBy("cell", "ingest_batch").parquet(path)
     # Stage the streaming tail as 3 files -> 3 micro-batches.
     arrivals = emb.filter(is_new).select("vec_id", "embedding")
     arrivals.repartition(3).write.mode("overwrite").parquet(stage)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent-by-overwrite: dynamic partition overwrite replaces
+        # exactly the (cell, ingest_batch=batch_id) directories this
+        # batch produces, so a checkpoint-replayed batch rewrites its
+        # own output instead of duplicating rows.
         (
             batch_df.withColumn("cell", F.expr(f"{ranked}[0].c"))
-            .select("vec_id", "embedding", "cell")
-            .write.mode("append")
-            .partitionBy("cell")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .select("vec_id", "embedding", "cell", "ingest_batch")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "ingest_batch")
             .parquet(path)
         )
 

@@ -405,11 +405,24 @@ def ivf_py_probe_cells(
 ) -> list[int]:
     """The oracle's probe ranking (dot/|c| DESC, cent_id ASC) replayed
     on the driver in IEEE doubles — used by the pruned-serving variant
-    where the probe list must be a LITERAL partition filter."""
-    scored = [
-        (-(py_dot(qv, cv) / _py_norm(cv)), cid) for cid, cv in cent_rows
-    ]
-    return [cid for _, cid in sorted(scored)[:n_probe]]
+    where the probe list must be a LITERAL partition filter.
+
+    A zero-norm centroid scores 0/0 = NaN in the SQL twins, and NaN
+    sorts GREATER than every other double in both Spark and DuckDB —
+    i.e. last under this ascending key. Python float division raises
+    instead, so replay that ordering explicitly: zero-norm centroids go
+    after all finite/inf scores, tie-broken by cent_id, rather than
+    crashing the driver."""
+    scored: list[tuple[float, int]] = []
+    zero_norm: list[int] = []
+    for cid, cv in cent_rows:
+        nrm = _py_norm(cv)
+        if nrm == 0.0:
+            zero_norm.append(cid)
+        else:
+            scored.append((-(py_dot(qv, cv) / nrm), cid))
+    ranked = [cid for _, cid in sorted(scored)] + sorted(zero_norm)
+    return ranked[:n_probe]
 
 
 @query("sim_topk_ivf", oracle=IVF_TOPK_ORACLE)

@@ -270,3 +270,105 @@ def test_ivfpq_recall_meets_family_bar(spark):
     assert row["method"] == "ivfpq"
     assert row["n_truth"] > 0
     assert row["recall"] >= 0.9, row
+
+
+def test_pruned_serving_empty_query_batch(spark, tmp_path):
+    """Round-5 advice: a corpus that HAS centroids but NO query vectors
+    (no vec_id < N_QUERIES) must make the pruned server return the same
+    empty frame as the batch twin — not crash on parts[0]."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    shifted = load_table(spark, SF, "embeddings").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    sfdir = str(tmp_path / "sf_noqueries")
+    shifted.write.mode("overwrite").parquet(sfdir + "/embeddings.parquet")
+    pruned = registry.QUERIES["sim_topk_ivf_pruned"](spark, sfdir).collect()
+    batch = registry.QUERIES["sim_topk_ivf"](spark, sfdir).collect()
+    assert pruned == [] and batch == []
+
+
+def test_zero_norm_centroid_ranks_last():
+    """Round-5 advice: the driver replay of the probe ranking must
+    degrade like the SQL twins on a zero-norm centroid (0/0 = NaN sorts
+    GREATER than every double in Spark and DuckDB → ranked last), not
+    raise ZeroDivisionError."""
+    from dist_mapreduce_spark.plans.similarity import ivf_py_probe_cells
+
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    qv = [1.0, 0.5]
+    assert ivf_py_probe_cells(cents, qv, 3) == [1, 2, 0]
+    assert ivf_py_probe_cells(cents, qv, 2) == [1, 2]
+
+
+def test_duckdb_fold_guard_handles_ragged_dims():
+    """Round-5 advice: the unrolled 64-term DuckDB folds must fall back
+    to the dynamic list fold on non-64-dim vectors instead of silently
+    NULLing (dim < 64) or truncating (dim > 64)."""
+    import duckdb
+
+    from dist_mapreduce_spark.functions.vectors import (
+        cosine_duckdb_sql,
+        dot_duckdb_sql,
+        l2sq_duckdb_sql,
+    )
+
+    con = duckdb.connect()
+    d, c = con.execute(
+        f"SELECT {dot_duckdb_sql('a', 'b')} AS d,"
+        f" {cosine_duckdb_sql('a', 'a')} AS c"
+        f" FROM (SELECT [1.0,2.0,3.0]::FLOAT[] a, [4.0,5.0,6.0]::FLOAT[] b)"
+    ).fetchone()
+    assert d == 32.0 and abs(c - 1.0) < 1e-12
+    a65 = [float(i) for i in range(1, 66)]  # 65 dims: must not truncate
+    (s,) = con.execute(
+        f"SELECT {dot_duckdb_sql('a', 'a')} FROM (SELECT ?::FLOAT[] a)", [a65]
+    ).fetchone()
+    assert s == float(sum(x * x for x in a65))
+    (z,) = con.execute(
+        f"SELECT {l2sq_duckdb_sql('a', 'a')} FROM (SELECT ?::FLOAT[] a)", [a65]
+    ).fetchone()
+    assert z == 0.0
+
+
+def test_stream_append_replay_is_idempotent(spark):
+    """Round-5 advice: replaying a micro-batch (crash after the sink
+    write, before the checkpoint commit) must land on the SAME
+    (cell, ingest_batch) directories via dynamic partition overwrite —
+    zero duplicate rows, identical per-cell audit."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.ann_index import _index_dir
+
+    registry.load_all()
+    audit1 = sorted(
+        tuple(r)
+        for r in registry.QUERIES["stream_index_append"](spark, SF).collect()
+    )
+    path = _index_dir("ivf_index_stream", SF)
+    back = spark.read.parquet(path)
+    schema = back.schema
+    n_before = back.count()
+    batch0 = [r.asDict() for r in back.filter(F.col("ingest_batch") == 0).collect()]
+    assert batch0, "expected a non-empty first micro-batch"
+    # Replay batch 0 exactly as the sink would (collected to the driver
+    # first so the rewrite does not read the path it overwrites).
+    (
+        spark.createDataFrame(batch0, schema)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(path)
+    )
+    back2 = spark.read.parquet(path)
+    assert back2.count() == n_before
+    audit2 = sorted(
+        tuple(r)
+        for r in back2.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .collect()
+    )
+    assert audit2 == sorted(
+        (r[0], r[1]) for r in audit1
+    ), "per-cell counts changed after replay"

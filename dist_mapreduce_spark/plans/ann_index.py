@@ -8,12 +8,15 @@ a probe is partition pruning". This module executes it:
   parquet index (one directory per IVF cell — the ``sink_parquet_
   partitioned`` machinery applied to the ANN layout) and proves the
   write lossless with per-cell stats against the DuckDB cell oracle.
-- ``sim_topk_ivf_pruned`` serves the query batch FROM that index, one
-  pruned scan per query: the probe list is a driver-computed literal
-  ``cell IN (...)`` filter, so EXPLAIN shows PartitionFilters and each
-  query's scan opens exactly its n_probe cell directories — probe cost
-  tracks the probed cells, not the corpus (tests/test_ann_index.py
-  pins the pruned scan; docs/SCALE.md records the flat probe curve).
+- ``sim_topk_ivf_pruned`` serves the query batch FROM that index as
+  ONE batched plan (round 6; round 5 looped per query): probes are
+  ranked in-plan, the union of probed cells — bounded by k ≤ 64
+  regardless of batch size — lands as a literal ``cell IN (...)``
+  partition filter, and a single pruned scan broadcast-joins the probe
+  frame. EXPLAIN shows PartitionFilters; tests/test_ann_index.py pins
+  one index scan reading exactly the probed directories; docs/SCALE.md
+  records the flat probe curve. ``sim_serve_batch`` is the same plan
+  at a 64-query batch (full value oracle).
 - ``sim_cand_stats`` reports the candidate fraction each ANN variant
   examines — the selectivity metric the round-4 verdict asked to be
   published next to recall (on this isotropic synthetic corpus the
@@ -52,12 +55,12 @@ from dist_mapreduce_spark.plans.similarity import (
     N_QUERIES,
     PQ_RERANK,
     TOP_K,
-    _vec_lit,
     ivf_cells_df,
     ivf_cent_rows,
     ivf_probes_df,
     ivf_py_probe_cells,
     ivf_ranked_cells_sql,
+    ivf_topk_oracle,
     lsh_candidates,
     py_dot,
 )
@@ -84,19 +87,32 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: Index paths already built by THIS process — serving queries reuse
+#: the materialized index instead of rebuilding it per query (ingest
+#: runs once; serving reads). Per-process only: a fresh process always
+#: rebuilds, so cross-run staleness (e.g. a stress fixture rewriting
+#: its corpus between invocations) cannot leak in.
+_BUILT_THIS_SESSION: set[str] = set()
+
+
 def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     """Write the hive-partitioned IVF index (idempotent overwrite) and
     return (index_path, cent_rows). The write is the ingest-time step a
     100 TB deployment runs once: cell assignment is a pure map over one
     corpus scan (literal centroids), and partitionBy('cell') lays each
-    cell in its own directory so probes become partition pruning."""
+    cell in its own directory so probes become partition pruning.
+    Within one process the build really does run once — subsequent
+    calls (the serving queries) reuse the index on disk."""
     emb = _emb(spark, sf_dir)
     cent_rows = ivf_cent_rows(emb)
     path = _index_dir("ivf_index", sf_dir)
     if not cent_rows:
         return path, cent_rows
+    if path in _BUILT_THIS_SESSION and os.path.isdir(path):
+        return path, cent_rows
     cells = ivf_cells_df(spark, emb, ivf_ranked_cells_sql(cent_rows))
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _BUILT_THIS_SESSION.add(path)
     return path, cent_rows
 
 
@@ -150,67 +166,92 @@ def q_sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def serve_batched_from_index(
+    spark: SparkSession, sf_dir: str, n_queries: int
+) -> DataFrame:
+    """Batched pruned serving — ONE Spark job for the whole query batch
+    (the round-5 verdict's top item: the per-query driver loop made job
+    count and plan size linear in batch size).
+
+    Shape: the query batch ranks the literal centroids IN-PLAN
+    (ivf_probes_df — the same pure-map expression sim_topk_ivf uses)
+    and explodes to (query_id, qv, pcell); the only driver pull is the
+    DISTINCT probed-cell set, which is bounded by k ≤ 64 REGARDLESS of
+    batch size, and becomes the literal ``cell IN (...)`` partition
+    filter on the materialized index. One pruned scan of the union of
+    probed cells, one broadcast equi-join on cell (the join discards
+    union-cell rows a given query did not probe), exact cosine, one
+    window top-k per query_id. Job count and plan size are constant in
+    n_queries; executor work is ∝ Σ probed-cell rows — the shape a 10k-
+    query production batch needs (tests pin: one FileScan of the index
+    in the final plan, numPartitions == |union of probed cells|)."""
+    emb = _emb(spark, sf_dir)
+    path, cent_rows = build_ivf_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, score double, rk int"
+    )
+    if not cent_rows:
+        return empty
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    probes = ivf_probes_df(emb, ranked, n_queries)
+    # Bounded driver pull: ≤ k cell ids, independent of n_queries.
+    union_cells = sorted(
+        int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+    )
+    if not union_cells:
+        # Empty query batch (no vec_id < n_queries, or all query
+        # embeddings NULL): same empty frame as the batch twin.
+        return empty
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    scored = (
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
 @query("sim_topk_ivf_pruned", oracle=ORACLES["sim_topk_ivf"])
 def q_sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF serving from the MATERIALIZED index — the executed version of
-    the 100 TB claim. Per query: rank the literal centroids on the
-    driver (k ≤ 64 dot products — the same IEEE fold the oracle uses),
-    emit the n_probe probe cells as a literal ``cell IN (...)`` filter,
-    and scan ONLY those partitions of the index (EXPLAIN shows
-    PartitionFilters with the IN-list; tests/test_ann_index.py asserts
-    the pruned scan reads exactly n_probe of the cell directories).
-    Exact cosine + top-k inside the probed cells; per-query results
-    union. Identical output to sim_topk_ivf (same oracle), but probe
-    cost is now partition pruning — independent of how many cells the
-    corpus has, which is the property that survives 100 TB.
+    the 100 TB claim, now as ONE batched plan (round 5 served each query
+    with its own pruned scan + union; job count grew with the batch).
+    The probe list still lands as a literal ``cell IN (...)`` partition
+    filter — EXPLAIN shows PartitionFilters, and tests/test_ann_index.py
+    asserts the scan reads exactly the union of probed cell directories
+    and that the final plan contains a single scan of the index.
+    Identical output to sim_topk_ivf (same oracle), but the scan cost is
+    partition pruning — independent of how many cells the corpus has,
+    which is the property that survives 100 TB. See
+    serve_batched_from_index for the full shape; sim_serve_batch proves
+    it at a 64-query batch."""
+    return serve_batched_from_index(spark, sf_dir, N_QUERIES)
 
-    Batch note: the per-query loop is bounded by the query batch
-    (N_QUERIES), the realistic serving shape — a vector store serves
-    queries independently; the batch-join variant (sim_topk_ivf) is the
-    bulk-analytics twin. Each per-query top-k is TakeOrderedAndProject
-    (no shuffle); the only window runs over ≤ TOP_K rows."""
-    emb = _emb(spark, sf_dir)
-    path, cent_rows = build_ivf_index(spark, sf_dir)
-    if not cent_rows:
-        return spark.createDataFrame(
-            [], "query_id bigint, vec_id bigint, score double, rk int"
-        )
-    q_rows = sorted(
-        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in emb.filter(
-            (F.col("vec_id") < N_QUERIES) & F.col("embedding").isNotNull()
-        )
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    if not q_rows:
-        # Mirror the cent_rows guard: an empty query batch (no vec_id <
-        # N_QUERIES, or all query embeddings NULL) must return the same
-        # empty frame the batch twin sim_topk_ivf produces, not crash.
-        return spark.createDataFrame(
-            [], "query_id bigint, vec_id bigint, score double, rk int"
-        )
-    parts: list[DataFrame] = []
-    for qid, qv in q_rows:
-        pcells = ivf_py_probe_cells(cent_rows, qv, N_PROBE)
-        scan = spark.read.parquet(path).filter(F.col("cell").isin(pcells))
-        topk = (
-            scan.filter(F.col("vec_id") != qid)
-            .withColumn("score", F.expr(cosine_spark_sql(_vec_lit(qv), "embedding")))
-            .select(
-                F.lit(qid).cast("long").alias("query_id"), "vec_id", "score"
-            )
-            .orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(TOP_K)
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("vec_id")
-        )
-        parts.append(topk.withColumn("rk", F.row_number().over(w)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+#: Query-batch size for the batched-serving proof row — 64 queries
+#: through one plan (vs N_QUERIES=5 everywhere else in the family).
+N_SERVE_BATCH = 64
+
+
+@query("sim_serve_batch", oracle=ivf_topk_oracle(N_SERVE_BATCH))
+def q_sim_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched-serving proof at production batch shape: 64 queries
+    served from the materialized partition-pruned index through ONE
+    Spark job — same plan, same job count, same driver footprint as the
+    5-query sim_topk_ivf_pruned (the probes frame is data, not plan; the
+    only driver pull is the ≤k distinct probed cells). Full value oracle
+    at the 64-query batch. This is the query a real vector-store bulk
+    scorer runs; per-query loops (round 5's shape) would be 64 jobs."""
+    return serve_batched_from_index(spark, sf_dir, N_SERVE_BATCH)
 
 
 # ----------------------------------------------------- candidate fraction
@@ -477,11 +518,13 @@ def q_sim_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_cand_stats).
 
     Execution mirrors the 100 TB deployment end-to-end: the corpus is
-    written hive-partitioned by assigned cell (ingest), each query
-    probes its top-CLUST_PROBE cells as a LITERAL partition filter
-    (EXPLAIN: PartitionFilters, 1 of 16 directories read —
-    tests/test_ann_index.py pins it), exact cosine inside the probed
-    cell, top-k, then recall against a full-scan brute-force truth.
+    written hive-partitioned by assigned cell (ingest), the query batch
+    is served by ONE batched plan — probes ranked in-plan, the union of
+    probed cells (≤ K_CLUST ids regardless of batch size) as a LITERAL
+    partition filter (EXPLAIN: PartitionFilters; a 1-query probe reads
+    1 of 16 directories — tests/test_ann_index.py pins it), exact
+    cosine inside the probed cells, top-k per query, then recall
+    against a full-scan brute-force truth.
     Everything lands in one hash-checked row: (n_truth, n_hit, recall,
     n_cand, n_corpus, cand_frac)."""
     emb = _emb(spark, sf_dir)
@@ -518,22 +561,38 @@ def q_sim_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id")
     )
-    # Approx: per-query PRUNED scans — literal cell IN-list from the
-    # driver-side replay of the same (dot/|c| DESC, cid ASC) ranking.
-    cand_parts: list[DataFrame] = []
-    for qid in q_ids:
-        qv = _py_clust_vec(qid)
-        pcells = ivf_py_probe_cells(cents, qv, CLUST_PROBE)
-        scan = spark.read.parquet(path).filter(F.col("cell").isin(pcells))
-        cand_parts.append(
-            scan.filter(F.col("vec_id") != qid)
-            .withColumn("score", F.expr(cosine_spark_sql(_vec_lit(qv), "cvec")))
-            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id", "score")
+    # Approx: BATCHED pruned serving — one plan for the whole query
+    # batch (same shape as serve_batched_from_index): the query rows
+    # rank the literal centroids in-plan and explode to (query_id, qv,
+    # pcell); the union of probed cells (≤ K_CLUST ids, independent of
+    # batch size) becomes the literal partition filter; one pruned scan
+    # + broadcast equi-join on cell replaces round 5's per-query loop.
+    ranked_q = ivf_ranked_cells_sql(cents, col="qv")
+    probes = (
+        back.filter(F.col("vec_id").isin(q_ids) if q_ids else F.lit(False))
+        .select(F.col("vec_id").alias("query_id"), F.col("cvec").alias("qv"))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.expr(f"transform(slice({ranked_q}, 1, {CLUST_PROBE}), x -> x.c)")
+            ).alias("pcell"),
         )
-    if cand_parts:
-        cand = cand_parts[0]
-        for p in cand_parts[1:]:
-            cand = cand.unionByName(p)
+    )
+    union_cells = sorted(
+        int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+    )
+    if union_cells:
+        scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+        cand = (
+            scan.join(
+                F.broadcast(probes),
+                (F.col("cell") == F.col("pcell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .withColumn("score", F.expr(cosine_spark_sql("qv", "cvec")))
+            .select("query_id", "vec_id", "score")
+        )
     else:
         cand = spark.createDataFrame(
             [], "query_id bigint, vec_id bigint, score double"
@@ -931,7 +990,6 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_cells_expr,
         pq_codebook,
         pq_lut,
-        _arr,
     )
 
     emb = _emb(spark, sf_dir)
@@ -963,21 +1021,30 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)
     ]
     probes = spark.createDataFrame(probe_pairs, "query_id long, pcell long")
-    # Per-query ADC as literal LUTs behind a CASE on query_id — the
-    # fold (((0.0+t0)+t1)… in m order) matches the oracle's chained
-    # sums of one-element groups exactly (sim_topk_pq's parity rule).
-    luts = {qid: pq_lut(qv, codebook) for qid, qv in q_rows}
+    # ADC lookup tables as broadcast DATA, not plan literals: round 5
+    # inlined one literal LUT per query behind a CASE on query_id,
+    # which made the PLAN grow linearly with the query batch (the same
+    # defect the per-query scan loops had). The LUT values are
+    # unchanged — py_dot is the engines' sequential IEEE fold — but a
+    # (query_id, m, cid, pdot) frame joins instead, so plan size and
+    # codegen cost are constant in batch size. The per-candidate ADC is
+    # the oracle's exact chained sum of one-element groups:
+    # sum(CASE m=0) + sum(CASE m=1) + … in m order (each group holds
+    # exactly one pdot, so the addition order is deterministic).
     from dist_mapreduce_spark.plans.similarity import PQ_M
 
-    branches = " ".join(
-        "WHEN {qid} THEN aggregate(sequence(0, {mm}), cast(0.0 as double),"
-        " (acc, m) -> acc + element_at(element_at({lut}, m+1),"
-        " element_at(codes, m+1) + 1))".format(
-            qid=qid,
-            mm=PQ_M - 1,
-            lut="array(" + ", ".join(_arr(luts[qid][m]) for m in range(PQ_M)) + ")",
-        )
-        for qid, _ in q_rows
+    luts = {qid: pq_lut(qv, codebook) for qid, qv in q_rows}
+    lut_df = spark.createDataFrame(
+        [
+            (qid, m, c, luts[qid][m][c])
+            for qid, _ in q_rows
+            for m in range(PQ_M)
+            for c in range(len(luts[qid][m]))
+        ],
+        "query_id long, m int, cid int, pdot double",
+    )
+    adc_terms = " + ".join(
+        f"sum(CASE WHEN m = {m} THEN pdot END)" for m in range(PQ_M)
     )
     scored = (
         rows.join(
@@ -985,7 +1052,10 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell") == F.col("pcell"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("adc", F.expr(f"CASE query_id {branches} END"))
+        .select("query_id", "vec_id", F.posexplode("codes").alias("m", "cid"))
+        .join(F.broadcast(lut_df), ["query_id", "m", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.expr(adc_terms).alias("adc"))
         .select("query_id", "vec_id", "adc")
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))

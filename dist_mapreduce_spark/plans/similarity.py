@@ -297,22 +297,34 @@ IVF_CELLS_CTE = (
     f" cells AS (SELECT vec_id, embedding, cent_id AS cell"
     f"  FROM rkd WHERE crk = 1)"
 )
-IVF_PROBES_CTE = (
-    f"probes AS (SELECT vec_id AS query_id, embedding AS qv,"
-    f"  cent_id AS pcell FROM rkd"
-    f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE})"
-)
-IVF_TOPK_ORACLE = (
-    f"WITH {IVF_CELLS_CTE},"
-    f" {IVF_PROBES_CTE},"
-    f" s AS (SELECT p.query_id, cl.vec_id,"
-    f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
-    f"  FROM cells cl JOIN probes p"
-    f"   ON cl.cell = p.pcell AND cl.vec_id <> p.query_id)"
-    f" SELECT query_id, vec_id, score, rk FROM ("
-    f"  SELECT *, row_number() OVER (PARTITION BY query_id"
-    f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
-)
+def ivf_probes_cte(n_queries: int) -> str:
+    """The probes CTE parameterized by query-batch size — the batched
+    serving query (plans/ann_index.py sim_serve_batch) runs the same
+    oracle at a larger batch to prove the one-plan join path."""
+    return (
+        f"probes AS (SELECT vec_id AS query_id, embedding AS qv,"
+        f"  cent_id AS pcell FROM rkd"
+        f"  WHERE vec_id < {n_queries} AND crk <= {N_PROBE})"
+    )
+
+
+def ivf_topk_oracle(n_queries: int) -> str:
+    """IVF top-k oracle for an arbitrary query-batch size."""
+    return (
+        f"WITH {IVF_CELLS_CTE},"
+        f" {ivf_probes_cte(n_queries)},"
+        f" s AS (SELECT p.query_id, cl.vec_id,"
+        f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+        f"  FROM cells cl JOIN probes p"
+        f"   ON cl.cell = p.pcell AND cl.vec_id <> p.query_id)"
+        f" SELECT query_id, vec_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+    )
+
+
+IVF_PROBES_CTE = ivf_probes_cte(N_QUERIES)
+IVF_TOPK_ORACLE = ivf_topk_oracle(N_QUERIES)
 
 
 def ivf_cent_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
@@ -388,10 +400,12 @@ def ivf_cells_df(spark: SparkSession, emb: DataFrame, ranked_cells: str) -> Data
     )
 
 
-def ivf_probes_df(emb: DataFrame, ranked_cells: str) -> DataFrame:
+def ivf_probes_df(
+    emb: DataFrame, ranked_cells: str, n_queries: int = N_QUERIES
+) -> DataFrame:
     """(query_id, qv, pcell) — each query row exploded to its N_PROBE
-    nearest cells, ranked on a `vec_id < N_QUERIES`-pruned scan."""
-    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+    nearest cells, ranked on a `vec_id < n_queries`-pruned scan."""
+    return emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.explode(

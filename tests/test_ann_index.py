@@ -372,3 +372,70 @@ def test_stream_append_replay_is_idempotent(spark):
     assert audit2 == sorted(
         (r[0], r[1]) for r in audit1
     ), "per-cell counts changed after replay"
+
+
+def test_batched_serving_one_scan_union_of_probed_cells(spark):
+    """Round-6 pin (reformulated from the per-query pin): the batched
+    serving plan must contain exactly ONE scan of the materialized
+    index regardless of query-batch size, and that scan must read
+    exactly the union of the batch's probed cell directories."""
+    from dist_mapreduce_spark.plans.ann_index import (
+        N_SERVE_BATCH,
+        build_ivf_index,
+        serve_batched_from_index,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        N_PROBE,
+        ivf_py_probe_cells,
+    )
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    path, cent_rows = build_ivf_index(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    q_rows = [
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") < N_SERVE_BATCH) & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assert len(q_rows) >= 50, "batch must be >= 50 queries to prove the shape"
+    union = sorted(
+        {c for _, qv in q_rows for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)}
+    )
+    df = serve_batched_from_index(spark, SF, N_SERVE_BATCH)
+    rows = df.collect()
+    assert len({r["query_id"] for r in rows}) == len(q_rows)
+
+    # Walk the executed plan INCLUDING adaptive query stages (AQE wraps
+    # the join plan; collectLeaves alone stops at stage boundaries).
+    def walk(node, out):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), out)
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan(), out)
+            return
+        out.append(node)
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next(), out)
+
+    nodes: list = []
+    walk(df._jdf.queryExecution().executedPlan(), nodes)
+    tag = os.path.basename(path)
+    index_scans = [
+        n
+        for n in nodes
+        if n.getClass().getSimpleName() == "FileSourceScanExec"
+        and tag in n.toString()
+    ]
+    assert len(index_scans) == 1, f"expected ONE index scan, saw {len(index_scans)}"
+    plan_str = index_scans[0].toString()
+    assert "PartitionFilters" in plan_str and "cell" in plan_str, plan_str
+    existing = {d for d in os.listdir(path) if d.startswith("cell=")}
+    probed_existing = {f"cell={c}" for c in union} & existing
+    m = index_scans[0].metrics()
+    assert int(m.apply("numPartitions").value()) == len(probed_existing)

@@ -713,6 +713,124 @@ def q_sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- delete / compact
+
+#: Deterministic tombstone batch for the delete demo: ~1% of the
+#: corpus. Like APPEND_MOD this split is engine-internal; the oracle
+#: constrains only the post-delete index, which must equal a full
+#: rebuild of the filtered corpus under the FROZEN quantizer.
+DELETE_MOD, DELETE_REM = 97, 13
+
+_DELETE_PRED_SQL = f"(vec_id % {DELETE_MOD}) = {DELETE_REM}"
+
+#: sim_index_build's cells CTE with the tombstoned rows removed from
+#: the ASSIGNMENT source only — the quantizer (cent) still trains on
+#: the full corpus, the standard frozen-quantizer delete semantics:
+#: deletes never move surviving vectors between cells.
+_CELLS_CTE_AFTER_DELETE = IVF_CELLS_CTE.replace(
+    "FROM embeddings e, cent c",
+    f"FROM (SELECT * FROM embeddings WHERE NOT ({_DELETE_PRED_SQL})) e, cent c",
+)
+assert _CELLS_CTE_AFTER_DELETE != IVF_CELLS_CTE
+
+
+@query(
+    "sim_index_delete",
+    oracle=(
+        f"WITH {_CELLS_CTE_AFTER_DELETE}"
+        f" SELECT CAST(cell AS BIGINT) AS cell,"
+        f"  CAST(count(*) AS BIGINT) AS n_vecs,"
+        f"  CAST(sum(CAST(vec_id AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        f"   AS id_sum,"
+        f"  min(vec_id) AS min_id, max(vec_id) AS max_id,"
+        f"  CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS dim_sum"
+        f" FROM cells GROUP BY cell"
+    ),
+)
+def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle: DELETES — the round-5 verdict's missing piece
+    after build/append/stream-append. A tombstone batch (~1% of ids,
+    deterministic) is applied to the materialized index by rewriting
+    ONLY the affected cell directories, never the corpus:
+
+    1. assign the tombstoned ids to cells with the frozen quantizer (a
+       pure map over the 1% batch) and pull the DISTINCT affected cell
+       ids (bounded by k ≤ 64);
+    2. read exactly those cell directories from the index (partition-
+       pruned scan — the same pin as serving), anti-join the tombstone
+       ids, and write the survivors to a staging directory partitioned
+       by cell;
+    3. swap the affected directories in (delete + rename per cell —
+       the same files-then-metadata commit order a table format's
+       atomic swap performs at scale; untouched cells are never read,
+       never written).
+
+    The audit is sim_index_build's aggregate on the read-back files;
+    the oracle is sim_index_build's oracle on the tombstone-filtered
+    corpus VERBATIM (frozen quantizer) — merged-after-delete must be
+    indistinguishable from a full rebuild of the filtered corpus, to
+    the id-checksum level. A cell whose vectors are all deleted
+    disappears from both sides. Rewrite cost ∝ rows in touched cells,
+    not corpus size (docs/SCALE.md)."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    path = _index_dir("ivf_index_del", sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    # Fresh full build each run (the demo needs a pre-delete index; a
+    # production deployment starts from the live one).
+    ivf_cells_df(spark, emb, ranked).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    is_del = F.expr(_DELETE_PRED_SQL)
+    tomb = emb.filter(is_del).select("vec_id")
+    # Affected cells: assign ONLY the tombstone batch (pure map over
+    # ~1% of rows), pull the distinct cell ids — bounded by k.
+    del_cells = sorted(
+        int(r["cell"])
+        for r in ivf_cells_df(spark, emb.filter(is_del), ranked)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if del_cells:
+        stage = _index_dir("ivf_index_del_stage", sf_dir)
+        shutil.rmtree(stage, ignore_errors=True)
+        affected = spark.read.parquet(path).filter(F.col("cell").isin(del_cells))
+        survivors = affected.join(F.broadcast(tomb), "vec_id", "left_anti")
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(stage)
+        # Swap: remove each affected cell directory, move the rewritten
+        # one in (absent in staging == cell emptied by the delete).
+        for c in del_cells:
+            dst = os.path.join(path, f"cell={c}")
+            src = os.path.join(stage, f"cell={c}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )
+
+
 # ------------------------------------------------------- semantic dedup
 
 #: Cosine threshold for semantic duplicates within a cell. The driver

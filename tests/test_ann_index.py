@@ -439,3 +439,38 @@ def test_batched_serving_one_scan_union_of_probed_cells(spark):
     probed_existing = {f"cell={c}" for c in union} & existing
     m = index_scans[0].metrics()
     assert int(m.apply("numPartitions").value()) == len(probed_existing)
+
+
+def test_index_delete_removes_exactly_tombstones(spark):
+    """sim_index_delete: the post-delete index holds exactly the
+    corpus minus the tombstone batch (cell assignments frozen), and a
+    second run is idempotent."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.ann_index import (
+        DELETE_MOD,
+        DELETE_REM,
+        _index_dir,
+    )
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    first = sorted(
+        tuple(r) for r in registry.QUERIES["sim_index_delete"](spark, SF).collect()
+    )
+    back_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(_index_dir("ivf_index_del", SF))
+        .select("vec_id")
+        .collect()
+    )
+    src_ids = sorted(
+        r["vec_id"]
+        for r in load_table(spark, SF, "embeddings").select("vec_id").collect()
+    )
+    expected = [v for v in src_ids if v % DELETE_MOD != DELETE_REM]
+    assert back_ids == expected
+    assert len(expected) < len(src_ids), "tombstone batch must be non-empty"
+    second = sorted(
+        tuple(r) for r in registry.QUERIES["sim_index_delete"](spark, SF).collect()
+    )
+    assert first == second

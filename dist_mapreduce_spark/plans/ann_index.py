@@ -1202,8 +1202,8 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_recall_ivfpq",
     oracle=(
-        f"WITH bf AS ({ORACLES['sim_topk_bruteforce']}),"
-        f" a AS ({_ivfpq_oracle()}),"
+        f"WITH bf AS MATERIALIZED ({ORACLES['sim_topk_bruteforce']}),"
+        f" a AS MATERIALIZED ({_ivfpq_oracle()}),"
         f" nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bf),"
         f" nh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bf t JOIN a"
         f"  ON t.query_id = a.query_id AND t.vec_id = a.vec_id)"

@@ -472,7 +472,10 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is also what makes it hash-exact here: each term is one
     division of identical integers, summed lexical-then-dense.
 
-    Scale shape: both rankers end in TakeOrderedAndProject at depth 20,
+    Scale shape: both rankers end in TakeOrderedAndProject at depth 20
+    (orderBy().limit() FIRST; the rank window then runs over the ≤20
+    surviving rows — round 5's dense side windowed the full corpus and
+    relied on the InferWindowGroupLimit rewrite, which nothing pinned),
     so the fusion is a full-outer join of two ≤20-row frames — free at
     any corpus size; ranker cost is one scan each (the dense side swaps
     in sim_topk_ivf_pruned's partition-pruned probe unchanged when the
@@ -490,15 +493,17 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
         F.col("embedding").alias("qv")
     )
-    wv = Window.orderBy(
-        F.desc(F.expr(cosine_spark_sql("qv", "embedding"))), F.asc("vec_id")
-    )
-    vec = (
+    top_vec = (
         emb.filter(F.col("vec_id") != HYBRID_QVEC)
         .crossJoin(F.broadcast(q))
-        .withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= RRF_DEPTH)
-        .select(F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk"))
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("vec_id", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(RRF_DEPTH)
+    )
+    wv = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    vec = top_vec.withColumn("rk", F.row_number().over(wv)).select(
+        F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
     )
     rrf = (
         f"coalesce(CAST(1.0 AS DOUBLE) / CAST({RRF_K} + lex_rk AS DOUBLE),"

@@ -452,7 +452,7 @@ _D_SHINGLES_T = (
 )
 
 
-def _duck_minhash_oracle() -> str:
+def _duck_minhash_oracle(docs_src: str = "documents") -> str:
     mh_cols = ", ".join(
         f"min(({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -468,7 +468,7 @@ def _duck_minhash_oracle() -> str:
         for band in range(N_BANDS)
     )
     return (
-        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents"
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM {docs_src}"
         f"), shingle AS ("
         f" SELECT DISTINCT doc_id,"
         f"  CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h"
@@ -502,26 +502,10 @@ def _duck_minhash_oracle() -> str:
     )
 
 
-@query("dedup_minhash", oracle=_duck_minhash_oracle())
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection, the 100 TB dedup path:
-
-    1. word 3-shingles per doc (distinct), hashed to 48-bit ints;
-    2. 16 universal minhashes per doc — ONE aggregation, not 16 passes;
-    3. 8 bands × 2 rows (N_BANDS × ROWS_PER_BAND, asserted to tile
-       N_HASHES); band signature = md5 of the band's minhashes;
-    4. candidate pairs = docs sharing any (band_id, band_hash) — an
-       equi-join on the band key, which is the shuffle-friendly trick:
-       candidate generation is a hash join, never an all-pairs product.
-       Skew guard: each bucket is capped at BAND_BUCKET_CAP docs
-       (deterministic row_number sample, mirrored in the oracle), so a
-       degenerate boilerplate bucket contributes at most CAP²/2 pairs
-       instead of going quadratic — the standard banding-cap mitigation
-       from the dedup literature. AQE skew-join handles what remains;
-    5. exact Jaccard on shingle sets for candidates only, filtered at
-       the threshold.
-    """
-    docs = _docs(spark, sf_dir)
+def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The MinHash + LSH banding near-dup pipeline over an arbitrary
+    (doc_id, text, …) frame — shared by dedup_minhash (full corpus) and
+    dedup_minhash_collapsed (exact-dup representatives only)."""
     # Materialize the token array as a real column first: inlining the
     # split expression into every element_at makes codegen re-run the
     # regex split per index access — O(n²) regex work per document.
@@ -631,6 +615,95 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query("dedup_minhash", oracle=_duck_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, the 100 TB dedup path:
+
+    1. word 3-shingles per doc (distinct), hashed to 48-bit ints;
+    2. 16 universal minhashes per doc — ONE aggregation, not 16 passes;
+    3. 8 bands × 2 rows (N_BANDS × ROWS_PER_BAND, asserted to tile
+       N_HASHES); band signature = md5 of the band's minhashes;
+    4. candidate pairs = docs sharing any (band_id, band_hash) — an
+       equi-join on the band key, which is the shuffle-friendly trick:
+       candidate generation is a hash join, never an all-pairs product.
+       Skew guard: each bucket is capped at BAND_BUCKET_CAP docs
+       (deterministic row_number sample, mirrored in the oracle), so a
+       degenerate boilerplate bucket contributes at most CAP²/2 pairs
+       instead of going quadratic — the standard banding-cap mitigation
+       from the dedup literature. AQE skew-join handles what remains;
+    5. exact Jaccard on shingle sets for candidates only, filtered at
+       the threshold.
+    """
+    return minhash_pairs(spark, _docs(spark, sf_dir))
+
+
+#: Exact-dup collapse pre-pass (round 6, verdict item #6): production
+#: pipelines run exact dedup BEFORE minhash because web corpora are
+#: dominated by byte-identical copies — every group of R identical
+#: docs otherwise costs C(R,2) candidate pairs in the band join (the
+#: measured 100× stress: 27M pairs / 437 s, almost all of them
+#: exact-copy pairs saying nothing new).
+_COLLAPSE_REPS_SQL = (
+    "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_docs"
+    " FROM (SELECT doc_id, md5(text) AS fp FROM documents) GROUP BY fp"
+)
+
+
+@query(
+    "dedup_minhash_collapsed",
+    oracle=(
+        f"WITH reps AS MATERIALIZED ({_COLLAPSE_REPS_SQL}),"
+        f" rd AS (SELECT d.doc_id, d.text FROM documents d"
+        f"  JOIN reps r ON r.doc_id = d.doc_id),"
+        f" mhp AS ({_duck_minhash_oracle('rd')})"
+        f" SELECT p.doc_a, p.doc_b, p.jaccard,"
+        f"  ra.n_docs AS docs_a, rb.n_docs AS docs_b"
+        f" FROM mhp p JOIN reps ra ON ra.doc_id = p.doc_a"
+        f" JOIN reps rb ON rb.doc_id = p.doc_b"
+    ),
+)
+def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup with the exact-dup collapse pre-pass: collapse
+    byte-identical documents (md5(text) fingerprint groups) to their
+    lowest-id representative, run the SAME banding pipeline
+    (minhash_pairs — one definition) on representatives only, and
+    carry each side's exact-copy count so downstream can expand a
+    representative pair back to its doc group. Near-dup semantics are
+    unchanged — members of an exact group have identical shingle sets,
+    so every collapsed pair stands for the full bipartite set of
+    original pairs at the same jaccard.
+
+    Scale shape: band-join pair volume now grows with DISTINCT
+    contents, not raw docs — on an R-way-replicated corpus the pair
+    count (and hence runtime) is flat in R where dedup_minhash grows
+    as C(R,2) per group (docs/SCALE.md records the stress curve). The
+    collapse itself is one hash-narrow shuffle (fingerprint groupBy),
+    the same aggregate dedup_exact runs."""
+    docs = _docs(spark, sf_dir)
+    reps = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select("doc_id", "n_docs")
+    )
+    rd = docs.join(reps.select("doc_id"), "doc_id")
+    pairs = minhash_pairs(spark, rd)
+    ra = reps.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_docs").alias("docs_a")
+    )
+    rb = reps.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_docs").alias("docs_b")
+    )
+    return (
+        pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .select("doc_a", "doc_b", "jaccard", "docs_a", "docs_b")
+    )
 
 
 # ------------------------------------------------------ n-gram jaccard

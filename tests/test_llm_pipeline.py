@@ -889,3 +889,36 @@ def test_pq_matches_pure_python_reference(spark):
         for r in _q("sim_topk_pq")(spark, SF).collect()
     }
     assert got == expected  # ranks AND double scores, bit-exact
+
+
+def test_minhash_collapsed_equals_plain_on_replicated_corpus(spark, tmp_path):
+    """The exact-dup collapse pre-pass must not change near-dup
+    semantics: on a 3x-replicated corpus (every doc byte-identical in
+    3 copies), the collapsed pairs are exactly the original-corpus
+    pairs (lowest-id representatives) with docs_a = docs_b = 3, while
+    plain dedup_minhash's pair count explodes with the replication."""
+    import os
+
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    n_cols = docs.columns
+    rep = (
+        docs.crossJoin(spark.range(3).withColumnRenamed("id", "r"))
+        .withColumn("doc_id", F.col("doc_id") * 3 + F.col("r"))
+        .select(*n_cols)
+    )
+    sfdir = str(tmp_path / "sf_rep3")
+    os.makedirs(sfdir, exist_ok=True)
+    rep.write.mode("overwrite").parquet(sfdir + "/documents.parquet")
+    base_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in _q("dedup_minhash")(spark, SF).collect()
+    }
+    collapsed = _q("dedup_minhash_collapsed")(spark, sfdir).collect()
+    assert all(r["docs_a"] == 3 and r["docs_b"] == 3 for r in collapsed)
+    # representative of original doc d is doc_id d*3 (r=0 copy)
+    got_pairs = {
+        (r["doc_a"] // 3, r["doc_b"] // 3, r["jaccard"]) for r in collapsed
+    }
+    assert got_pairs == base_pairs

@@ -6,7 +6,7 @@ conditions / window tricks" rows) plus the split UDF-surface queries
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_mapreduce_spark.operators.text_analysis import WS_CHARS as ta_WS
@@ -388,13 +388,31 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ship classic unit-cost Levenshtein (integer — no float drift).
 LINK_MAX_DIST = 2
 
+#: Skew guard for the blocking join (round 6, after the 100× stress):
+#: a block of B records contributes B(B-1)/2 Levenshtein pairs, so a
+#: degenerate block (coarse key on a skewed corpus) goes quadratic —
+#: the same failure mode BAND_BUCKET_CAP guards in dedup_minhash.
+#: Keep the CAP lowest keys per (nation, segment) block; records past
+#: the cap emit no pairs and resolve as their own canonical. Driver
+#: blocks are ~120 records at sf0.1, far under the cap, so gate
+#: results are unchanged; mirrored in the oracle.
+LINK_BLOCK_CAP = 1024
+
+_LINK_CAPPED_SQL = (
+    f"(SELECT * FROM (SELECT *, row_number() OVER"
+    f" (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) AS rn"
+    f" FROM customer) WHERE rn <= {LINK_BLOCK_CAP})"
+)
+
 
 @query(
     "link_records",
     oracle=(
-        f"WITH pr AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,"
+        f"WITH cpd AS MATERIALIZED (SELECT c_custkey, c_name,"
+        f"  c_nationkey, c_mktsegment FROM {_LINK_CAPPED_SQL}),"
+        f" pr AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,"
         f"  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist"
-        f"  FROM customer a JOIN customer b"
+        f"  FROM cpd a JOIN cpd b"
         f"   ON a.c_nationkey = b.c_nationkey"
         f"   AND a.c_mktsegment = b.c_mktsegment"
         f"   AND a.c_custkey < b.c_custkey"
@@ -424,18 +442,29 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the name comparison runs only within blocks (an
     equi-join, never a cross product), exactly the dedup_minhash /
     dedup_semantic banding skeleton with attributes as the band.
-    Blocks are bounded by attribute cardinality; a skewed block takes
-    the same BAND_BUCKET_CAP treatment if a production corpus
-    concentrates. The O(|name|²) DP per pair is why real pipelines
-    put the CHEAP blocking first — the plan encodes that order."""
+    Blocks are capped at LINK_BLOCK_CAP (keep-lowest row_number,
+    mirrored in the oracle) after the 100× stress showed replicated
+    corpora driving blocks quadratic — the BAND_BUCKET_CAP treatment;
+    the row_number shuffles on the same block key the self-join hashes
+    on, so the cap reuses that exchange. The O(|name|²) DP per pair is
+    why real pipelines put the CHEAP blocking first — the plan encodes
+    that order."""
     c = load_table(spark, sf_dir, "customer")
-    a = c.select(
+    wblk = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_custkey"
+    )
+    capped = (
+        c.withColumn("rn", F.row_number().over(wblk))
+        .filter(F.col("rn") <= LINK_BLOCK_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
         F.col("c_custkey").alias("key_a"),
         F.col("c_name").alias("name_a"),
         "c_nationkey",
         "c_mktsegment",
     )
-    b = c.select(
+    b = capped.select(
         F.col("c_custkey").alias("key_b"),
         F.col("c_name").alias("name_b"),
         F.col("c_nationkey").alias("nk_b"),

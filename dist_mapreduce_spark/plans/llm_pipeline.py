@@ -1324,6 +1324,50 @@ def _duck_cluster_oracle() -> str:
     )
 
 
+def propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over a (doc_a, doc_b) pair frame → one
+    (node, label) row per edge-incident node, label = component min.
+    The fixpoint iterates over the dup subgraph only (never a
+    corpus-sized label table); each round is localCheckpoint-truncated
+    so the plan stays flat. Shared by dedup_cluster and
+    dedup_cluster_collapsed."""
+    pairs = pairs.select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    # Iterate only over nodes incident to an edge (doc_a covers every
+    # endpoint because edges are bidirectional).
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(CLUSTER_MAX_ITERS):
+        msgs = edges.join(labels, edges["doc_a"] == labels["node"]).select(
+            F.col("doc_b").alias("node"), "label"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    # A >20-hop chain of pairwise near-dups (template drift) needs
+    # more rounds than the cap; silently returning partial labels
+    # would be wrong canonical ids, so fail loudly instead (the
+    # oracle computes the full transitive closure).
+    raise RuntimeError(
+        f"label propagation did not converge in {CLUSTER_MAX_ITERS} rounds;"
+        " raise CLUSTER_MAX_ITERS for longer near-dup chains"
+    )
+
+
 @query("dedup_cluster", oracle=_duck_cluster_oracle())
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: dedup_minhash emits pairs, but a dedup pass
@@ -1344,44 +1388,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate dups have tiny diameter, so the loop converges in a
     handful of rounds; each round is localCheckpoint-truncated so the
     plan stays flat."""
-    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    # Iterate only over nodes incident to an edge (doc_a covers every
-    # endpoint because edges are bidirectional).
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = None
-    converged = False
-    for _ in range(CLUSTER_MAX_ITERS):
-        msgs = edges.join(labels, edges["doc_a"] == labels["node"]).select(
-            F.col("doc_b").alias("node"), "label"
-        )
-        labels = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
-        # A >20-hop chain of pairwise near-dups (template drift) needs
-        # more rounds than the cap; silently returning partial labels
-        # would be wrong canonical ids, so fail loudly instead (the
-        # oracle computes the full transitive closure).
-        raise RuntimeError(
-            f"dedup_cluster did not converge in {CLUSTER_MAX_ITERS} rounds;"
-            " raise CLUSTER_MAX_ITERS for longer near-dup chains"
-        )
+    labels = propagate_min_labels(q_dedup_minhash(spark, sf_dir))
     docs = _docs(spark, sf_dir).select("doc_id")
     # Resolved dup-subgraph labels are far smaller than the corpus;
     # AQE broadcasts them when they fit (no forced hint — a 100 TB
@@ -1389,6 +1396,70 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Singletons fall through the left join as their own canonical.
     resolved = docs.join(labels, docs["doc_id"] == labels["node"], "left")
     canonical = F.coalesce(F.col("label"), F.col("doc_id"))
+    return resolved.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (canonical != F.col("doc_id")).alias("is_dup"),
+    )
+
+
+@query(
+    "dedup_cluster_collapsed",
+    oracle=(
+        f"WITH RECURSIVE"
+        f" fps AS MATERIALIZED (SELECT doc_id, md5(text) AS fp"
+        f"  FROM documents),"
+        f" reps AS MATERIALIZED (SELECT fp, min(doc_id) AS rep FROM fps"
+        f"  GROUP BY fp),"
+        f" member AS (SELECT f.doc_id, r.rep FROM fps f"
+        f"  JOIN reps r ON r.fp = f.fp OR (r.fp IS NULL AND f.fp IS NULL)),"
+        f" rd AS (SELECT d.doc_id, d.text FROM documents d"
+        f"  JOIN reps r ON r.rep = d.doc_id),"
+        f" prs AS ({_duck_minhash_oracle('rd')}),"
+        f" edges AS (SELECT doc_a AS a, doc_b AS b FROM prs"
+        f"  UNION ALL SELECT doc_b, doc_a FROM prs),"
+        f" reach AS ("
+        f"  SELECT rep AS node, rep AS m FROM reps"
+        f"  UNION"
+        f"  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m),"
+        f" rc AS (SELECT node, min(m) AS canon FROM reach GROUP BY node)"
+        f" SELECT mb.doc_id, rc.canon AS canonical_id,"
+        f"  rc.canon <> mb.doc_id AS is_dup"
+        f" FROM member mb JOIN rc ON rc.node = mb.rep"
+    ),
+)
+def q_dedup_cluster_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with the exact-dup collapse pre-pass — the
+    composition a production dedup actually runs: collapse
+    byte-identical docs to lowest-id representatives (md5 fingerprint
+    groups), cluster ONLY the representative near-dup graph
+    (dedup_minhash_collapsed's pairs → the shared min-label
+    propagation), then expand every document to its representative's
+    component canonical. Members of an exact group share their rep's
+    canonical; the component minimum over reps IS the global minimum
+    doc_id of the expanded component (each rep is its group's min), so
+    `WHERE NOT is_dup` is the same one-survivor-per-cluster corpus
+    dedup_cluster produces on an uncapped graph.
+
+    Scale shape: the propagation loop and the pair generation both run
+    on the REPRESENTATIVE graph — flat in the exact-duplication factor
+    R, where dedup_cluster's cost grows as C(R,2) per group (measured:
+    852 s at the 100× stress vs seconds here; docs/SCALE.md). The
+    expansion is one broadcast-sized join from the member map."""
+    docs = _docs(spark, sf_dir)
+    fps = docs.select("doc_id", F.md5("text").alias("fp"))
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    # fp equi-join is null-safe via <=> so a NULL-text group maps too
+    # (mirrors the oracle's OR-IS-NULL join condition).
+    member = fps.join(
+        reps, fps["fp"].eqNullSafe(reps["fp"])
+    ).select("doc_id", "rep")
+    rep_pairs = q_dedup_minhash_collapsed(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    labels = propagate_min_labels(rep_pairs)
+    resolved = member.join(labels, member["rep"] == labels["node"], "left")
+    canonical = F.coalesce(F.col("label"), F.col("rep"))
     return resolved.select(
         "doc_id",
         canonical.alias("canonical_id"),

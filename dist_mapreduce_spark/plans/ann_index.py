@@ -841,6 +841,129 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic upsert batch: ~1% of ids get a NEW embedding (the
+#: array reversed — a closed form both dialects compute identically:
+#: float32 values reordered, every fold still bit-exact), modelling a
+#: re-embedded document. Engine-internal split; the oracle constrains
+#: only the post-upsert index.
+UPSERT_MOD, UPSERT_REM = 89, 7
+
+_UPSERT_PRED_SQL = f"(vec_id % {UPSERT_MOD}) = {UPSERT_REM}"
+
+#: sim_index_build's cells CTE over the post-upsert corpus: the
+#: assignment source swaps in the reversed embedding for upserted
+#: rows (hoisted into a MATERIALIZED CTE so DuckDB computes the CASE
+#: once per row, not once per (row, centroid) fold); the quantizer
+#: (cent) stays frozen on the ORIGINAL corpus — an upsert re-embeds a
+#: document, it does not retrain the quantizer.
+_CELLS_CTE_AFTER_UPSERT = IVF_CELLS_CTE.replace(
+    "FROM embeddings e, cent c", "FROM ups e, cent c"
+)
+assert _CELLS_CTE_AFTER_UPSERT != IVF_CELLS_CTE
+
+
+@query(
+    "sim_index_upsert",
+    oracle=(
+        f"WITH ups AS MATERIALIZED (SELECT vec_id,"
+        f"  CASE WHEN {_UPSERT_PRED_SQL} THEN list_reverse(embedding)"
+        f"  ELSE embedding END AS embedding FROM embeddings),"
+        f" {_CELLS_CTE_AFTER_UPSERT}"
+        f" SELECT CAST(cell AS BIGINT) AS cell,"
+        f"  CAST(count(*) AS BIGINT) AS n_vecs,"
+        f"  CAST(sum(CAST(vec_id AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        f"   AS id_sum,"
+        f"  min(vec_id) AS min_id, max(vec_id) AS max_id,"
+        f"  CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS dim_sum"
+        f" FROM cells GROUP BY cell"
+    ),
+)
+def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle: UPSERTS — the delete+insert composition that
+    completes build/append/stream-append/delete. A ~1% batch of
+    re-embedded vectors (embedding reversed, a closed form) is applied
+    by rewriting ONLY the affected cell directories:
+
+    1. assign the batch's NEW embeddings with the frozen quantizer;
+       affected cells = old cells of the batch ids ∪ new cells of the
+       re-embedded vectors (both driver pulls bounded by k ≤ 64);
+    2. pruned-scan exactly the affected directories, drop the batch's
+       old rows (anti-join), union the batch's new rows — every new
+       row lands in an affected cell by construction;
+    3. stage + per-directory swap, as sim_index_delete.
+
+    Oracle: the index-build audit over the post-upsert corpus with the
+    SAME frozen quantizer — merged-after-upsert must equal a full
+    rebuild of the updated corpus, to the id-checksum level. A vector
+    whose new embedding moves it between cells exercises the
+    cross-directory move path. Rewrite cost ∝ rows in touched cells."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    path = _index_dir("ivf_index_ups", sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    # Fresh full build each run (pre-upsert state).
+    ivf_cells_df(spark, emb, ranked).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    is_ups = F.expr(_UPSERT_PRED_SQL)
+    new_batch = (
+        emb.filter(is_ups)
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+    )
+    old_cells = {
+        int(r["cell"])
+        for r in ivf_cells_df(spark, emb.filter(is_ups), ranked)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    new_assigned = ivf_cells_df(spark, new_batch, ranked)
+    new_cells = {
+        int(r["cell"])
+        for r in new_assigned.select("cell").distinct().collect()
+    }
+    ups_cells = sorted(old_cells | new_cells)
+    if ups_cells:
+        stage = _index_dir("ivf_index_ups_stage", sf_dir)
+        shutil.rmtree(stage, ignore_errors=True)
+        tomb = new_batch.select("vec_id")
+        affected = spark.read.parquet(path).filter(F.col("cell").isin(ups_cells))
+        survivors = affected.join(F.broadcast(tomb), "vec_id", "left_anti")
+        merged = survivors.select("vec_id", "embedding", "cell").unionByName(
+            new_assigned.select("vec_id", "embedding", "cell")
+        )
+        merged.write.mode("overwrite").partitionBy("cell").parquet(stage)
+        for c in ups_cells:
+            dst = os.path.join(path, f"cell={c}")
+            src = os.path.join(stage, f"cell={c}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )
+
+
 # ------------------------------------------------------- semantic dedup
 
 #: Cosine threshold for semantic duplicates within a cell. The driver

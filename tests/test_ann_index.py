@@ -474,3 +474,44 @@ def test_index_delete_removes_exactly_tombstones(spark):
         tuple(r) for r in registry.QUERIES["sim_index_delete"](spark, SF).collect()
     )
     assert first == second
+
+
+def test_index_upsert_replaces_exactly_batch(spark):
+    """sim_index_upsert: upserted ids carry the NEW (reversed)
+    embedding, everyone else the original; no rows lost or duplicated;
+    second run idempotent."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.ann_index import (
+        UPSERT_MOD,
+        UPSERT_REM,
+        _index_dir,
+    )
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    first = sorted(
+        tuple(r) for r in registry.QUERIES["sim_index_upsert"](spark, SF).collect()
+    )
+    src = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in load_table(spark, SF, "embeddings").collect()
+        if r["embedding"] is not None
+    }
+    back = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in spark.read.parquet(_index_dir("ivf_index_ups", SF)).collect()
+        if r["embedding"] is not None
+    }
+    assert set(back) == set(src)
+    n_ups = 0
+    for vid, vec in src.items():
+        if vid % UPSERT_MOD == UPSERT_REM:
+            assert back[vid] == list(reversed(vec)), vid
+            n_ups += 1
+        else:
+            assert back[vid] == vec, vid
+    assert n_ups > 0, "upsert batch must be non-empty"
+    second = sorted(
+        tuple(r) for r in registry.QUERIES["sim_index_upsert"](spark, SF).collect()
+    )
+    assert first == second

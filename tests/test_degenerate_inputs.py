@@ -54,6 +54,8 @@ DOC_QUERIES = [
     "pii_scrub",
     "pipeline_pretrain",
     "text_search_bm25",
+    "dedup_minhash_collapsed",
+    "dedup_cluster_collapsed",
     "multimodal_cols",
     "multimodal_features",
     "multimodal_decode",
@@ -321,6 +323,11 @@ EMB_QUERIES = [
     "sim_ivf_clustered",
     "dedup_semantic",
     "search_hybrid_rrf",
+    # round-6 additions: batched serving + lifecycle + collapse.
+    "sim_serve_batch",
+    "sim_index_delete",
+    "sim_index_upsert",
+    "sim_topk_ivfpq",
 ]
 
 

@@ -1157,7 +1157,10 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_RERANK = 448
 
 
-def _ivfpq_oracle() -> str:
+def _pq_codes_ctes() -> str:
+    """The cw → cb → sub → asg → codes CTE chain deriving every
+    vector's PQ codes in SQL — shared by the IVF-PQ serving oracle and
+    the codes-augmented index audit (ONE definition of the encode)."""
     from dist_mapreduce_spark.plans.similarity import (
         PQ_CAP,
         PQ_DSUB,
@@ -1170,14 +1173,8 @@ def _ivfpq_oracle() -> str:
 
     lo = f"(m*{PQ_DSUB}+1)"
     hi = f"(m*{PQ_DSUB}+{PQ_DSUB})"
-    adc_terms = " + ".join(
-        f"sum(CASE WHEN pc.m = {m} THEN pdot END)" for m in range(PQ_M)
-    )
     return (
-        f"WITH {IVF_CELLS_CTE},"
-        f" probes AS (SELECT vec_id AS query_id, cent_id AS pcell FROM rkd"
-        f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),"
-        f" cw AS (SELECT cid, cv FROM (SELECT row_number()"
+        f"cw AS (SELECT cid, cv FROM (SELECT row_number()"
         f"   OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv"
         f"  FROM embeddings WHERE vec_id % {PQ_MOD} = {PQ_REM}"
         f"   AND vec_id < {PQ_CAP} AND embedding IS NOT NULL)"
@@ -1191,7 +1188,21 @@ def _ivfpq_oracle() -> str:
         f"  FROM sub JOIN cb USING (m)),"
         f" codes AS (SELECT vec_id, m, cid FROM (SELECT *, row_number()"
         f"   OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM asg)"
-        f"  WHERE rk = 1),"
+        f"  WHERE rk = 1)"
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from dist_mapreduce_spark.plans.similarity import PQ_DSUB, PQ_M
+
+    adc_terms = " + ".join(
+        f"sum(CASE WHEN pc.m = {m} THEN pdot END)" for m in range(PQ_M)
+    )
+    return (
+        f"WITH {IVF_CELLS_CTE},"
+        f" probes AS (SELECT vec_id AS query_id, cent_id AS pcell FROM rkd"
+        f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),"
+        f" {_pq_codes_ctes()},"
         f" lut AS (SELECT s.vec_id AS query_id, s.m, cb.cid,"
         f"   {dot_duckdb_sql('s.sv', 'cb.cvec', PQ_DSUB)} AS pdot"
         f"  FROM sub s JOIN cb USING (m) WHERE s.vec_id < {N_QUERIES}),"
@@ -1375,4 +1386,197 @@ def q_sim_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("a_vec").cast("double")
             / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
         ).alias("recall"),
+    )
+
+
+# --------------------------------------- codes-augmented index (IVF-PQ)
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write the CODES-AUGMENTED materialized index: (vec_id, embedding,
+    codes, cell) hive-partitioned by IVF cell, PQ codes computed ONCE
+    at ingest with the frozen codebooks. This is FAISS's production
+    layout — sim_topk_ivfpq re-encodes the corpus inside every query
+    batch, which a 100 TB deployment cannot do; here encode cost is
+    paid at build and serving reads 8 small ints per row. Memoized per
+    process like build_ivf_index."""
+    from dist_mapreduce_spark.plans.similarity import (
+        pq_cb_rows,
+        pq_cells_expr,
+        pq_codebook,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    cb_rows = pq_cb_rows(emb)
+    path = _index_dir("ivfpq_index", sf_dir)
+    if not cent_rows or not cb_rows:
+        return path, cent_rows, cb_rows
+    if path in _BUILT_THIS_SESSION and os.path.isdir(path):
+        return path, cent_rows, cb_rows
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    codebook = pq_codebook(cb_rows)
+    (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", F.expr(f"{ranked}[0].c"))
+        .withColumn("codes", F.expr(pq_cells_expr(codebook)))
+        .select("vec_id", "embedding", "codes", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    _BUILT_THIS_SESSION.add(path)
+    return path, cent_rows, cb_rows
+
+
+def _ivfpq_audit_oracle() -> str:
+    from dist_mapreduce_spark.plans.similarity import PQ_M
+
+    # Exact base-16 positional code word per vector (PQ_K = 16 → each
+    # cid is one hex digit; 16^m weights make the checksum injective
+    # per code sequence).
+    weights = " ".join(f"WHEN {m} THEN {16 ** m}" for m in range(PQ_M))
+    return (
+        f"WITH {IVF_CELLS_CTE},"
+        f" {_pq_codes_ctes()},"
+        f" cvx AS (SELECT vec_id,"
+        f"  CAST(sum(cid * CASE m {weights} END) AS BIGINT) AS code_val"
+        f"  FROM codes GROUP BY vec_id)"
+        f" SELECT CAST(cl.cell AS BIGINT) AS cell,"
+        f"  CAST(count(*) AS BIGINT) AS n_vecs,"
+        f"  CAST(sum(CAST(cl.vec_id AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        f"   AS id_sum,"
+        f"  CAST(sum(CAST(cx.code_val AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        f"   AS code_sum"
+        f" FROM cells cl JOIN cvx cx ON cx.vec_id = cl.vec_id"
+        f" GROUP BY cl.cell"
+    )
+
+
+@query("sim_index_build_pq", oracle=_ivfpq_audit_oracle())
+def q_sim_index_build_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the codes-augmented IVF-PQ index and audit it from
+    the read-back files: per-cell vector count, the id checksum, and a
+    CODE checksum — every vector's 8 PQ codes folded into an exact
+    base-16 word (cid·16^m) and Mersenne-summed per cell, so a PASS
+    proves the stored codes equal a SQL re-derivation of the encode
+    from the source table (the same codes CTE the serving oracle
+    uses). The stored-codes contract is what makes IVF-PQ serving an
+    ingest-time-encode / read-time-lookup system at 100 TB."""
+    from dist_mapreduce_spark.plans.similarity import PQ_M
+
+    path, cent_rows, cb_rows = build_ivfpq_index(spark, sf_dir)
+    if not cent_rows or not cb_rows:
+        return spark.createDataFrame(
+            [], "cell bigint, n_vecs bigint, id_sum bigint, code_sum bigint"
+        )
+    back = spark.read.parquet(path)
+    code_val = " + ".join(
+        f"CAST(element_at(codes, {m + 1}) AS BIGINT) * {16 ** m}"
+        for m in range(PQ_M)
+    )
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.expr(
+                f"CAST(sum(CAST(({code_val}) AS DECIMAL(38,0)))"
+                f" % {CHECKSUM_MOD} AS BIGINT)"
+            ).alias("code_sum"),
+        )
+    )
+
+
+@query("sim_topk_ivfpq_pruned", oracle=_ivfpq_oracle())
+def q_sim_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving FROM the codes-augmented materialized index —
+    the full production read path: ONE partition-pruned scan of the
+    probed cells supplies both the stored 8-byte codes (ADC pre-rank
+    via the broadcast LUT frame) and the full vectors for the exact
+    rerank of the top IVFPQ_RERANK survivors; nothing re-encodes the
+    corpus at query time (sim_topk_ivfpq's batch-twin shape does, to
+    stay index-free). Identical output to sim_topk_ivfpq — same
+    oracle. Batched one-plan shape throughout: job count and plan size
+    constant in the query batch, scan limited to the union of probed
+    cell directories."""
+    from dist_mapreduce_spark.plans.similarity import PQ_M, pq_codebook, pq_lut
+
+    emb = _emb(spark, sf_dir)
+    path, cent_rows, cb_rows = build_ivfpq_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, score double, rk int"
+    )
+    if not cent_rows or not cb_rows:
+        return empty
+    q_rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") < N_QUERIES) & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not q_rows:
+        return empty
+    probe_pairs = [
+        (qid, int(c))
+        for qid, qv in q_rows
+        for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)
+    ]
+    probes = spark.createDataFrame(probe_pairs, "query_id long, pcell long")
+    union_cells = sorted({c for _, c in probe_pairs})
+    codebook = pq_codebook(cb_rows)
+    luts = {qid: pq_lut(qv, codebook) for qid, qv in q_rows}
+    lut_df = spark.createDataFrame(
+        [
+            (qid, m, c, luts[qid][m][c])
+            for qid, _ in q_rows
+            for m in range(PQ_M)
+            for c in range(len(luts[qid][m]))
+        ],
+        "query_id long, m int, cid int, pdot double",
+    )
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    adc_terms = " + ".join(
+        f"sum(CASE WHEN m = {m} THEN pdot END)" for m in range(PQ_M)
+    )
+    scored = (
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", F.posexplode("codes").alias("m", "cid"))
+        .join(F.broadcast(lut_df), ["query_id", "m", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.expr(adc_terms).alias("adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= IVFPQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # Rerank vectors come from the SAME pruned directories (candidates
+    # are inside probed cells by construction).
+    vecs = spark.read.parquet(path).filter(
+        F.col("cell").isin(union_cells)
+    ).select("vec_id", "embedding")
+    reranked = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
     )

@@ -515,3 +515,52 @@ def test_index_upsert_replaces_exactly_batch(spark):
         tuple(r) for r in registry.QUERIES["sim_index_upsert"](spark, SF).collect()
     )
     assert first == second
+
+
+def test_ivfpq_pruned_serves_stored_codes(spark):
+    """sim_topk_ivfpq_pruned must (a) return exactly sim_topk_ivfpq's
+    rows (shared oracle, pinned bit-equal here), and (b) read the PQ
+    codes FROM the materialized index — its pruned scans carry `codes`
+    in ReadSchema and PartitionFilters on cell, with no query-time
+    re-encode of the corpus (the batch twin's pq_cells_expr array_sort
+    over codebook literals must be absent from the executed plan)."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.ann_index import build_ivfpq_index
+
+    registry.load_all()
+    batch = {
+        tuple(r) for r in registry.QUERIES["sim_topk_ivfpq"](spark, SF).collect()
+    }
+    df = registry.QUERIES["sim_topk_ivfpq_pruned"](spark, SF)
+    pruned = {tuple(r) for r in df.collect()}
+    assert batch == pruned and len(pruned) > 0
+    path, _, _ = build_ivfpq_index(spark, SF)
+    tag = os.path.basename(path)
+
+    def walk(node, out):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), out)
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan(), out)
+            return
+        out.append(node)
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next(), out)
+
+    nodes: list = []
+    walk(df._jdf.queryExecution().executedPlan(), nodes)
+    index_scans = [
+        n
+        for n in nodes
+        if n.getClass().getSimpleName() == "FileSourceScanExec"
+        and tag in n.toString()
+    ]
+    assert index_scans, "no scan of the codes-augmented index found"
+    assert any("codes" in n.toString() for n in index_scans)
+    for n in index_scans:
+        assert "PartitionFilters" in n.toString()
+    plan_str = "\n".join(n.toString() for n in nodes)
+    assert "array_sort" not in plan_str, "query-time PQ encode detected"

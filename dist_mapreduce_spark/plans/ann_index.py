@@ -1580,3 +1580,111 @@ def q_sim_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id", "score", "rk")
     )
+
+
+# ------------------------------------------------- streaming serving
+
+@query("stream_serve_topk", oracle=ORACLES["sim_topk_ivf"])
+def q_stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING query serving against the materialized index — the
+    read-side twin of stream_index_append: queries ARRIVE on a stream
+    (staged as multiple files, maxFilesPerTrigger=1 → real micro-
+    batches), and each micro-batch is served inside foreachBatch with
+    the SAME batched pruned plan serve_batched_from_index uses — rank
+    the batch's probes in-plan, collect the ≤k distinct probed cells
+    as the literal partition filter, one pruned scan broadcast-joined
+    on cell, window top-k per query. Results land partitioned by
+    ``serve_batch=<batch_id>`` with dynamic partition overwrite, so a
+    checkpoint-replayed batch rewrites its own results — the
+    exactly-once contract stream_index_append's sink proved, applied
+    to query results.
+
+    The drained result set must be IDENTICAL to batch serving:
+    sim_topk_ivf's oracle verbatim. This closes the serving story —
+    both sides of a production vector store (ingest AND query traffic)
+    now run streamed against the same partition-pruned index with the
+    same oracles as their batch twins.
+
+    Scale shape: per micro-batch cost ∝ probed-cell rows for that
+    batch's queries; no state between batches (each query is answered
+    once, exactly-once by replay-overwrite), index read-only."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    path, cent_rows = build_ivf_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, score double, rk int"
+    )
+    if not cent_rows:
+        return empty
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    stage = _index_dir("serve_stream_stage", sf_dir)
+    out = _index_dir("serve_stream_out", sf_dir)
+    ckpt = _index_dir("serve_stream_ckpt", sf_dir)
+    for d in (stage, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    if not queries_df.take(1):
+        return empty
+    # Stage the query traffic as 3 files -> 3 micro-batches.
+    queries_df.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        probes = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.expr(f"transform(slice({ranked}, 1, {N_PROBE}), x -> x.c)")
+            ).alias("pcell"),
+        )
+        cells = sorted(
+            int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+        )
+        if not cells:
+            return
+        scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        topk = (
+            scan.join(
+                F.broadcast(probes),
+                (F.col("cell") == F.col("pcell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+            .select("query_id", "vec_id", "score")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+        )
+        (
+            topk.withColumn("serve_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("serve_batch")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(queries_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not os.path.isdir(out) or not os.listdir(out):
+        return empty
+    return spark.read.parquet(out).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
+        F.col("rk").cast("int"),
+    )

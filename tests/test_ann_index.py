@@ -564,3 +564,36 @@ def test_ivfpq_pruned_serves_stored_codes(spark):
         assert "PartitionFilters" in n.toString()
     plan_str = "\n".join(n.toString() for n in nodes)
     assert "array_sort" not in plan_str, "query-time PQ encode detected"
+
+
+def test_stream_serving_equals_batch_serving(spark):
+    """stream_serve_topk (queries arriving as micro-batches, served
+    inside foreachBatch from the materialized index) must produce
+    bit-exactly the batch twin's rows, and replaying a batch's result
+    partition must not change the drained result set."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.ann_index import _index_dir
+
+    registry.load_all()
+    streamed = sorted(
+        tuple(r)
+        for r in registry.QUERIES["stream_serve_topk"](spark, SF).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in registry.QUERIES["sim_topk_ivf_pruned"](spark, SF).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
+    out = _index_dir("serve_stream_out", SF)
+    back = spark.read.parquet(out)
+    n = back.count()
+    batch0 = [r.asDict() for r in back.filter(F.col("serve_batch") == 0).collect()]
+    assert batch0
+    (
+        spark.createDataFrame(batch0, back.schema)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("serve_batch")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == n

@@ -41,11 +41,22 @@ def _dot_duckdb_dynamic(a: str, b: str) -> str:
     # bit-identical to the unrolled chain on random 64-dim vectors;
     # ~60x slower per row, so it only serves rows the unrolled fast
     # path cannot represent (len != the expected dim).
-    return (
+    #
+    # Degenerate inputs mirror Spark's zip_with semantics exactly:
+    # zip_with(NULL, b) is NULL, and ragged lengths NULL-pad so the
+    # aggregate over x*y terms is NULL — whereas a naked
+    # list_prepend(0.0, NULL) fold would yield 0.0 and range over
+    # len(a) would compute a partial dot. The CASE guard is lazy in
+    # DuckDB, so conforming rows pay nothing for it.
+    fold = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
         f" list_transform(range(1, len({a}) + 1),"
         f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
         f" (acc, v) -> acc + v)"
+    )
+    return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL OR len({a}) <> len({b})"
+        f" THEN NULL ELSE {fold} END)"
     )
 
 
@@ -100,12 +111,18 @@ def l2sq_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
         f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
         for i in range(1, dim + 1)
     )
-    dynamic = (
+    fold = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
         f" list_transform(range(1, len({a}) + 1),"
         f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
         f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
         f" (acc, v) -> acc + v)"
+    )
+    # NULL / ragged inputs -> NULL, matching Spark's zip_with padding
+    # (see _dot_duckdb_dynamic).
+    dynamic = (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL OR len({a}) <> len({b})"
+        f" THEN NULL ELSE {fold} END)"
     )
     return (
         f"(CASE WHEN len({a}) = {dim} AND len({b}) = {dim}"

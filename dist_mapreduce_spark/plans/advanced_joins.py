@@ -398,18 +398,14 @@ LINK_MAX_DIST = 2
 #: results are unchanged; mirrored in the oracle.
 LINK_BLOCK_CAP = 1024
 
-_LINK_CAPPED_SQL = (
-    f"(SELECT * FROM (SELECT *, row_number() OVER"
-    f" (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) AS rn"
-    f" FROM customer) WHERE rn <= {LINK_BLOCK_CAP})"
-)
-
-
 @query(
     "link_records",
     oracle=(
-        f"WITH cpd AS MATERIALIZED (SELECT c_custkey, c_name,"
-        f"  c_nationkey, c_mktsegment FROM {_LINK_CAPPED_SQL}),"
+        f"WITH cnum AS MATERIALIZED (SELECT c_custkey, c_name,"
+        f"  c_nationkey, c_mktsegment, row_number() OVER"
+        f"  (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey)"
+        f"  AS rn FROM customer),"
+        f" cpd AS (SELECT * FROM cnum WHERE rn <= {LINK_BLOCK_CAP}),"
         f" pr AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,"
         f"  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist"
         f"  FROM cpd a JOIN cpd b"
@@ -420,8 +416,9 @@ _LINK_CAPPED_SQL = (
         f" SELECT v.c_custkey AS key,"
         f"  coalesce(min(pr.key_a), v.c_custkey) AS canonical_key,"
         f"  coalesce(min(pr.key_a), v.c_custkey) <> v.c_custkey AS is_linked,"
-        f"  CAST(count(pr.key_a) AS BIGINT) AS n_matches"
-        f" FROM customer v LEFT JOIN pr ON pr.key_b = v.c_custkey"
+        f"  CAST(count(pr.key_a) AS BIGINT) AS n_matches,"
+        f"  (min(v.rn) <= {LINK_BLOCK_CAP}) AS in_block_cap"
+        f" FROM cnum v LEFT JOIN pr ON pr.key_b = v.c_custkey"
         f" GROUP BY v.c_custkey"
     ),
 )
@@ -432,8 +429,13 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline blocks on), verified by unit-cost Levenshtein ≤ 2 on the
     name, and every record linked to a more-canonical (lower-key)
     match adopts it as its cluster representative. Output is one row
-    per record: (key, canonical_key, is_linked, n_matches) — the merge
-    decision a master-data pipeline consumes.
+    per record: (key, canonical_key, is_linked, n_matches,
+    in_block_cap) — the merge decision a master-data pipeline
+    consumes, plus the coverage audit: in_block_cap=false marks a
+    record its block's LINK_BLOCK_CAP excluded from pair generation
+    (it self-canonicalizes UNVERIFIED — round-6 advice: the cap must
+    not be silent; `filter(NOT in_block_cap)` is the escalation
+    work-list for a second pass with a finer blocking key).
 
     Cross-engine exactness: Levenshtein is integer dynamic programming
     (identical in Spark and DuckDB); blocking, tie-breaks and counts
@@ -453,11 +455,8 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     wblk = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
         "c_custkey"
     )
-    capped = (
-        c.withColumn("rn", F.row_number().over(wblk))
-        .filter(F.col("rn") <= LINK_BLOCK_CAP)
-        .drop("rn")
-    )
+    cnum = c.withColumn("rn", F.row_number().over(wblk))
+    capped = cnum.filter(F.col("rn") <= LINK_BLOCK_CAP).drop("rn")
     a = capped.select(
         F.col("c_custkey").alias("key_a"),
         F.col("c_name").alias("name_a"),
@@ -485,17 +484,19 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b")
     )
     return (
-        c.select(F.col("c_custkey").alias("key"))
+        cnum.select(F.col("c_custkey").alias("key"), "rn")
         .join(pairs, F.col("key") == F.col("key_b"), "left")
         .groupBy("key")
         .agg(
             F.coalesce(F.min("key_a"), F.first("key")).alias("canonical_key"),
             F.count("key_a").cast("long").alias("n_matches"),
+            (F.min("rn") <= LINK_BLOCK_CAP).alias("in_block_cap"),
         )
         .select(
             "key",
             "canonical_key",
             (F.col("canonical_key") != F.col("key")).alias("is_linked"),
             "n_matches",
+            "in_block_cap",
         )
     )

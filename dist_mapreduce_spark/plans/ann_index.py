@@ -87,12 +87,35 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-#: Index paths already built by THIS process — serving queries reuse
+#: Index paths already built by THIS process, keyed to a fingerprint
+#: of the corpus files they were built from — serving queries reuse
 #: the materialized index instead of rebuilding it per query (ingest
 #: runs once; serving reads). Per-process only: a fresh process always
-#: rebuilds, so cross-run staleness (e.g. a stress fixture rewriting
-#: its corpus between invocations) cannot leak in.
-_BUILT_THIS_SESSION: set[str] = set()
+#: rebuilds; and within a process a corpus REWRITTEN at the same path
+#: (a stress harness redoing its tmp dir in place) changes the
+#: fingerprint and forces a rebuild instead of serving a stale index
+#: (round-6 advice).
+_BUILT_THIS_SESSION: dict[str, str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the embeddings source: (path, size, mtime_ns)
+    of every file under it — an os.stat sweep, no data read. This is
+    the same freshness signal a table format's snapshot id provides at
+    scale; mtime granularity is ns so even an immediate in-place
+    rewrite changes the key."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.md5()
+    if os.path.isfile(src):
+        st = os.stat(src)
+        h.update(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.isdir(src):
+        for droot, _, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                p = os.path.join(droot, f)
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
@@ -108,11 +131,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     path = _index_dir("ivf_index", sf_dir)
     if not cent_rows:
         return path, cent_rows
-    if path in _BUILT_THIS_SESSION and os.path.isdir(path):
+    fp = _corpus_fingerprint(sf_dir)
+    if _BUILT_THIS_SESSION.get(path) == fp and os.path.isdir(path):
         return path, cent_rows
     cells = ivf_cells_df(spark, emb, ivf_ranked_cells_sql(cent_rows))
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
-    _BUILT_THIS_SESSION.add(path)
+    _BUILT_THIS_SESSION[path] = fp
     return path, cent_rows
 
 
@@ -781,7 +805,17 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     indistinguishable from a full rebuild of the filtered corpus, to
     the id-checksum level. A cell whose vectors are all deleted
     disappears from both sides. Rewrite cost ∝ rows in touched cells,
-    not corpus size (docs/SCALE.md)."""
+    not corpus size (docs/SCALE.md).
+
+    NULL-embedding rows (a corrupt-ingest class the degenerate sweep
+    plants) need no special casing here: every centroid score of a
+    NULL vector is NULL in BOTH dialects, so the (score DESC, cent_id)
+    ranking degenerates to its cent_id tie-break and both engines
+    assign the row to the LOWEST centroid id — never a NULL cell, so
+    the affected-cell driver pull sees only real cell ids and the
+    anti-join removes a tombstoned NULL row from that cell like any
+    other (pinned by test_lifecycle_oracle_match_with_null_embeddings
+    _in_batch)."""
     import shutil
 
     emb = _emb(spark, sf_dir)
@@ -896,7 +930,13 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME frozen quantizer — merged-after-upsert must equal a full
     rebuild of the updated corpus, to the id-checksum level. A vector
     whose new embedding moves it between cells exercises the
-    cross-directory move path. Rewrite cost ∝ rows in touched cells."""
+    cross-directory move path. Rewrite cost ∝ rows in touched cells.
+
+    NULL-embedding batch rows follow sim_index_delete's convention:
+    reverse(NULL) = NULL in both dialects, all centroid scores of a
+    NULL vector are NULL, so old and new assignment both land on the
+    lowest centroid id — the driver pulls only see real cells and the
+    swap rewrites that one cell (pinned by the same lifecycle test)."""
     import shutil
 
     emb = _emb(spark, sf_dir)
@@ -1411,7 +1451,8 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
     path = _index_dir("ivfpq_index", sf_dir)
     if not cent_rows or not cb_rows:
         return path, cent_rows, cb_rows
-    if path in _BUILT_THIS_SESSION and os.path.isdir(path):
+    fp = _corpus_fingerprint(sf_dir)
+    if _BUILT_THIS_SESSION.get(path) == fp and os.path.isdir(path):
         return path, cent_rows, cb_rows
     ranked = ivf_ranked_cells_sql(cent_rows)
     codebook = pq_codebook(cb_rows)
@@ -1424,7 +1465,7 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
         .partitionBy("cell")
         .parquet(path)
     )
-    _BUILT_THIS_SESSION.add(path)
+    _BUILT_THIS_SESSION[path] = fp
     return path, cent_rows, cb_rows
 
 

@@ -331,6 +331,104 @@ def test_duckdb_fold_guard_handles_ragged_dims():
         f"SELECT {l2sq_duckdb_sql('a', 'a')} FROM (SELECT ?::FLOAT[] a)", [a65]
     ).fetchone()
     assert z == 0.0
+    # Round-6 advice: degenerate inputs must mirror Spark's zip_with —
+    # NULL vector -> NULL (not 0.0 from list_prepend(0.0, NULL)), and
+    # asymmetric ragged lengths -> NULL (not a partial dot over the
+    # shorter prefix). Both orders, both folds.
+    row = con.execute(
+        f"SELECT {dot_duckdb_sql('a', 'b')} AS d1,"
+        f" {dot_duckdb_sql('b', 'a')} AS d2,"
+        f" {l2sq_duckdb_sql('a', 'b')} AS z1,"
+        f" {cosine_duckdb_sql('a', 'b')} AS c1"
+        f" FROM (SELECT NULL::FLOAT[] a, [4.0,5.0,6.0]::FLOAT[] b)"
+    ).fetchone()
+    assert row == (None, None, None, None)
+    row = con.execute(
+        f"SELECT {dot_duckdb_sql('a', 'b')} AS d1,"
+        f" {dot_duckdb_sql('b', 'a')} AS d2,"
+        f" {l2sq_duckdb_sql('a', 'b')} AS z1,"
+        f" {l2sq_duckdb_sql('b', 'a')} AS z2"
+        f" FROM (SELECT [1.0,2.0]::FLOAT[] a, [4.0,5.0,6.0]::FLOAT[] b)"
+    ).fetchone()
+    assert row == (None, None, None, None)
+
+
+def test_build_memo_detects_in_process_corpus_rewrite(spark, tmp_path):
+    """Round-6 advice: the per-process build memo must key on a corpus
+    fingerprint, not bare path existence — rewriting the corpus at the
+    same sf_dir within one process must rebuild the index, not serve
+    the stale one."""
+    import glob
+    import shutil
+
+    from dist_mapreduce_spark.plans.ann_index import build_ivf_index
+
+    root = tmp_path / "sf_rw"
+    root.mkdir()
+    base = spark.read.parquet(SF + "/embeddings.parquet")
+
+    def write(df):
+        staged = str(tmp_path / "write")
+        shutil.rmtree(staged, ignore_errors=True)
+        df.coalesce(1).write.parquet(staged)
+        dst = str(root / "embeddings.parquet")
+        if os.path.exists(dst):
+            os.remove(dst)
+        shutil.copy(glob.glob(staged + "/part-*.parquet")[0], dst)
+
+    write(base.limit(120))
+    path1, _ = build_ivf_index(spark, str(root))
+    n1 = spark.read.parquet(path1).count()
+    write(base.limit(80))
+    path2, _ = build_ivf_index(spark, str(root))
+    assert path2 == path1
+    n2 = spark.read.parquet(path2).count()
+    assert (n1, n2) == (120, 80)
+
+
+def test_lifecycle_oracle_match_with_null_embeddings_in_batch(spark, tmp_path):
+    """Round-6 advice: tombstone/upsert batch rows whose embedding is
+    NULL (vec_id 9034 hits the delete predicate %97==13, 9085 the
+    upsert predicate %89==7 — the standing degenerate sweep's ids 9000/
+    9001 hit neither) must neither crash the affected-cell driver pulls
+    nor diverge from the full-rebuild oracle. There is no NULL cell /
+    __HIVE_DEFAULT_PARTITION__ to handle: every centroid score of a
+    NULL-embedding row is NULL in BOTH dialects, so the (score DESC,
+    cent_id) ranking degenerates to the cent_id tie-break and both
+    engines assign the row to the LOWEST centroid id — it is deleted /
+    upserted from that cell by the same anti-join as any other row."""
+    import glob
+    import shutil
+
+    import duckdb
+
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    assert 9034 % 97 == 13 and 9085 % 89 == 7
+    root = tmp_path / "nullemb_pred_sf"
+    root.mkdir()
+    base = spark.read.parquet(SF + "/embeddings.parquet").limit(200)
+    corrupt = spark.createDataFrame(
+        [(9034, None, 1), (9085, None, None)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    staged = str(tmp_path / "write")
+    base.unionByName(corrupt).coalesce(1).write.parquet(staged)
+    shutil.copy(
+        glob.glob(staged + "/part-*.parquet")[0],
+        str(root / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{root}/embeddings.parquet'"
+    )
+    for name in ("sim_index_build", "sim_index_delete", "sim_index_upsert"):
+        got = sorted(
+            tuple(r) for r in registry.QUERIES[name](spark, str(root)).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(registry.ORACLES[name]).fetchall())
+        assert got == want, name
 
 
 def test_stream_append_replay_is_idempotent(spark):

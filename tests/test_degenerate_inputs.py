@@ -343,7 +343,11 @@ def null_emb_dir(spark, tmp_path_factory):
             (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
     base = spark.read.parquet(os.path.join(SRC, "embeddings.parquet")).limit(50)
     corrupt = spark.createDataFrame(
-        [(9000, None, 1), (9001, None, None)],
+        # 9000/9001 hit no lifecycle batch predicate; 9034 hits the
+        # delete tombstone predicate (%97==13) and 9085 the upsert
+        # predicate (%89==7), so NULL vectors flow through the
+        # affected-cell driver pulls too (round-6 advice).
+        [(9000, None, 1), (9001, None, None), (9034, None, 1), (9085, None, 2)],
         "vec_id long, embedding array<float>, label int",
     )
     extra_nolabel = base.limit(1).selectExpr(
@@ -363,7 +367,9 @@ def test_emb_query_survives_corrupt_vectors(spark, null_emb_dir, name):
     rows = registry.QUERIES[name](spark, null_emb_dir).collect()
     if name.startswith("sim_topk"):
         # NULL embeddings must never appear among returned neighbors.
-        assert all(r["vec_id"] not in (9000, 9001) for r in rows), name
+        assert all(
+            r["vec_id"] not in (9000, 9001, 9034, 9085) for r in rows
+        ), name
         assert all(r["score"] is not None for r in rows), name
 
 

@@ -1004,6 +1004,138 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ compaction
+
+#: Fragmented-ingest demo: the corpus lands as 1 + COMPACT_BATCHES
+#: micro-batches (deterministic vec_id % split), so every cell
+#: directory holds one file per batch that touched it — the state a
+#: streaming/append ingest leaves behind. Cells above
+#: COMPACT_MIN_FILES fragments are rewritten to one file per cell.
+COMPACT_BATCHES = 3
+COMPACT_MIN_FILES = 2
+
+
+def _cell_fragments(path: str) -> dict[int, int]:
+    """cell id -> parquet fragment count, from a directory listing (the
+    metadata-only sweep a table format's manifest gives for free)."""
+    out: dict[int, int] = {}
+    for d in sorted(os.listdir(path)):
+        if d.startswith("cell="):
+            n = sum(
+                1
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            out[int(d.split("=", 1)[1])] = n
+    return out
+
+
+def compact_index_cells(
+    spark: SparkSession, path: str, min_files: int = COMPACT_MIN_FILES
+) -> list[int]:
+    """Rewrite every cell directory holding more than ``min_files``
+    parquet fragments into ONE file per cell; cells at or under the
+    threshold are never read and never written (their files stay
+    byte-identical — pinned by test_compact_leaves_cool_cells_untouched).
+    Same staged write + per-directory swap as sim_index_delete. The
+    one-file-per-cell guarantee comes from hash-repartitioning the
+    affected rows on `cell` before the partitioned write: all of a
+    cell's rows land in exactly one task, so partitionBy emits exactly
+    one file for it. Returns the compacted cell ids."""
+    import shutil
+
+    frag = sorted(
+        c for c, n in _cell_fragments(path).items() if n > min_files
+    )
+    if not frag:
+        return frag
+    stage = path + "_compact_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    affected = spark.read.parquet(path).filter(F.col("cell").isin(frag))
+    (
+        affected.repartition(len(frag), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(stage)
+    )
+    for c in frag:
+        dst = os.path.join(path, f"cell={c}")
+        src = os.path.join(stage, f"cell={c}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    return frag
+
+
+@query("sim_index_compact", oracle=ORACLES["sim_index_build"])
+def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle: COMPACTION — the maintenance op that completes
+    build/append/stream-append/delete/upsert. An append-heavy ingest
+    leaves every cell directory with one small parquet file per
+    micro-batch; small files are the classic large-deployment tax
+    (open/footer overhead per file, task-per-file scheduling). This
+    query fragments the index deliberately (1 + COMPACT_BATCHES
+    deterministic micro-batches, every batch touching most cells),
+    then rewrites only the cells above COMPACT_MIN_FILES fragments to
+    one file each via compact_index_cells.
+
+    The oracle is sim_index_build's full-rebuild audit VERBATIM:
+    compaction must be perfectly content-invariant — same rows, same
+    cell assignment, to the id-checksum level — only the file layout
+    changes (fragment counts are pinned separately in pytest; they are
+    engine-internal, not result semantics). Rewrite cost ∝ rows in hot
+    cells, never corpus size; at 100 TB this is the background job a
+    table format (Iceberg/Delta OPTIMIZE) schedules off-peak, here
+    expressed as the same staged-write + directory-swap primitive the
+    delete/upsert path already proved."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    path = _index_dir("ivf_index_cpt", sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    mod = COMPACT_BATCHES + 1
+    # Assign cells ONCE and cache (reads only the immutable source
+    # parquet, never the index path this query rewrites) — the 7
+    # micro-batch writes then filter the cached assignment instead of
+    # re-evaluating the centroid expression per batch.
+    cells_all = ivf_cells_df(spark, emb, ranked).withColumn(
+        "b", F.col("vec_id") % mod
+    )
+    cells_all.cache()
+    try:
+        for b in range(mod):
+            (
+                cells_all.filter(F.col("b") == b)
+                .drop("b")
+                .write.mode("overwrite" if b == 0 else "append")
+                .partitionBy("cell")
+                .parquet(path)
+            )
+    finally:
+        cells_all.unpersist()
+    compact_index_cells(spark, path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )
+
+
 # ------------------------------------------------------- semantic dedup
 
 #: Cosine threshold for semantic duplicates within a cell. The driver

@@ -386,6 +386,66 @@ def test_build_memo_detects_in_process_corpus_rewrite(spark, tmp_path):
     assert (n1, n2) == (120, 80)
 
 
+def test_compact_rewrites_hot_cells_only(spark, tmp_path):
+    """sim_index_compact's physical contract (the gate oracle pins only
+    content invariance): a compacted cell ends at ONE parquet fragment;
+    cells at/below the threshold are never read and never rewritten —
+    their files stay byte-identical (names, sizes, mtimes); and a
+    second pass below threshold is a no-op."""
+    from dist_mapreduce_spark.plans.ann_index import (
+        _cell_fragments,
+        compact_index_cells,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_cells_df,
+        ivf_cent_rows,
+        ivf_ranked_cells_sql,
+    )
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cent_rows = ivf_cent_rows(emb)
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    path = str(tmp_path / "idx")
+    # repartition(1): exactly one base file per cell, so fragmentation
+    # is entirely under the test's control.
+    cells = ivf_cells_df(spark, emb, ranked).repartition(1).cache()
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    hot = int(
+        cells.groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"), "cell")
+        .first()["cell"]
+    )
+    hot_rows = cells.filter(F.col("cell") == hot).repartition(1)
+    for _ in range(3):
+        hot_rows.write.mode("append").partitionBy("cell").parquet(path)
+    cells.unpersist()
+    before = _cell_fragments(path)
+    assert before[hot] == 4
+    cool = [c for c in before if c != hot]
+    assert cool and all(before[c] == 1 for c in cool)
+
+    def snap(cell):
+        d = os.path.join(path, f"cell={cell}")
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_size,
+             os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+        )
+
+    cool_snaps = {c: snap(c) for c in cool}
+    n_before = spark.read.parquet(path).count()
+    sum_before = spark.read.parquet(path).agg(F.sum("vec_id")).first()[0]
+    assert compact_index_cells(spark, path, min_files=3) == [hot]
+    after = _cell_fragments(path)
+    assert after[hot] == 1
+    assert {c: snap(c) for c in cool} == cool_snaps
+    back = spark.read.parquet(path)
+    assert back.count() == n_before
+    assert back.agg(F.sum("vec_id")).first()[0] == sum_before
+    assert compact_index_cells(spark, path, min_files=3) == []
+
+
 def test_lifecycle_oracle_match_with_null_embeddings_in_batch(spark, tmp_path):
     """Round-6 advice: tombstone/upsert batch rows whose embedding is
     NULL (vec_id 9034 hits the delete predicate %97==13, 9085 the

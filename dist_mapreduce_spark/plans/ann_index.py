@@ -50,6 +50,7 @@ from dist_mapreduce_spark.functions.vectors import (
 )
 from dist_mapreduce_spark.plans.registry import ORACLES, query
 from dist_mapreduce_spark.plans.similarity import (
+    FILTER_LABEL,
     IVF_CELLS_CTE,
     N_PROBE,
     N_QUERIES,
@@ -134,7 +135,16 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     fp = _corpus_fingerprint(sf_dir)
     if _BUILT_THIS_SESSION.get(path) == fp and os.path.isdir(path):
         return path, cent_rows
-    cells = ivf_cells_df(spark, emb, ivf_ranked_cells_sql(cent_rows))
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    # Same assignment as ivf_cells_df, with `label` riding along so
+    # metadata-filtered serving (sim_topk_filtered_ivf) can push its
+    # predicate into the pruned scan (PushedFilters) instead of
+    # joining attributes back at query time.
+    cells = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", F.expr(f"{ranked}[0].c"))
+        .select("vec_id", "embedding", "label", "cell")
+    )
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
     _BUILT_THIS_SESSION[path] = fp
     return path, cent_rows
@@ -276,6 +286,225 @@ def q_sim_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the 64-query batch. This is the query a real vector-store bulk
     scorer runs; per-query loops (round 5's shape) would be 64 jobs."""
     return serve_batched_from_index(spark, sf_dir, N_SERVE_BATCH)
+
+
+# ------------------------------------------------------- filtered serving
+
+#: Over-probe factor for POST-FILTER serving: the filter discards
+#: ~90% of candidates (FILTER_LABEL selects ~1/10 of the corpus), so
+#: the probe list is widened to keep the post-filter candidate pool
+#: deep enough for top-k — the standard vector-store knob (Milvus/
+#: Vespa expose it as an ef/nprobe multiplier under filters).
+FILTER_OVER_PROBE = 2 * N_PROBE
+
+_FILTERED_PROBES_CTE = (
+    f"probes AS (SELECT vec_id AS query_id, embedding AS qv,"
+    f" cent_id AS pcell FROM rkd"
+    f" WHERE vec_id < {N_QUERIES} AND crk <= {FILTER_OVER_PROBE})"
+)
+
+_FILTERED_IVF_ORACLE = (
+    f"WITH {IVF_CELLS_CTE},"
+    f" {_FILTERED_PROBES_CTE},"
+    f" s AS (SELECT p.query_id, cl.vec_id,"
+    f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+    f"  FROM cells cl JOIN embeddings e ON e.vec_id = cl.vec_id"
+    f"  JOIN probes p ON cl.cell = p.pcell AND cl.vec_id <> p.query_id"
+    f"  WHERE e.label = {FILTER_LABEL})"
+    f" SELECT query_id, vec_id, score, rk FROM ("
+    f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+    f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+)
+
+
+def _filtered_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, score) of the POST-FILTER candidate set: the
+    over-probed cells of the materialized index, label predicate pushed
+    into the pruned scan. Shared by sim_topk_filtered_ivf and
+    sim_filtered_stats so 'what the filtered index examines' has one
+    definition (the lsh_candidates convention)."""
+    emb = _emb(spark, sf_dir)
+    path, cent_rows = build_ivf_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, score double"
+    )
+    if not cent_rows:
+        return empty
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.expr(
+                f"transform(slice({ranked}, 1, {FILTER_OVER_PROBE}), x -> x.c)"
+            )
+        ).alias("pcell"),
+    )
+    union_cells = sorted(
+        int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+    )
+    if not union_cells:
+        return empty
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(union_cells))
+        .filter(F.col("label") == FILTER_LABEL)
+    )
+    return (
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+
+
+@query("sim_topk_filtered_ivf", oracle=_FILTERED_IVF_ORACLE)
+def q_sim_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k served from the materialized index — the
+    POST-FILTER strategy: probe FILTER_OVER_PROBE cells (over-probing
+    compensates the candidates the label predicate will discard), read
+    ONLY those cell directories, and push the label equality into the
+    very same scan — the executed plan shows BOTH PartitionFilters
+    (cell IN-list: directory pruning) and PushedFilters (label = k:
+    parquet row-group skipping), pinned by
+    test_filtered_scan_pushes_label_predicate. Candidates are scored
+    exactly; top-k per query.
+
+    This is the plan a vector store picks when the predicate is NOT
+    selective enough for a pre-filter exact scan to win; the pre-filter
+    twin is sim_topk_filtered, and sim_filtered_stats publishes the
+    recall/selectivity/candidate-fraction numbers that drive the
+    strategy switch. Approximate like every IVF serve: a true neighbor
+    outside the probed cells is missed — recall is certified, not
+    assumed. At gate scale the corpus has ≤13 cells so the over-probe
+    covers all of them (recall 1.0, the textbook small-corpus
+    degeneration); the strategy's value appears exactly when k is
+    large, i.e. the 100 TB regime."""
+    cand = _filtered_candidates(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+@query(
+    "sim_filtered_stats",
+    oracle=(
+        f"WITH {IVF_CELLS_CTE},"
+        f" {_FILTERED_PROBES_CTE},"
+        # Nested WITH inside CTE parens is valid DuckDB (the sim_recall
+        # precedent); MATERIALIZED so each heavy sub-oracle runs once.
+        f" truth AS MATERIALIZED ({ORACLES['sim_topk_filtered']}),"
+        f" post AS MATERIALIZED ({_FILTERED_IVF_ORACLE}),"
+        f" tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),"
+        f" nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM embeddings"
+        f"  WHERE vec_id < {N_QUERIES}),"
+        f" nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings"
+        f"  WHERE label = {FILTER_LABEL}),"
+        f" nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),"
+        f" nh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth t"
+        f"  JOIN post p ON t.query_id = p.query_id AND t.vec_id = p.vec_id),"
+        f" nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cells cl"
+        f"  JOIN embeddings e ON e.vec_id = cl.vec_id"
+        f"  JOIN probes p ON cl.cell = p.pcell AND cl.vec_id <> p.query_id"
+        f"  WHERE e.label = {FILTER_LABEL})"
+        f" SELECT nl.n AS n_label,"
+        f"  CAST(nl.n AS DOUBLE) / CAST(greatest(tot.n, 1) AS DOUBLE)"
+        f"   AS sel_frac,"
+        f"  nt.n AS n_truth, nh.n AS n_hit,"
+        f"  CAST(nh.n AS DOUBLE) / CAST(greatest(nt.n, 1) AS DOUBLE)"
+        f"   AS recall,"
+        f"  nc.n AS n_cand,"
+        f"  CAST(nc.n AS DOUBLE) / CAST(greatest(nq.q * nl.n, 1) AS DOUBLE)"
+        f"   AS cand_frac"
+        f" FROM nl, tot, nt, nh, nc, nq"
+    ),
+)
+def q_sim_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strategy-switch evidence for filtered vector search, in one
+    hash-checked row: predicate selectivity (n_label, sel_frac),
+    post-filter recall against the pre-filter exact truth (n_truth,
+    n_hit, recall), and the fraction of the FILTERED corpus the
+    post-filter path actually scores (n_cand, cand_frac). A planner
+    switches to pre-filter when sel_frac · corpus is cheaper than the
+    over-probed post-filter candidate pool — these are exactly the two
+    sides of that inequality, measured. Integer counts + derived
+    doubles of the same integers keep both engines bit-identical."""
+    emb = _emb(spark, sf_dir)
+    from dist_mapreduce_spark.plans.similarity import q_sim_topk_filtered
+
+    truth = q_sim_topk_filtered(spark, sf_dir).select("query_id", "vec_id")
+    truth.cache()  # reused by n_truth and the hit join; source-only reads
+    cand = _filtered_candidates(spark, sf_dir)
+    post = (
+        cand.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    j = F.lit(1)
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus")).withColumn(
+        "j", j
+    )
+    nq = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .agg(F.count(F.lit(1)).cast("long").alias("nq"))
+        .withColumn("j", j)
+    )
+    nl = (
+        emb.filter(F.col("label") == FILTER_LABEL)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_label"))
+        .withColumn("j", j)
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth")).withColumn(
+        "j", j
+    )
+    nh = (
+        truth.join(post, ["query_id", "vec_id"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .withColumn("j", j)
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand")).withColumn(
+        "j", j
+    )
+    return (
+        nl.join(tot, "j")
+        .join(nt, "j")
+        .join(nh, "j")
+        .join(nc, "j")
+        .join(nq, "j")
+        .select(
+            "n_label",
+            (
+                F.col("n_label").cast("double")
+                / F.greatest(F.col("n_corpus"), F.lit(1)).cast("double")
+            ).alias("sel_frac"),
+            "n_truth",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_truth"), F.lit(1)).cast("double")
+            ).alias("recall"),
+            "n_cand",
+            (
+                F.col("n_cand").cast("double")
+                / F.greatest(
+                    F.col("nq") * F.col("n_label"), F.lit(1)
+                ).cast("double")
+            ).alias("cand_frac"),
+        )
+    )
 
 
 # ----------------------------------------------------- candidate fraction

@@ -160,6 +160,110 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- filtered search
+
+#: Metadata predicate for the filtered-search family: top-k among the
+#: vectors whose `label` equals this (≈10% of the corpus — each of the
+#: 10 labels is roughly uniform in the driver data). The production
+#: feature every vector store ships as "filtered vector search".
+FILTER_LABEL = 3
+
+
+@query(
+    "sim_topk_filtered",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        f"  WHERE vec_id < {N_QUERIES}),"
+        f" s AS (SELECT q.query_id, e.vec_id,"
+        f"  {cosine_duckdb_sql('q.qv', 'e.embedding')} AS score"
+        f"  FROM embeddings e, q WHERE e.vec_id <> q.query_id"
+        f"   AND e.label = {FILTER_LABEL})"
+        f" SELECT query_id, vec_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+    ),
+)
+def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-k — the PRE-FILTER strategy: apply
+    the attribute predicate FIRST (label = FILTER_LABEL), then exact
+    cosine over the survivors. Correct by construction (recall 1.0 by
+    definition); cost ∝ selectivity × corpus, so it is the right plan
+    whenever the predicate is selective — the strategy pgvector calls
+    exact filtered scan and FAISS users implement with IDSelector.
+
+    Scale shape: one corpus scan with BOTH the label predicate and the
+    column projection pushed to parquet (PushedFilters does the row-
+    group skipping), broadcast query batch, window top-k — i.e. it
+    inherits sim_topk_bruteforce's perfectly-parallel shape with the
+    scan shrunk by the filter. The post-filter twin served from the
+    partitioned index is sim_topk_filtered_ivf; sim_filtered_stats
+    publishes the selectivity/recall numbers a query planner would
+    switch strategies on."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("label") == FILTER_LABEL)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+# --------------------------------------------------------- range search
+
+#: Cosine radius for range search. On the isotropic driver corpus the
+#: cosine of a random pair concentrates around 0 with sd ≈ 1/√dim =
+#: 0.125, so τ = 0.25 (≈2σ) returns a small true-neighbor set per
+#: query rather than the whole corpus; real embedding deployments run
+#: the same query at τ ≈ 0.8–0.95.
+RANGE_TAU = 0.25
+
+
+@query(
+    "sim_range_search",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        f"  WHERE vec_id < {N_QUERIES}),"
+        f" s AS (SELECT q.query_id, e.vec_id,"
+        f"  {cosine_duckdb_sql('q.qv', 'e.embedding')} AS score"
+        f"  FROM embeddings e, q WHERE e.vec_id <> q.query_id)"
+        f" SELECT query_id, vec_id, score FROM s WHERE score >= {RANGE_TAU}"
+    ),
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the OTHER similarity query shape every
+    vector store serves (FAISS range_search, pgvector `<=>` with a
+    WHERE): return ALL vectors within a similarity radius of each
+    query, not a fixed k. Unlike top-k there is no per-query window at
+    all: one corpus scan, broadcast query batch, a scalar predicate —
+    embarrassingly parallel, no shuffle, no skew surface (a dense
+    query just emits more rows). NULL vectors drop out through NULL
+    score in both dialects. At 100 TB the same query runs against the
+    cell-partitioned index with probes covering every cell whose
+    centroid cap-angle intersects the radius — the top-k machinery's
+    pruning applies unchanged; the exact one-scan form here is the
+    gold-standard baseline and the right plan for offline batch use
+    (e.g. harvesting all near-duplicates of a blocklist)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .filter(F.col("score") >= RANGE_TAU)
+        .select("query_id", "vec_id", "score")
+    )
+
+
 # ------------------------------------------------------------- LSH topk
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -386,6 +386,41 @@ def test_build_memo_detects_in_process_corpus_rewrite(spark, tmp_path):
     assert (n1, n2) == (120, 80)
 
 
+def test_filtered_scan_pushes_label_predicate(spark):
+    """sim_topk_filtered_ivf's scan must carry BOTH pruning layers in
+    one executed scan: the probed-cell IN-list as PartitionFilters
+    (directory pruning) and the label equality as PushedFilters
+    (parquet row-group skipping) — and it must list exactly the probed
+    cell directories."""
+    from dist_mapreduce_spark.plans.ann_index import (
+        FILTER_OVER_PROBE,
+        build_ivf_index,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        FILTER_LABEL,
+        ivf_py_probe_cells,
+    )
+
+    path, cent_rows = build_ivf_index(spark, SF)
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    qv = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    pcells = ivf_py_probe_cells(cent_rows, qv, FILTER_OVER_PROBE)
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(pcells))
+        .filter(F.col("label") == FILTER_LABEL)
+    )
+    plan = _executed_plan(scan)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert f"EqualTo(label,{FILTER_LABEL})" in plan, plan
+    all_dirs = {d for d in os.listdir(path) if d.startswith("cell=")}
+    probed_existing = {f"cell={c}" for c in pcells} & all_dirs
+    assert _scan_partitions_read(scan) == len(probed_existing)
+
+
 def test_compact_rewrites_hot_cells_only(spark, tmp_path):
     """sim_index_compact's physical contract (the gate oracle pins only
     content invariance): a compacted cell ends at ONE parquet fragment;

@@ -96,6 +96,18 @@ DEFAULT_QUERIES = (
     "dedup_semantic",
     "text_search_bm25",
     "sim_topk_ivfpq",
+    # round-7 operators: filtered search (pre-filter is a shrunken
+    # scan; post-filter reads over-probed cells with the label pushed
+    # into the pruned scan), radius search (output grows rep× — every
+    # replica of a near neighbor matches; the scan itself must stay
+    # linear), SQ8 (encode+ADC are one map-side scan; the rerank is
+    # depth-bounded), and index compaction (fragment count and bytes
+    # grow rep×; rewrite cost ∝ hot-cell rows).
+    "sim_topk_filtered",
+    "sim_topk_filtered_ivf",
+    "sim_range_search",
+    "sim_topk_sq8",
+    "sim_index_compact",
 )
 
 

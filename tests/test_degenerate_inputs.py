@@ -328,6 +328,14 @@ EMB_QUERIES = [
     "sim_index_delete",
     "sim_index_upsert",
     "sim_topk_ivfpq",
+    # round-7 additions: compaction, filtered/radius serving, and the
+    # SQ8/binary quantizers (whose stats pulls must skip NULL rows).
+    "sim_index_compact",
+    "sim_topk_filtered",
+    "sim_topk_filtered_ivf",
+    "sim_range_search",
+    "sim_topk_sq8",
+    "sim_topk_binary",
 ]
 
 

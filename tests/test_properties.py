@@ -289,3 +289,49 @@ def test_ivf_py_probe_cells_matches_sql_ranking(cents, qv):
             acc += float(x) * float(y)
         assert py_dot([float(v) for v in qv], cv) == acc
         assert math.isfinite(acc) or True
+
+
+# ----------------------------------------- binary signature parity
+
+_VEC64 = st.lists(
+    st.floats(
+        min_value=-8.0,
+        max_value=8.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=64,
+    max_size=64,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(vec=_VEC64, mid_seed=_VEC64)
+def test_binary_sig_py_matches_duckdb_terms(vec, mid_seed):
+    """sim_topk_binary computes the QUERY batch's signatures in driver
+    Python (_bin_sig_py) while the corpus side runs the SQL term list —
+    the one arithmetic pair not guarded by a registered oracle on
+    arbitrary inputs. Property: for random float32 vectors and random
+    thresholds, the Python packing equals DuckDB evaluating the same
+    explicit per-dim CASE sum, for both 32-bit halves."""
+    import duckdb
+
+    from dist_mapreduce_spark.plans.similarity import _bin_sig_py
+
+    vec = [float(v) for v in vec]
+    mid = [float(v) for v in mid_seed]
+    con = duckdb.connect()
+    for half in (0, 1):
+        base = 32 * half
+        terms = " + ".join(
+            f"(CASE WHEN CAST(v[{base + j}] AS DOUBLE)"
+            f" > CAST({mid[base + j - 1]!r} AS DOUBLE)"
+            f" THEN CAST({1 << (j - 1)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for j in range(1, 33)
+        )
+        want = con.execute(
+            f"SELECT {terms} FROM (SELECT {vec!r}::DOUBLE[] AS v)"
+        ).fetchone()[0]
+        assert _bin_sig_py(vec, mid, half) == want, (half, vec, mid)

@@ -517,3 +517,88 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w)).select(
         "doc_id", "lex_rk", "vec_rk", "rrf", "rk"
     )
+
+
+# ------------------------------------------------------ phrase search
+
+#: Fixed phrase for the positional-retrieval demo. "table table" is
+#: chosen deliberately: it occurs ~30 times at sf0.01 AND self-overlaps
+#: ("table table table" = 2 matches at consecutive positions), so the
+#: query exercises the overlap semantics a positional index must get
+#: right and that a bag-of-words scorer (text_search_bm25) cannot see.
+PHRASE = ("table", "table")
+PHRASE_TOPK = 20
+
+
+def _phrase_oracle() -> str:
+    p = len(PHRASE)
+    conds = " AND ".join(
+        f"t[i + {j}] = '{w}'" for j, w in enumerate(PHRASE)
+    )
+    return (
+        f"WITH tk AS (SELECT doc_id, {_D_TOK_ARR} AS t FROM documents"
+        f"  WHERE text IS NOT NULL),"
+        f" m AS (SELECT doc_id,"
+        f"  list_filter(range(1, len(t) - {p} + 2), i -> {conds}) AS pos"
+        f"  FROM tk),"
+        f" hits AS (SELECT doc_id,"
+        f"   CAST(len(pos) AS BIGINT) AS n_matches,"
+        f"   CAST(pos[1] AS BIGINT) AS first_pos"
+        f"  FROM m WHERE len(pos) > 0)"
+        f" SELECT doc_id, n_matches, first_pos, rk FROM ("
+        f"  SELECT *, row_number() OVER (ORDER BY n_matches DESC, doc_id)"
+        f"   AS rk FROM hits) WHERE rk <= {PHRASE_TOPK}"
+    )
+
+
+@query("text_search_phrase", oracle=_phrase_oracle())
+def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the `"exact phrase"` query of a text
+    index: documents where PHRASE's tokens occur at CONSECUTIVE
+    positions, with per-document match count and first occurrence.
+    Top-PHRASE_TOPK by (n_matches DESC, doc_id).
+
+    Plan: pure MAP over one corpus scan — the token array and the
+    match-position list (filter over sequence, the bigram_colloc
+    in-array technique generalized to length-P windows; overlapping
+    matches counted, exactly as a positional posting list would) are
+    computed per document with zero shuffles; the only exchange is the
+    bounded top-k (orderBy().limit() → TakeOrderedAndProject). At
+    100 TB this is the scan-side phrase evaluator; the posting-list
+    formulation (inverted_index with positions) trades the scan for
+    index lookups when queries vastly outnumber corpus passes — the
+    same trade documented on text_search_bm25.
+
+    Integer-only outputs (positions 1-based in both dialects), so the
+    oracle match is bit-exact by construction. Spark's sequence() on
+    size(t) < P yields a DESCENDING ramp rather than DuckDB range()'s
+    empty list — the i >= 1 conjunct plus NULL out-of-bounds
+    subscripts make those rows match-free in both engines."""
+    from pyspark.sql import Window
+
+    p = len(PHRASE)
+    conds = " AND ".join(
+        f"t[i - 1 + {j}] = '{w}'" for j, w in enumerate(PHRASE)
+    )
+    pos_expr = (
+        f"filter(sequence(1, size(t) - {p} + 1), i -> i >= 1 AND {conds})"
+    )
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tk = d.select(
+        "doc_id",
+        F.filter(F.split("text", TOKEN_SEP), lambda w: w != "").alias("t"),
+    )
+    hits = (
+        tk.select("doc_id", F.expr(pos_expr).alias("pos"))
+        .filter(F.size("pos") > 0)
+        .select(
+            "doc_id",
+            F.size("pos").cast("long").alias("n_matches"),
+            F.col("pos")[0].cast("long").alias("first_pos"),
+        )
+    )
+    top = hits.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(PHRASE_TOPK)
+    w = Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "n_matches", "first_pos", "rk"
+    )

@@ -336,6 +336,10 @@ EMB_QUERIES = [
     "sim_range_search",
     "sim_topk_sq8",
     "sim_topk_binary",
+    "knn_graph",
+    "knn_graph_refine",
+    "knn_graph_recall",
+    "knn_clustered",
 ]
 
 

@@ -479,3 +479,102 @@ def q_knn_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_frac"),
         )
     )
+
+
+# ------------------------------------------------- collapsed build
+
+def _knn_collapsed_oracle() -> str:
+    cells_on_reps = IVF_CELLS_CTE.replace("FROM embeddings", "FROM reps")
+    return (
+        f"WITH m AS MATERIALIZED (SELECT vec_id, embedding,"
+        f"  min(vec_id) OVER (PARTITION BY embedding) AS rep"
+        f"  FROM embeddings WHERE embedding IS NOT NULL),"
+        f" reps AS MATERIALIZED (SELECT vec_id, embedding FROM m"
+        f"  WHERE vec_id = rep),"
+        f" {cells_on_reps},"
+        f" res AS (SELECT vec_id, embedding, cent_id AS rcell"
+        f"  FROM rkd WHERE crk <= {KNN_RESIDENCY}),"
+        f" pr AS (SELECT DISTINCT a.vec_id AS src_rep, b.vec_id AS dst_id,"
+        f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS score"
+        f"  FROM res a JOIN res b"
+        f"   ON a.rcell = b.rcell AND a.vec_id <> b.vec_id),"
+        f" g AS MATERIALIZED (SELECT src_rep, dst_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY src_rep"
+        f"   ORDER BY score DESC, dst_id) AS rk FROM pr)"
+        f"  WHERE rk <= {KNN_K})"
+        f" SELECT m.vec_id AS src_id, g.dst_id, g.score, g.rk"
+        f" FROM m JOIN g ON g.src_rep = m.rep"
+    )
+
+
+@query("knn_graph_collapsed", oracle=_knn_collapsed_oracle())
+def q_knn_graph_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup collapse pre-pass for the kNN-graph build — the
+    dedup_minhash_collapsed discipline applied to vectors: a crawl
+    corpus is full of byte-identical embeddings (mirrored pages,
+    boilerplate), and the blocked self-join's pair volume grows
+    C(copies, 2) per duplicate group, which is exactly what the
+    replication stress measures blowing up in plain knn_graph (120 s
+    at 20×, quadratic). Collapse first: group BY THE EMBEDDING ITSELF
+    (arrays are hashable join/group keys in both engines — no
+    serialization fudge), keep the lowest-id member as representative,
+    build the residency-blocked graph over representatives only, then
+    EXPAND: every member inherits its representative's neighbor list
+    (after exact dedup, copy↔copy edges are noise a downstream
+    consumer has to re-collapse anyway; rep-level neighbors are the
+    production semantics, as in SemDeDup pipelines).
+
+    Scale shape: collapse is one hash aggregate (linear); the
+    quadratic stage runs on DISTINCT vectors, so its cost is constant
+    in the duplication factor; expansion is one linear join. The
+    stress curve is the evidence: constant graph-build time while
+    plain knn_graph grows ~rep²."""
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    wm = Window.partitionBy("embedding")
+    m = emb.select(
+        "vec_id", "embedding", F.min("vec_id").over(wm).alias("rep")
+    )
+    reps = m.filter(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "embedding"
+    )
+    empty = spark.createDataFrame(
+        [], "src_id bigint, dst_id bigint, score double, rk int"
+    )
+    cent_rows = ivf_cent_rows(reps)
+    if not cent_rows:
+        return empty
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    res = reps.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(f"transform(slice({ranked}, 1, {KNN_RESIDENCY}), x -> x.c)")
+        ).alias("rcell"),
+    )
+    a, b = res.alias("a"), res.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.rcell") == F.col("b.rcell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src_rep"),
+            F.col("b.vec_id").alias("dst_id"),
+            F.expr(cosine_spark_sql("a.embedding", "b.embedding")).alias(
+                "score"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("src_rep").orderBy(F.desc("score"), F.asc("dst_id"))
+    g = (
+        pr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src_rep", "dst_id", "score", "rk")
+    )
+    return (
+        m.select(F.col("vec_id").alias("src_id"), F.col("rep").alias("src_rep"))
+        .join(g, "src_rep")
+        .select("src_id", "dst_id", "score", "rk")
+    )

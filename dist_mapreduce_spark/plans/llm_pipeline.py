@@ -2458,3 +2458,75 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mix_pos", "lang", "doc_id")
         .limit(MIX_TAKE)
     )
+
+
+# -------------------------------------------------- epoch shuffle
+
+EPOCHS = 2          # epochs materialized by the demo query
+SHUFFLE_BUCKETS = 8  # shard files per epoch: order = (bucket, pos)
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle=(
+        f"WITH ep AS (SELECT t.e, d.doc_id FROM documents d,"
+        f"  range(0, {EPOCHS}) t(e) WHERE d.doc_id IS NOT NULL),"
+        f" h AS (SELECT CAST(e AS BIGINT) AS epoch, doc_id,"
+        f"  md5(CAST(e AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)) AS hx"
+        f"  FROM ep)"
+        f" SELECT epoch, doc_id,"
+        f"  CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {SHUFFLE_BUCKETS}"
+        f"   AS bucket,"
+        f"  CAST(row_number() OVER (PARTITION BY epoch,"
+        f"   CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {SHUFFLE_BUCKETS}"
+        f"   ORDER BY hx, doc_id) AS BIGINT) AS pos"
+        f" FROM h"
+    ),
+)
+def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle — the data-order
+    step every multi-epoch pretraining run needs: epoch e's order must
+    be a fresh pseudo-random permutation (epoch-to-epoch order
+    correlation hurts convergence), yet exactly reproducible for
+    restart/replay. Each (epoch, doc) gets rank key md5(epoch ‖
+    doc_id); the permutation is expressed as (bucket, pos) — bucket =
+    first 32 hash bits mod SHUFFLE_BUCKETS (the output SHARD the
+    trainer streams), pos = rank within the bucket ordered by the full
+    hash. Consuming shards in bucket order replays the exact global
+    permutation without any global sort ever executing: the shuffle is
+    one repartition-by-bucket + within-partition rank — at 100 TB each
+    epoch writes B shard files in one exchange (this is how T5/GPT
+    data loaders do epoch shuffling: hash-bucketed shards, not a
+    monolithic sort). Different epochs differ because the hash
+    preimage includes e; identical inputs replay bit-identically.
+
+    The md5-hex rank keys compare as ASCII in both dialects and the
+    outputs are pure integers, so the oracle match is exact. NULL
+    doc_id rows are excluded in both (their hash key is NULL)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    epochs = spark.range(EPOCHS).select(F.col("id").alias("epoch"))
+    ep = d.select("doc_id").crossJoin(F.broadcast(epochs))
+    h = ep.withColumn(
+        "hx",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit("_"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    ).withColumn(
+        "bucket",
+        (
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint")
+            % SHUFFLE_BUCKETS
+        ),
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("hx", "doc_id")
+    return (
+        h.repartition(F.col("epoch"), F.col("bucket"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "doc_id", "bucket", "pos")
+    )

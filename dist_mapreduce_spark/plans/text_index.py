@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dist_mapreduce_spark.functions.vectors import (
+    cosine_duckdb_sql,
+    cosine_spark_sql,
+)
 from dist_mapreduce_spark.operators.wordcount import TOKEN_SEP
 from dist_mapreduce_spark.plans.registry import query
 from dist_mapreduce_spark.sources.tables import load_table
@@ -601,4 +605,129 @@ def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))
     return top.withColumn("rk", F.row_number().over(w)).select(
         "doc_id", "n_matches", "first_pos", "rk"
+    )
+
+
+# --------------------------------------------------- maxsim retrieval
+
+#: ColBERT-style late interaction (Khattab & Zaharia, SIGIR'20):
+#: score(q, d) = Σ_{t ∈ q} max_{w ∈ d} cos(E(t), E(w)) — every query
+#: term matches its best document token, sums over terms. The token
+#: "embeddings" here are deterministic md5-derived vectors (a stand-in
+#: for a trained encoder, per the repo's multimodal convention: the
+#: model is faked deterministically, the Spark-side plumbing — vocab
+#: scoring, per-doc max-pool, fixed-order sum — is real and oracled).
+MAXSIM_DIM = 16
+MAXSIM_TERMS = BM25_TERMS       # same fixed query as the BM25 demo
+MAXSIM_TOPK = 20
+
+
+def _wvec_spark(word: str) -> str:
+    return (
+        f"transform(sequence(1, {MAXSIM_DIM}), j ->"
+        f" CAST(CAST(conv(substr(md5(concat({word}, '_',"
+        f" cast(j AS string))), 1, 8), 16, 10) AS BIGINT) % 2000"
+        f" AS DOUBLE) / 1000.0 - 1.0)"
+    )
+
+
+def _wvec_duck(word: str) -> str:
+    return (
+        f"list_transform(range(1, {MAXSIM_DIM + 1}), j ->"
+        f" CAST(CAST(('0x' || substr(md5({word} || '_' ||"
+        f" CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2000"
+        f" AS DOUBLE) / 1000.0 - 1.0)"
+    )
+
+
+def _maxsim_oracle() -> str:
+    terms_rows = ", ".join(
+        f"({i}, '{w}')" for i, w in enumerate(MAXSIM_TERMS)
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN term_id = {i} THEN s END) AS m{i}"
+        for i in range(len(MAXSIM_TERMS))
+    )
+    msum = "(" + " + ".join(f"m{i}" for i in range(len(MAXSIM_TERMS))) + ")"
+    cos = cosine_duckdb_sql("t.qv", "w.wv", dim=MAXSIM_DIM)
+    return (
+        f"WITH dw AS (SELECT DISTINCT doc_id, word FROM ("
+        f"  SELECT doc_id, unnest({_D_TOK_ARR}) AS word FROM documents"
+        f"  WHERE text IS NOT NULL)),"
+        f" vocab AS (SELECT DISTINCT word FROM dw),"
+        f" wv AS MATERIALIZED (SELECT word, {_wvec_duck('word')} AS wv"
+        f"  FROM vocab),"
+        f" tv AS (SELECT term_id, {_wvec_duck('word')} AS qv FROM ("
+        f"  VALUES {terms_rows}) t(term_id, word)),"
+        f" ts AS MATERIALIZED (SELECT t.term_id, w.word, {cos} AS s"
+        f"  FROM tv t, wv w),"
+        f" dm AS (SELECT dw.doc_id, {maxes}"
+        f"  FROM dw JOIN ts ON ts.word = dw.word GROUP BY dw.doc_id),"
+        f" sc AS (SELECT doc_id, m0, m1, m2, {msum} AS score FROM dm)"
+        f" SELECT doc_id, m0, m1, m2, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk"
+        f"  FROM sc) WHERE rk <= {MAXSIM_TOPK}"
+    )
+
+
+@query("search_maxsim", oracle=_maxsim_oracle())
+def q_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT scoring
+    shape): each document is a SET of token vectors, each query term
+    max-pools over them, and the per-term maxima add in one fixed
+    order — the ranking family that beats single-vector retrieval on
+    phrase/entity queries and that a lexical index cannot express.
+
+    Plan (the scalable late-interaction trick): token vectors are
+    NEVER materialized per document. The per-(term, word) cosine is
+    computed once over the DISTINCT VOCABULARY (bounded — Heaps' law —
+    vs corpus tokens), broadcast, and each document's max-pool becomes
+    a plain grouped MAX over its distinct (doc_id, word) pairs — one
+    narrow shuffle of word ids, no vectors ever leave the vocab frame.
+    At 100 TB: vocab scoring is a map over ~10⁶ rows, the max-pool is
+    the same aggregate shape as word count, and the top-k is bounded
+    (TakeOrderedAndProject). This mirrors how production ColBERT
+    serving pushes maxsim into the inverted index rather than scoring
+    every (query-token, doc-token) pair.
+
+    Per-dim values are md5-derived in [-1, 1) — identical literals in
+    both dialects (documented deterministic stand-in for the trained
+    encoder); the cosine is the house bit-parity fold at
+    MAXSIM_DIM = 16."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    dw = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", TOKEN_SEP), lambda w: w != "")
+            ).alias("word"),
+        )
+        .distinct()
+    )
+    vocab = dw.select("word").distinct()
+    wv = vocab.withColumn("wv", F.expr(_wvec_spark("word")))
+    tv = spark.createDataFrame(
+        list(enumerate(MAXSIM_TERMS)), "term_id int, word string"
+    ).select("term_id", F.expr(_wvec_spark("word")).alias("qv"))
+    cos = cosine_spark_sql("qv", "wv")
+    ts = tv.crossJoin(wv).select(
+        "term_id", "word", F.expr(cos).alias("s")
+    )
+    maxes = [
+        F.max(F.when(F.col("term_id") == i, F.col("s"))).alias(f"m{i}")
+        for i in range(len(MAXSIM_TERMS))
+    ]
+    dm = (
+        dw.join(F.broadcast(ts), "word")
+        .groupBy("doc_id")
+        .agg(*maxes)
+    )
+    msum = "(" + " + ".join(f"m{i}" for i in range(len(MAXSIM_TERMS))) + ")"
+    sc = dm.withColumn("score", F.expr(msum))
+    top = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(MAXSIM_TOPK)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "m0", "m1", "m2", "score", "rk"
     )

@@ -61,7 +61,7 @@ def _knn_oracle() -> str:
     # IVF_CELLS_CTE already defines cent/sc/rkd (the per-vector ranked
     # centroid list); residency is just crk <= KNN_RESIDENCY instead of
     # the cells CTE's crk = 1. embedding IS NOT NULL mirrors the Spark
-    # side, where explode() drops the NULL residency arrays.
+    # side's explicit isNotNull filter before cell assignment.
     return (
         f"WITH {IVF_CELLS_CTE},"
         f" res AS (SELECT vec_id, embedding, cent_id AS rcell"
@@ -98,8 +98,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the rcell join reads the cell-partitioned materialized
     index co-partitioned (zero-exchange), pair volume is Σ|cell|²·R²
     (never N²), and the window shuffles candidate EDGES, not the
-    corpus. NULL embeddings drop out of residency in both dialects."""
-    emb = _emb(spark, sf_dir)
+    corpus. NULL embeddings are filtered out explicitly BEFORE cell
+    assignment — the ranked-cells transform yields a non-NULL array of
+    NULL-scored structs for a NULL vector, so explode() alone would
+    NOT drop such rows; the filter mirrors the oracle's
+    `embedding IS NOT NULL` exactly."""
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
     cent_rows = ivf_cent_rows(emb)
     empty = spark.createDataFrame(
         [], "src_id bigint, dst_id bigint, score double, rk int"

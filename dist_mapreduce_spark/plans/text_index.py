@@ -649,6 +649,7 @@ def _maxsim_oracle() -> str:
         for i in range(len(MAXSIM_TERMS))
     )
     msum = "(" + " + ".join(f"m{i}" for i in range(len(MAXSIM_TERMS))) + ")"
+    mcols = ", ".join(f"m{i}" for i in range(len(MAXSIM_TERMS)))
     cos = cosine_duckdb_sql("t.qv", "w.wv", dim=MAXSIM_DIM)
     return (
         f"WITH dw AS (SELECT DISTINCT doc_id, word FROM ("
@@ -663,8 +664,8 @@ def _maxsim_oracle() -> str:
         f"  FROM tv t, wv w),"
         f" dm AS (SELECT dw.doc_id, {maxes}"
         f"  FROM dw JOIN ts ON ts.word = dw.word GROUP BY dw.doc_id),"
-        f" sc AS (SELECT doc_id, m0, m1, m2, {msum} AS score FROM dm)"
-        f" SELECT doc_id, m0, m1, m2, score, rk FROM ("
+        f" sc AS (SELECT doc_id, {mcols}, {msum} AS score FROM dm)"
+        f" SELECT doc_id, {mcols}, score, rk FROM ("
         f"  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk"
         f"  FROM sc) WHERE rk <= {MAXSIM_TOPK}"
     )
@@ -728,6 +729,7 @@ def q_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    mnames = [f"m{i}" for i in range(len(MAXSIM_TERMS))]
     return top.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id", "m0", "m1", "m2", "score", "rk"
+        "doc_id", *mnames, "score", "rk"
     )

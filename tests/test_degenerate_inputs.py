@@ -339,6 +339,7 @@ EMB_QUERIES = [
     "knn_graph",
     "knn_graph_refine",
     "knn_graph_recall",
+    "knn_graph_collapsed",
     "knn_clustered",
 ]
 
@@ -377,12 +378,21 @@ def test_emb_query_survives_corrupt_vectors(spark, null_emb_dir, name):
 
     registry.load_all()
     rows = registry.QUERIES[name](spark, null_emb_dir).collect()
+    corrupt_ids = (9000, 9001, 9034, 9085)
     if name.startswith("sim_topk"):
         # NULL embeddings must never appear among returned neighbors.
-        assert all(
-            r["vec_id"] not in (9000, 9001, 9034, 9085) for r in rows
-        ), name
+        assert all(r["vec_id"] not in corrupt_ids for r in rows), name
         assert all(r["score"] is not None for r in rows), name
+    elif name.startswith("knn_graph") and name != "knn_graph_recall":
+        # The graph family must never emit corrupt vec_ids as either
+        # endpoint, nor NULL scores — a NULL vector that survives into
+        # cell residency would do both (round-7 advice).
+        for r in rows:
+            assert r["src_id"] not in corrupt_ids, (name, r)
+            assert r["dst_id"] not in corrupt_ids, (name, r)
+            assert r["score"] is not None, (name, r)
+    elif name in ("knn_graph_recall", "knn_clustered"):
+        assert all(r["recall"] is not None for r in rows), name
 
 
 def test_dq_expectations_total_on_empty_tables(spark, monkeypatch):

@@ -582,3 +582,134 @@ def q_knn_graph_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(g, "src_rep")
         .select("src_id", "dst_id", "score", "rk")
     )
+
+
+# ----------------------------------------- sampled NN-Descent to convergence
+
+KNN_ITERS = 3      # NN-Descent iterations (recall plateaus by 3 — SCALE.md)
+KNN_SAMPLE = 3     # rho*K: sampled neighbors per vertex per iteration
+
+
+def _smp_hash_duck(i: int) -> str:
+    return (
+        f"md5(CAST({i} AS VARCHAR) || '_' || CAST(a AS VARCHAR)"
+        f" || '_' || CAST(b AS VARCHAR))"
+    )
+
+
+def _converged_oracle() -> str:
+    """KNN_ITERS sampled NN-Descent iterations as chained CTEs over the
+    seed graph g0 — the oracle covers the SAMPLED expansion itself
+    (deterministic md5 rank in place of the paper's random sample), so
+    every intermediate neighborhood choice is value-checked, not just
+    the final graph."""
+    ctes = [f"g0 AS MATERIALIZED ({_knn_oracle()})"]
+    for i in range(1, KNN_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"und{i} AS (SELECT src_id AS a, dst_id AS b FROM g{p}"
+            f" UNION SELECT dst_id, src_id FROM g{p})"
+        )
+        ctes.append(
+            f"smp{i} AS (SELECT a, b FROM ("
+            f" SELECT a, b, row_number() OVER (PARTITION BY a"
+            f"  ORDER BY {_smp_hash_duck(i)}, b) AS rs FROM und{i})"
+            f" WHERE rs <= {KNN_SAMPLE})"
+        )
+        ctes.append(
+            f"cand{i} AS (SELECT DISTINCT x.b AS src_id, y.b AS dst_id"
+            f"  FROM smp{i} x JOIN smp{i} y ON x.a = y.a AND x.b <> y.b"
+            f" UNION SELECT src_id, dst_id FROM g{p})"
+        )
+        ctes.append(
+            f"sc{i} AS (SELECT c.src_id, c.dst_id,"
+            f" {cosine_duckdb_sql('qa.embedding', 'qb.embedding')} AS score"
+            f" FROM cand{i} c"
+            f" JOIN embeddings qa ON qa.vec_id = c.src_id"
+            f" JOIN embeddings qb ON qb.vec_id = c.dst_id)"
+        )
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT src_id, dst_id, score, rk FROM ("
+            f" SELECT *, row_number() OVER (PARTITION BY src_id"
+            f"  ORDER BY score DESC, dst_id) AS rk FROM sc{i})"
+            f" WHERE rk <= {KNN_K})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT src_id, dst_id, score, rk FROM g{KNN_ITERS}"
+    )
+
+
+@query("knn_graph_converged", oracle=_converged_oracle())
+def q_knn_graph_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED NN-Descent run to its plateau — the full published
+    algorithm (Dong, Moses & Li, WWW'11 §2.3): each iteration samples
+    KNN_SAMPLE (= rho·K) members of every vertex's symmetrized
+    neighborhood (deterministic md5 rank standing in for the paper's
+    random sample, so both dialects pick identical subsets), pairs up
+    the sampled members, rescores exactly, merges with the previous
+    graph (monotone) and re-tops per source; KNN_ITERS = 3 iterations,
+    after which probe-set recall is flat (the trajectory published in
+    docs/SCALE.md — the claimed isotropic ceiling is a FIXPOINT, not a
+    one-step artifact).
+
+    Scale shape: sampling caps the per-pivot expansion at KNN_SAMPLE²
+    candidate pairs (vs (2K)² unsampled — a 4-11× pair reduction at
+    rho = 0.6), which is exactly why the paper samples; candidates
+    stay linear in N per iteration, every join is on narrow int keys,
+    and vectors are fetched by id-join only for surviving pairs. Each
+    iteration is one fixed DataFrame shape; the loop is driver-side
+    over a localCheckpoint-truncated lineage (the iterative.py
+    discipline)."""
+    g = (
+        q_knn_graph(spark, sf_dir)
+        .select("src_id", "dst_id", "score", "rk")
+        .localCheckpoint(eager=True)
+    )
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    qa = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("va"))
+    qb = emb.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("vb"))
+    wtop = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
+    for i in range(1, KNN_ITERS + 1):
+        e = g.select("src_id", "dst_id")
+        und = (
+            e.union(
+                e.select(
+                    F.col("dst_id").alias("src_id"),
+                    F.col("src_id").alias("dst_id"),
+                )
+            )
+            .distinct()
+            .select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+        )
+        ws = Window.partitionBy("a").orderBy(
+            F.md5(
+                F.concat_ws("_", F.lit(str(i)), F.col("a").cast("string"),
+                            F.col("b").cast("string"))
+            ),
+            F.asc("b"),
+        )
+        smp = (
+            und.withColumn("rs", F.row_number().over(ws))
+            .filter(F.col("rs") <= KNN_SAMPLE)
+            .select("a", "b")
+        )
+        x, y = smp.alias("x"), smp.alias("y")
+        cand = (
+            x.join(y, (F.col("x.a") == F.col("y.a")) & (F.col("x.b") != F.col("y.b")))
+            .select(F.col("x.b").alias("src_id"), F.col("y.b").alias("dst_id"))
+            .union(e)
+            .distinct()
+        )
+        sc = (
+            cand.join(qa, "src_id")
+            .join(qb, "dst_id")
+            .withColumn("score", F.expr(cosine_spark_sql("va", "vb")))
+            .select("src_id", "dst_id", "score")
+        )
+        g = (
+            sc.withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= KNN_K)
+            .localCheckpoint(eager=True)
+        )
+    return g.select("src_id", "dst_id", "score", "rk")

@@ -1606,3 +1606,139 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ------------------------------------------- partitioned HLL sketches
+
+def _hll_sum_sql(src: str, part_expr: str) -> str:
+    """reg_sum / v_zero aggregate over a zero-filled register table
+    `src(part?, j, mj)` — the exact-integer Σ 2^(50−Mⱼ) denominator
+    shared by sketch_hll."""
+    grp = f" GROUP BY {part_expr}" if part_expr else ""
+    sel = f"{part_expr} AS part, " if part_expr else ""
+    return (
+        f"SELECT {sel}"
+        f"CAST(sum(CAST(1 AS BIGINT) << (50 - mj)) AS BIGINT) AS reg_sum,"
+        f" CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v_zero FROM {src}{grp}"
+    )
+
+
+def _hll_merge_oracle() -> str:
+    raw = f"CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(reg_sum AS DOUBLE)"
+    est = _hll_est_sql(raw, "v_zero", _LN_DUCK + "[CAST(v_zero AS INT)]")
+    return (
+        f"WITH h AS (SELECT DISTINCT coalesce(event_type, '(null)') AS part,"
+        f"  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))"
+        f"   AS BIGINT) AS hv"
+        f"  FROM events WHERE user_id IS NOT NULL),"
+        f" rho AS (SELECT part, hv % {HLL_M} AS j,"
+        f"  CASE WHEN hv // {HLL_M} = 0 THEN {HLL_WBITS + 1}"
+        f"   ELSE {HLL_WBITS + 1} - length(bin(hv // {HLL_M})) END AS r"
+        f"  FROM h),"
+        f" mx AS (SELECT part, j, max(r) AS mj FROM rho GROUP BY part, j),"
+        f" parts AS (SELECT DISTINCT part FROM h),"
+        f" fl AS (SELECT p.part, t.j, coalesce(mx.mj, 0) AS mj"
+        f"  FROM parts p CROSS JOIN range(0, {HLL_M}) t(j)"
+        f"  LEFT JOIN mx ON mx.part = p.part AND mx.j = t.j),"
+        f" mg AS (SELECT j, max(mj) AS mj FROM fl GROUP BY j),"
+        f" grho AS (SELECT hv % {HLL_M} AS j,"
+        f"  CASE WHEN hv // {HLL_M} = 0 THEN {HLL_WBITS + 1}"
+        f"   ELSE {HLL_WBITS + 1} - length(bin(hv // {HLL_M})) END AS r"
+        f"  FROM (SELECT DISTINCT hv FROM h)),"
+        f" gmx AS (SELECT j, max(r) AS mj FROM grho GROUP BY j),"
+        f" gfl AS (SELECT t.j, coalesce(gmx.mj, 0) AS mj"
+        f"  FROM range(0, {HLL_M}) t(j) LEFT JOIN gmx ON gmx.j = t.j),"
+        f" pa AS ({_hll_sum_sql('fl', 'part')}),"
+        f" ma AS (SELECT 'zz_merged' AS part, reg_sum, v_zero"
+        f"  FROM ({_hll_sum_sql('mg', '')})),"
+        f" ga AS (SELECT 'zz_global' AS part, reg_sum, v_zero"
+        f"  FROM ({_hll_sum_sql('gfl', '')})),"
+        f" u AS (SELECT * FROM pa UNION ALL SELECT * FROM ma"
+        f"  UNION ALL SELECT * FROM ga)"
+        f" SELECT part, reg_sum, v_zero, {est} AS hll_estimate FROM u"
+    )
+
+
+@query("sketch_hll_merge", oracle=_hll_merge_oracle())
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED HyperLogLog sketches + max-merge — the 100 TB
+    deployment shape of sketch_hll: one 256-register sketch PER
+    SOURCE PARTITION (event_type here; per-day/per-shard in
+    production), persisted as plain (part, j, Mⱼ) rows, then combined
+    by register-wise MAX — the merge that makes HLL the standard
+    distinct sketch for data warehouses (merge is associative,
+    commutative, idempotent; a year of daily sketches folds into one).
+
+    The output carries the per-partition sketch summaries AND two
+    independently derived rows: `zz_merged` (max-merge of the per-part
+    register sets) and `zz_global` (the sketch computed directly over
+    the undivided corpus). These two rows are equal BY THE ALGEBRA
+    (max over parts of per-part maxima = global maximum, register by
+    register) and the value-hash compare proves both engines agree on
+    every register sum — the mergeability contract the sketch_hll
+    docstring sells, demonstrated rather than asserted
+    (test_hll_merge_equals_global pins merged == global row equality).
+
+    Scale shape: per-part sketching is one narrow aggregate keyed
+    (part, j) — map-side combinable, ≤ |parts|·256 rows ever shuffle;
+    the merge touches only register rows, never re-reads events. At
+    100 TB the per-day sketches are a few KB each and the merge is a
+    driver-trivial 256-row aggregate — this is why one NEVER
+    re-scans history for a distinct count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("part"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    rho_r = (
+        F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(
+            F.lit(HLL_WBITS + 1)
+            - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
+        )
+        .alias("r")
+    )
+    rho = h.select("part", (F.col("hv") % HLL_M).alias("j"), rho_r)
+    mx = rho.groupBy("part", "j").agg(F.max("r").alias("mj"))
+    allj = spark.range(HLL_M).select(F.col("id").alias("j"))
+    parts = h.select("part").distinct()
+    fl = (
+        parts.crossJoin(allj)
+        .join(mx, ["part", "j"], "left")
+        .select("part", "j", F.coalesce(F.col("mj"), F.lit(0)).alias("mj"))
+    )
+    mg = fl.groupBy("j").agg(F.max("mj").alias("mj"))
+    grho = h.select("hv").distinct().select(
+        (F.col("hv") % HLL_M).alias("j"), rho_r
+    )
+    gmx = grho.groupBy("j").agg(F.max("r").alias("mj"))
+    gfl = allj.join(gmx, "j", "left").select(
+        "j", F.coalesce(F.col("mj"), F.lit(0)).alias("mj")
+    )
+    reg_sum = (
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - mj)"))
+        .cast("long")
+        .alias("reg_sum")
+    )
+    v_zero = (
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).cast("long").alias("v_zero")
+    )
+    pa = fl.groupBy("part").agg(reg_sum, v_zero)
+    ma = mg.agg(reg_sum, v_zero).select(
+        F.lit("zz_merged").alias("part"), "reg_sum", "v_zero"
+    )
+    ga = gfl.agg(reg_sum, v_zero).select(
+        F.lit("zz_global").alias("part"), "reg_sum", "v_zero"
+    )
+    raw = f"CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(reg_sum AS DOUBLE)"
+    est_sql = _hll_est_sql(
+        raw, "v_zero", f"element_at({_LN_SPARK}, CAST(v_zero AS INT))"
+    )
+    return (
+        pa.unionByName(ma)
+        .unionByName(ga)
+        .select("part", "reg_sum", "v_zero", F.expr(est_sql).alias("hll_estimate"))
+    )

@@ -340,6 +340,7 @@ EMB_QUERIES = [
     "knn_graph_refine",
     "knn_graph_recall",
     "knn_graph_collapsed",
+    "knn_graph_converged",
     "knn_clustered",
 ]
 

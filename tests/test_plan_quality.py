@@ -285,3 +285,43 @@ def test_hybrid_rrf_both_rankers_take_ordered(spark):
     # full corpus) must not be present: all windows run on post-limit
     # frames, so the rewrite has nothing to infer.
     assert "WindowGroupLimit" not in plan, plan[:2000]
+
+
+def test_maxsim_scores_vocab_broadcast(spark):
+    """search_maxsim's scale claim: the per-(term, word) cosine runs
+    over the DISTINCT vocabulary and is BROADCAST into the doc-word
+    max-pool — token vectors never shuffle with the corpus. Pinned:
+    at least one broadcast join, zero Python stages, and no cartesian
+    product against the corpus side (the only crossJoin is the
+    3-term × vocab scoring frame, which AQE plans as broadcast)."""
+    info = _audit(spark, "search_maxsim")
+    assert info["python_stages"] == 0, info
+    assert info["broadcast_joins"] >= 1, info
+
+
+def test_phrase_search_pure_map_bounded_topk(spark):
+    """text_search_phrase's plan contract: match positions are computed
+    in ONE map pass (no join, no Python), and the only wide operation
+    is the bounded top-k (TakeOrderedAndProject), never a global
+    sort."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["text_search_phrase"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    info = _audit(spark, "text_search_phrase")
+    assert info["python_stages"] == 0, info
+
+
+def test_hll_merge_register_rows_only(spark):
+    """sketch_hll_merge must aggregate register rows, not re-shuffle
+    events: no Python stages and no cartesian; the widest frames are
+    |parts|×256 register tables."""
+    info = _audit(spark, "sketch_hll_merge")
+    assert info["python_stages"] == 0, info

@@ -335,3 +335,117 @@ def test_binary_sig_py_matches_duckdb_terms(vec, mid_seed):
             f"SELECT {terms} FROM (SELECT {vec!r}::DOUBLE[] AS v)"
         ).fetchone()[0]
         assert _bin_sig_py(vec, mid, half) == want, (half, vec, mid)
+
+
+# ----------------------------------------------- round-8 property pins
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_partitioned_merge_equals_global(spark):
+    """The mergeability contract sketch_hll sells, demonstrated: the
+    max-merge of per-event_type register sets (zz_merged) must carry
+    EXACTLY the same registers — hence reg_sum, v_zero, and estimate —
+    as the sketch computed over the undivided corpus (zz_global)."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = {
+        r["part"]: r
+        for r in registry.QUERIES["sketch_hll_merge"](
+            spark, SF_SMOKE_DIR
+        ).collect()
+    }
+    merged, global_ = rows["zz_merged"], rows["zz_global"]
+    assert merged["reg_sum"] == global_["reg_sum"]
+    assert merged["v_zero"] == global_["v_zero"]
+    assert merged["hll_estimate"] == global_["hll_estimate"]
+    # And the per-part sketches are genuine subsketches: every part's
+    # v_zero >= the global's (fewer elements can only leave MORE
+    # registers empty), reg_sum >= global's (registers only grow).
+    for name, r in rows.items():
+        if not name.startswith("zz_"):
+            assert r["v_zero"] >= global_["v_zero"], name
+            assert r["reg_sum"] >= global_["reg_sum"], name
+
+
+def test_hll_merge_associative_across_regroupings(spark):
+    """Register-wise max-merge must be grouping-independent: folding
+    the per-part sketches in ANY bracketing yields the same registers.
+    Checked by comparing pairwise-folded register maxima (parts split
+    into two arbitrary groups, each max-merged, then merged) against
+    the flat merge — on the raw (part, j, mj) register rows derived
+    exactly as sketch_hll_merge derives them."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.relational import HLL_M, HLL_WBITS, _t
+
+    ev = _t(spark, SF_SMOKE_DIR, "events").filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("part"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    rho = h.select(
+        "part",
+        (F.col("hv") % HLL_M).alias("j"),
+        F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(
+            F.lit(HLL_WBITS + 1)
+            - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
+        )
+        .alias("r"),
+    )
+    mx = rho.groupBy("part", "j").agg(F.max("r").alias("mj")).cache()
+    flat = {r["j"]: r["mj"] for r in mx.groupBy("j").agg(F.max("mj").alias("mj")).collect()}
+    parts = sorted(r["part"] for r in mx.select("part").distinct().collect())
+    assert len(parts) >= 2, "fixture needs >=2 event types"
+    for split in (1, len(parts) // 2, len(parts) - 1):
+        ga = mx.filter(F.col("part").isin(parts[:split]))
+        gb = mx.filter(F.col("part").isin(parts[split:]))
+        fold = {}
+        for g in (ga, gb):
+            for r in g.groupBy("j").agg(F.max("mj").alias("mj")).collect():
+                fold[r["j"]] = max(fold.get(r["j"], 0), r["mj"])
+        assert fold == flat, f"split at {split} diverged"
+
+
+def test_epoch_shuffle_is_bijective_and_replayable(spark):
+    """sample_epoch_shuffle's three contracts: (1) each epoch is a
+    PERMUTATION — every doc_id appears exactly once per epoch and the
+    (bucket, pos) address is unique within an epoch; (2) epochs
+    genuinely differ — consecutive epochs order the docs differently;
+    (3) replay is bit-deterministic — a second run yields the
+    identical frame."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    q = registry.QUERIES["sample_epoch_shuffle"]
+    rows = q(spark, SF_SMOKE_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    n_docs = {e: len(v) for e, v in by_epoch.items()}
+    assert len(set(n_docs.values())) == 1, n_docs  # same corpus each epoch
+    for e, v in by_epoch.items():
+        docs = [r["doc_id"] for r in v]
+        assert len(set(docs)) == len(docs), f"epoch {e}: doc repeated"
+        addrs = [(r["bucket"], r["pos"]) for r in v]
+        assert len(set(addrs)) == len(addrs), f"epoch {e}: address collision"
+        # pos is dense 1..n within each bucket (a shard is streamable
+        # with no gaps).
+        from collections import defaultdict
+
+        per_bucket = defaultdict(list)
+        for b, p in addrs:
+            per_bucket[b].append(p)
+        for b, ps in per_bucket.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), (e, b)
+    epochs = sorted(by_epoch)
+    for e0, e1 in zip(epochs, epochs[1:]):
+        o0 = [r["doc_id"] for r in sorted(by_epoch[e0], key=lambda r: (r["bucket"], r["pos"]))]
+        o1 = [r["doc_id"] for r in sorted(by_epoch[e1], key=lambda r: (r["bucket"], r["pos"]))]
+        assert o0 != o1, f"epochs {e0}/{e1} share an order"
+    replay = q(spark, SF_SMOKE_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))

@@ -101,20 +101,21 @@ DIM = 64
 KMEANS_SCALE = 1 << 20
 
 
-def _duck_kmeans_oracle() -> str:
-    """Generate the N_ITER-round unrolled Lloyd's iteration as one
-    DuckDB WITH-chain: c0 = first K quantized vectors; per round an
-    assignment CTE (rank-1 over (dist, cid) — the same deterministic
-    argmin tie-break the Spark side uses) and an update CTE (per-dim
-    integer floor-division mean via the sign-safe (s - nonneg_mod) //
-    n construction, COALESCE keeps empty clusters' previous centroid);
-    final assignment against c{N} yields sizes + integer centroid
-    checksums. Exact integer math end-to-end = full value oracle for
-    an iterative ML algorithm."""
-    dist = (
+def kmeans_dist_duck(lhs: str = "e.q", rhs: str = "c.cq") -> str:
+    """DuckDB int64 squared-L2 between two quantized-vector columns."""
+    return (
         f"list_reduce(list_transform(range(1, {DIM} + 1),"
-        f" j -> (e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j])), (a, b) -> a + b)"
+        f" j -> ({lhs}[j] - {rhs}[j]) * ({lhs}[j] - {rhs}[j])),"
+        f" (a, b) -> a + b)"
     )
+
+
+def kmeans_train_ctes() -> list[str]:
+    """The unrolled Lloyd's-training CTE chain (e, c0, a1/u1/c1 …
+    c{N_ITER}) — shared verbatim by the kmeans_embeddings oracle and
+    the trained-quantizer oracles in plans/trained_quantizer.py, so
+    'trained centroids' has exactly ONE cross-engine definition."""
+    dist = kmeans_dist_duck()
     parts = [
         f"e AS (SELECT vec_id, list_transform(embedding,"
         f" x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS q"
@@ -141,6 +142,21 @@ def _duck_kmeans_oracle() -> str:
             f" list((s - (((s % n) + n) % n)) // n ORDER BY dim) AS newq"
             f" FROM u{r} GROUP BY cid) w ON w.cid = p.cid)"
         )
+    return parts
+
+
+def _duck_kmeans_oracle() -> str:
+    """The N_ITER-round unrolled Lloyd's iteration as one DuckDB
+    WITH-chain (kmeans_train_ctes): c0 = first K quantized vectors; per
+    round an assignment CTE (rank-1 over (dist, cid) — the same
+    deterministic argmin tie-break the Spark side uses) and an update
+    CTE (per-dim integer floor-division mean via the sign-safe
+    (s - nonneg_mod) // n construction, COALESCE keeps empty clusters'
+    previous centroid); final assignment against c{N} yields sizes +
+    integer centroid checksums. Exact integer math end-to-end = full
+    value oracle for an iterative ML algorithm."""
+    dist = kmeans_dist_duck()
+    parts = list(kmeans_train_ctes())
     last = f"c{N_ITER}"
     parts.append(
         f"af AS (SELECT vec_id, cid FROM ("
@@ -159,6 +175,93 @@ def _duck_kmeans_oracle() -> str:
         f" FROM {last} c JOIN (SELECT cid, CAST(count(*) AS BIGINT)"
         f"  AS n_vectors FROM af GROUP BY cid) cnt ON cnt.cid = c.cid"
     )
+
+
+def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): embeddings floor-quantized to int64 at 2^-20 — the
+    exact fixed-point frame every k-means stage (and the trained
+    quantizer in plans/trained_quantizer.py) computes on."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE))).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+
+
+def _kmeans_centroid_lit(c: list[int]):
+    return F.array(*[F.lit(x).cast("long") for x in c])
+
+
+def kmeans_sqdist(vec, c: list[int]):
+    """Exact int64 squared L2 between a quantized vector column and an
+    integer centroid literal."""
+    return F.aggregate(
+        F.zip_with(vec, _kmeans_centroid_lit(c), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, q, cluster): nearest-centroid assignment — argmin over
+    (dist, cid) structs; lexicographic struct ordering IS the
+    deterministic tie-break both dialects share."""
+    dists = F.array(
+        *[
+            F.struct(
+                kmeans_sqdist(F.col("q"), c).alias("d"),
+                F.lit(i).cast("int").alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.select("vec_id", "q", F.array_min(dists)["cid"].alias("cluster"))
+
+
+def train_kmeans_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[list[int]]:
+    """Run the N_ITER fixed-point Lloyd's loop and return the trained
+    integer centroids (k_eff ≤ K lists of DIM int64) — the shared
+    trainer behind kmeans_embeddings and the trained-quantizer index
+    family. Deterministic and bit-reproducible: seeded from the first
+    K vectors by vec_id, every round exact int64."""
+    emb = kmeans_quantized(spark, sf_dir)
+    init = emb.orderBy("vec_id").limit(K).collect()
+    centroids = [[int(x) for x in r["q"]] for r in init]
+    # Fewer rows than K: the oracle's LIMIT K simply yields fewer
+    # centroids and completes; run with what exists instead of
+    # indexing past the list in the empty-cluster fallback below.
+    k_eff = len(centroids)
+    if k_eff == 0:
+        return []
+    for _ in range(N_ITER):
+        assigned = kmeans_assign(emb, centroids)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            # Sign-safe integer floor division (Spark DIV truncates
+            # toward zero; subtracting the nonnegative mod first makes
+            # the division exact, so trunc == floor — identical to the
+            # oracle's construction).
+            .withColumn("mean", F.expr("(s - (((s % n) + n) % n)) DIV n"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dims"))
+            .select(
+                "cluster",
+                F.transform(F.col("dims"), lambda st: st["mean"]).alias("centroid"),
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [int(x) for x in r["centroid"]] for r in new_rows}
+        # Empty clusters keep their previous centroid.
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(k_eff)]
+    return centroids
 
 
 @query("kmeans_embeddings", oracle=_duck_kmeans_oracle())
@@ -187,77 +290,15 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ML (same trick as graph_pagerank) is re-runnable and
     auditable across engines, while float avg() depends on partition
     merge order."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE))).cast(
-                "long"
-            ),
-        ).alias("q"),
-    )
-
-    init = emb.orderBy("vec_id").limit(K).collect()
-    centroids = [[int(x) for x in r["q"]] for r in init]
-    # Fewer rows than K: the oracle's LIMIT K simply yields fewer
-    # centroids and completes; run with what exists instead of
-    # indexing past the list in the empty-cluster fallback below.
-    k_eff = len(centroids)
-    if k_eff == 0:
+    emb = kmeans_quantized(spark, sf_dir)
+    centroids = train_kmeans_centroids(spark, sf_dir)
+    if not centroids:
         return spark.createDataFrame(
             [],
             "cluster int, n_vectors bigint, centroid_sum bigint,"
             " centroid_norm2 bigint",
         )
-
-    def centroid_lit(c: list[int]):
-        return F.array(*[F.lit(x).cast("long") for x in c])
-
-    def sqdist(vec, c: list[int]):
-        return F.aggregate(
-            F.zip_with(vec, centroid_lit(c), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(df):
-        dists = F.array(
-            *[
-                F.struct(
-                    sqdist(F.col("q"), c).alias("d"),
-                    F.lit(i).cast("int").alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return df.select(
-            "vec_id", "q", F.array_min(dists)["cid"].alias("cluster")
-        )
-
-    for _ in range(N_ITER):
-        assigned = assign(emb)
-        new_rows = (
-            assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            # Sign-safe integer floor division (Spark DIV truncates
-            # toward zero; subtracting the nonnegative mod first makes
-            # the division exact, so trunc == floor — identical to the
-            # oracle's construction).
-            .withColumn("mean", F.expr("(s - (((s % n) + n) % n)) DIV n"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dims"))
-            .select(
-                "cluster",
-                F.transform(F.col("dims"), lambda st: st["mean"]).alias("centroid"),
-            )
-            .collect()
-        )
-        by_cluster = {r["cluster"]: [int(x) for x in r["centroid"]] for r in new_rows}
-        # Empty clusters keep their previous centroid.
-        centroids = [by_cluster.get(i, centroids[i]) for i in range(k_eff)]
-
-    final = assign(emb)
+    final = kmeans_assign(emb, centroids)
     sizes = final.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
     sum_lit = F.array(*[F.lit(sum(c)).cast("long") for c in centroids])
     norm2_lit = F.array(

@@ -790,3 +790,61 @@ def test_stream_serving_equals_batch_serving(spark):
         .parquet(out)
     )
     assert spark.read.parquet(out).count() == n
+
+
+def test_trained_index_serving_is_partition_pruned(spark):
+    """Round-8 trained quantizer: serving from the trained index must
+    carry the probed-cell IN-list as PartitionFilters, and the
+    trained cells must be MORE balanced than the sampled quantizer's
+    (the whole point of training) — max/mean cell size strictly
+    smaller."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.trained_quantizer import (
+        build_trained_index,
+    )
+
+    registry.load_all()
+    df = registry.QUERIES["sim_topk_ivf_trained"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:2000]
+
+    path, centroids = build_trained_index(spark, SF)
+    assert path is not None and len(centroids) >= 2
+    tsizes = [
+        r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    from dist_mapreduce_spark.plans.ann_index import build_ivf_index
+
+    spath, _ = build_ivf_index(spark, SF)
+    ssizes = [
+        r["n"]
+        for r in spark.read.parquet(spath)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    t_imb = max(tsizes) / (sum(tsizes) / len(tsizes))
+    s_imb = max(ssizes) / (sum(ssizes) / len(ssizes))
+    assert t_imb < s_imb, (t_imb, s_imb)
+
+
+def test_trained_beats_sampled_fraction_at_sf(spark):
+    """The published claim: the trained quantizer examines a smaller
+    candidate fraction than the sampled one without losing recall at
+    the gate scale (sf0.001 here; sf0.01/0.1 numbers in SCALE.md)."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = {
+        r["method"]: r
+        for r in registry.QUERIES["sim_cand_stats_trained"](spark, SF).collect()
+    }
+    t, s = rows["ivf_trained"], rows["ivf_sampled"]
+    assert t["cand_frac"] < s["cand_frac"], (t, s)
+    assert t["recall"] >= 0.8, t

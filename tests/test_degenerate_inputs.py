@@ -342,6 +342,11 @@ EMB_QUERIES = [
     "knn_graph_collapsed",
     "knn_graph_converged",
     "knn_clustered",
+    # round-8: trained-quantizer family — NULL vectors train through
+    # the kmeans chain but must never be indexed or served.
+    "sim_index_build_trained",
+    "sim_topk_ivf_trained",
+    "sim_cand_stats_trained",
 ]
 
 

@@ -2090,3 +2090,347 @@ def q_stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rk").cast("int"),
     )
+
+
+# ------------------------------------- adaptive over-probe (round 8)
+
+#: Rare-predicate modulus: label = FILTER_LABEL AND vec_id % 7 = 0
+#: selects ~1.4% of the corpus — the LOW-selectivity regime a filtered
+#: vector search must stay exact in; the BROAD predicate
+#: (label IS NOT NULL, ~100%) is the regime where a fixed 2× over-probe
+#: wastes half its scan. The adaptive rule serves both from the same
+#: formula (Milvus/Vespa derive the nprobe/ef multiplier from filter
+#: selectivity statistics the same way).
+RARE_MOD = 7
+
+
+def _rare_pred_duck(a: str = "") -> str:
+    pre = f"{a}." if a else ""
+    return (
+        f"{pre}label = {FILTER_LABEL}"
+        f" AND {pre}vec_id % {RARE_MOD} = 0"
+    )
+
+
+def _broad_pred_duck(a: str = "") -> str:
+    pre = f"{a}." if a else ""
+    return f"{pre}label IS NOT NULL"
+
+
+def _rare_pred_spark():
+    return (F.col("label") == FILTER_LABEL) & (F.col("vec_id") % RARE_MOD == 0)
+
+
+def _broad_pred_spark():
+    return F.col("label").isNotNull()
+
+
+def _adapt_p_duck(pred: str) -> str:
+    """Adaptive probe count, exact integer arithmetic both engines
+    share: p = min(k_cells, ceil(N_PROBE · n_corpus / n_pred)) — probe
+    enough cells that the EXPECTED number of predicate-surviving
+    candidates matches the unfiltered plan's per-query budget
+    (N_PROBE/k of the corpus). Selectivity 1 degrades to plain
+    N_PROBE; selectivity → 0 saturates to all cells (at which point
+    the candidate pool is the tiny filtered set itself and exactness
+    is free). ceil = (a + b − 1) // b — pure int, no FP."""
+    npred = f"greatest((SELECT count(*) FROM embeddings WHERE {pred}), 1)"
+    return (
+        f"least(CAST((SELECT count(*) FROM cent) AS BIGINT),"
+        f" ({N_PROBE} * (SELECT count(*) FROM embeddings)"
+        f"  + {npred} - 1) // {npred})"
+    )
+
+
+_ADAPT_PROBES_CTE = (
+    f"probes AS (SELECT vec_id AS query_id, embedding AS qv,"
+    f" cent_id AS pcell FROM rkd"
+    f" WHERE vec_id < {N_QUERIES}"
+    f"  AND crk <= ({_adapt_p_duck(_rare_pred_duck())}))"
+)
+
+_ADAPT_TOPK_ORACLE = (
+    f"WITH {IVF_CELLS_CTE},"
+    f" {_ADAPT_PROBES_CTE},"
+    f" s AS (SELECT p.query_id, cl.vec_id,"
+    f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+    f"  FROM cells cl JOIN embeddings e ON e.vec_id = cl.vec_id"
+    f"  JOIN probes p ON cl.cell = p.pcell AND cl.vec_id <> p.query_id"
+    f"  WHERE {_rare_pred_duck('e')})"
+    f" SELECT query_id, vec_id, score, rk FROM ("
+    f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+    f"   ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= {TOP_K}"
+)
+
+
+def _adaptive_probe_count(spark, sf_dir: str, k_cells: int, pred) -> int:
+    """The Spark-side statistics lookup: two exact counts (one scan,
+    map-side agg) → the same integer the oracle's scalar subqueries
+    compute. At 100 TB these are table-statistics reads (row count +
+    predicate cardinality refreshed by ANALYZE), not scans."""
+    emb = _emb(spark, sf_dir)
+    row = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("npred"),
+    ).collect()[0]
+    tot, npred = int(row["tot"]), max(int(row["npred"] or 0), 1)
+    return min(k_cells, (N_PROBE * tot + npred - 1) // npred)
+
+
+def _pred_filtered_candidates(
+    spark: SparkSession, sf_dir: str, n_over: int, pred
+) -> DataFrame:
+    """(query_id, vec_id, score) of the post-filter candidate set at an
+    arbitrary probe depth and attribute predicate — the
+    _filtered_candidates machinery with both knobs parameterized."""
+    emb = _emb(spark, sf_dir)
+    path, cent_rows = build_ivf_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, score double"
+    )
+    if not cent_rows:
+        return empty
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.expr(f"transform(slice({ranked}, 1, {n_over}), x -> x.c)")
+        ).alias("pcell"),
+    )
+    union_cells = sorted(
+        int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+    )
+    if not union_cells:
+        return empty
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(union_cells))
+        .filter(pred)
+    )
+    return (
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+
+
+@query("sim_topk_filtered_adaptive", oracle=_ADAPT_TOPK_ORACLE)
+def q_sim_topk_filtered_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-filter serving whose over-probe factor is DERIVED FROM THE
+    PREDICATE'S SELECTIVITY instead of the fixed 2× constant — the
+    round-7 advice item — shown here at the ~1.4%-selectivity rare
+    predicate. p = min(k, ceil(N_PROBE · N / n_pred)) keeps the
+    expected predicate-surviving candidate pool at the unfiltered
+    plan's budget whatever the filter: a broad predicate degrades to
+    plain N_PROBE probing (no wasted 2× scan), a rare one saturates
+    toward every cell — and because the filtered set is tiny, 'every
+    cell' still reads only n_pred rows after PushedFilters row-group
+    skipping, so exactness costs almost nothing. The probe count is
+    exact integer arithmetic from two table statistics; the oracle
+    computes the identical number via scalar subqueries.
+    sim_filtered_adaptive_stats publishes the full fixed-vs-adaptive
+    × rare-vs-broad evidence grid this rule is chosen on."""
+    path, cent_rows = build_ivf_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, score double, rk int"
+    )
+    if not cent_rows:
+        return empty
+    p = _adaptive_probe_count(spark, sf_dir, len(cent_rows), _rare_pred_spark())
+    cand = _pred_filtered_candidates(spark, sf_dir, p, _rare_pred_spark())
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+def _pred_truth_duck(pred_fn) -> str:
+    """Exact pre-filter top-k truth under a predicate (query_id,
+    vec_id)."""
+    return (
+        f"(WITH q AS (SELECT vec_id AS query_id, embedding AS qv"
+        f"  FROM embeddings WHERE vec_id < {N_QUERIES}),"
+        f" s AS (SELECT q.query_id, e.vec_id,"
+        f"  {cosine_duckdb_sql('q.qv', 'e.embedding')} AS score"
+        f"  FROM embeddings e, q WHERE e.vec_id <> q.query_id"
+        f"   AND {pred_fn('e')})"
+        f" SELECT query_id, vec_id FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM s)"
+        f" WHERE rk <= {TOP_K})"
+    )
+
+
+def _adapt_stats_branch(tag: str, probes_pred: str, pred_fn, tru: str) -> str:
+    """One (method, predicate) branch: candidate set at the given probe
+    predicate, its top-k, candidate count, hits vs the predicate's
+    truth."""
+    return (
+        f" {tag}c AS (SELECT p.query_id, cl.vec_id,"
+        f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+        f"  FROM cells cl JOIN embeddings e ON e.vec_id = cl.vec_id"
+        f"  JOIN (SELECT vec_id AS query_id, embedding AS qv,"
+        f"   cent_id AS pcell FROM rkd WHERE vec_id < {N_QUERIES}"
+        f"    AND {probes_pred}) p"
+        f"   ON cl.cell = p.pcell AND cl.vec_id <> p.query_id"
+        f"  WHERE {pred_fn('e')}),"
+        f" {tag}t AS (SELECT query_id, vec_id FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM {tag}c)"
+        f"  WHERE rk <= {TOP_K}),"
+        f" {tag}n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {tag}c),"
+        f" {tag}h AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {tru} t"
+        f"  JOIN {tag}t k ON k.query_id = t.query_id"
+        f"   AND k.vec_id = t.vec_id)"
+    )
+
+
+def _adapt_stats_row(
+    method: str, pred_name: str, p_expr: str, tag: str, nl: str, ntru: str
+) -> str:
+    return (
+        f"SELECT '{method}' AS method, '{pred_name}' AS pred,"
+        f" CAST({p_expr} AS BIGINT) AS n_probe,"
+        f" {nl}.n AS n_pred,"
+        f" CAST({nl}.n AS DOUBLE) / CAST(greatest(tot.n, 1) AS DOUBLE)"
+        f"  AS sel_frac,"
+        f" {tag}n.n AS n_cand,"
+        f" CAST({tag}n.n AS DOUBLE)"
+        f"  / CAST(greatest(nq.q * {nl}.n, 1) AS DOUBLE) AS cand_frac,"
+        f" CAST({tag}h.n AS DOUBLE) / CAST(greatest({ntru}.n, 1) AS DOUBLE)"
+        f"  AS recall"
+        f" FROM tot, nq, {nl}, {ntru}, {tag}n, {tag}h"
+    )
+
+
+_ADAPT_STATS_ORACLE = (
+    f"WITH {IVF_CELLS_CTE},"
+    f" trur AS MATERIALIZED (SELECT * FROM {_pred_truth_duck(_rare_pred_duck)} t),"
+    f" trub AS MATERIALIZED (SELECT * FROM {_pred_truth_duck(_broad_pred_duck)} t),"
+    f"{_adapt_stats_branch('fxr', f'crk <= {FILTER_OVER_PROBE}', _rare_pred_duck, 'trur')},"
+    f"{_adapt_stats_branch('adr', f'crk <= ({_adapt_p_duck(_rare_pred_duck())})', _rare_pred_duck, 'trur')},"
+    f"{_adapt_stats_branch('fxb', f'crk <= {FILTER_OVER_PROBE}', _broad_pred_duck, 'trub')},"
+    f"{_adapt_stats_branch('adb', f'crk <= ({_adapt_p_duck(_broad_pred_duck())})', _broad_pred_duck, 'trub')},"
+    f" tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),"
+    f" nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM embeddings"
+    f"  WHERE vec_id < {N_QUERIES}),"
+    f" nlr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings"
+    f"  WHERE {_rare_pred_duck()}),"
+    f" nlb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings"
+    f"  WHERE {_broad_pred_duck()}),"
+    f" ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trur),"
+    f" ntb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trub)"
+    f" {_adapt_stats_row('fixed', 'rare', str(FILTER_OVER_PROBE), 'fxr', 'nlr', 'ntr')}"
+    f" UNION ALL {_adapt_stats_row('adaptive', 'rare', f'({_adapt_p_duck(_rare_pred_duck())})', 'adr', 'nlr', 'ntr')}"
+    f" UNION ALL {_adapt_stats_row('fixed', 'broad', str(FILTER_OVER_PROBE), 'fxb', 'nlb', 'ntb')}"
+    f" UNION ALL {_adapt_stats_row('adaptive', 'broad', f'({_adapt_p_duck(_broad_pred_duck())})', 'adb', 'nlb', 'ntb')}"
+)
+
+
+@query("sim_filtered_adaptive_stats", oracle=_ADAPT_STATS_ORACLE)
+def q_sim_filtered_adaptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-vs-adaptive decision evidence as a 2×2 grid — method
+    (fixed 2× over-probe vs selectivity-derived) × predicate regime
+    (rare ~1.4% vs broad ~100%), each row: probe count actually used,
+    predicate cardinality/selectivity, candidate pool + fraction, and
+    recall against that predicate's exact pre-filter truth. The
+    headline (published per scale in docs/SCALE.md): on the BROAD
+    predicate the adaptive rule probes N_PROBE cells where the fixed
+    rule probes 2·N_PROBE — half the examined candidates at the
+    certified unfiltered recall bar; on the RARE predicate it
+    saturates toward all cells, pinning recall 1.0 where a fixed
+    constant would under-scan the moment k_cells outgrows it (at gate
+    scale k ≤ 49 so the fixed rule happens to saturate too — the
+    honest small-corpus degeneration, stated not hidden). Integer
+    counts + one division per column keep both engines
+    bit-identical."""
+    emb = _emb(spark, sf_dir)
+    path, cent_rows = build_ivf_index(spark, sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "method string, pred string, n_probe bigint, n_pred bigint,"
+            " sel_frac double, n_cand bigint, cand_frac double,"
+            " recall double",
+        )
+    k = len(cent_rows)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    one = F.lit(1)
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    def truth(pred) -> DataFrame:
+        return (
+            emb.filter(pred)
+            .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+            .select("query_id", "vec_id", "score")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "vec_id")
+            .cache()
+        )
+
+    def cnt(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(F.count(one).cast("long").alias(col)).withColumn("j", one)
+
+    base = cnt(emb, "tot").join(
+        cnt(emb.filter(F.col("vec_id") < N_QUERIES), "nq"), "j"
+    )
+    rows = []
+    for pred_name, spred in (
+        ("rare", _rare_pred_spark()),
+        ("broad", _broad_pred_spark()),
+    ):
+        tru = truth(spred)
+        p_ad = _adaptive_probe_count(spark, sf_dir, k, spred)
+        base = base.join(cnt(emb.filter(spred), f"nl_{pred_name}"), "j").join(
+            cnt(tru, f"nt_{pred_name}"), "j"
+        )
+        for method, p_used in (("fixed", min(FILTER_OVER_PROBE, k)), ("adaptive", p_ad)):
+            tag = f"{method[0]}{pred_name[0]}"
+            cand = _pred_filtered_candidates(spark, sf_dir, p_used, spred)
+            base = base.join(cnt(cand, f"nc_{tag}"), "j").join(
+                cnt(tru.join(topk(cand), ["query_id", "vec_id"]), f"nh_{tag}"), "j"
+            )
+            # The REPORTED probe count is the rule's number (the fixed
+            # rule reports its constant even when k < constant — the
+            # clamp is physical, not part of the rule).
+            rows.append((method, pred_name, tag,
+                         FILTER_OVER_PROBE if method == "fixed" else p_ad))
+    structs = []
+    for method, pred_name, tag, p_rep in rows:
+        nl, nt = F.col(f"nl_{pred_name}"), F.col(f"nt_{pred_name}")
+        nc, nh = F.col(f"nc_{tag}"), F.col(f"nh_{tag}")
+        structs.append(
+            F.struct(
+                F.lit(method).alias("method"),
+                F.lit(pred_name).alias("pred"),
+                F.lit(p_rep).cast("long").alias("n_probe"),
+                nl.alias("n_pred"),
+                (nl.cast("double") / F.greatest(F.col("tot"), one).cast("double")
+                 ).alias("sel_frac"),
+                nc.alias("n_cand"),
+                (nc.cast("double")
+                 / F.greatest(F.col("nq") * nl, one).cast("double")
+                 ).alias("cand_frac"),
+                (nh.cast("double") / F.greatest(nt, one).cast("double")
+                 ).alias("recall"),
+            )
+        )
+    return base.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -848,3 +848,40 @@ def test_trained_beats_sampled_fraction_at_sf(spark):
     t, s = rows["ivf_trained"], rows["ivf_sampled"]
     assert t["cand_frac"] < s["cand_frac"], (t, s)
     assert t["recall"] >= 0.8, t
+
+
+def test_adaptive_over_probe_grid(spark):
+    """Round-8 adaptive over-probe contracts: (1) the broad predicate
+    (selectivity ~1) degrades the adaptive probe count to plain
+    N_PROBE — no wasted 2× scan — with a strictly smaller candidate
+    pool than fixed; (2) the rare predicate's adaptive recall is 1.0
+    and ≥ the fixed rule's; (3) the adaptive serving plan still
+    carries PartitionFilters AND the pushed predicate."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.similarity import N_PROBE
+
+    registry.load_all()
+    rows = {
+        (r["method"], r["pred"]): r
+        for r in registry.QUERIES["sim_filtered_adaptive_stats"](
+            spark, SF
+        ).collect()
+    }
+    ab, fb = rows[("adaptive", "broad")], rows[("fixed", "broad")]
+    ar, fr = rows[("adaptive", "rare")], rows[("fixed", "rare")]
+    from dist_mapreduce_spark.plans.ann_index import build_ivf_index
+
+    _, cent_rows = build_ivf_index(spark, SF)
+    assert ab["n_probe"] == min(N_PROBE, len(cent_rows)), ab
+    # At gate scale k_cells may be < 2*N_PROBE, so compare candidate
+    # pools only when the fixed rule actually probed more cells.
+    if fb["n_probe"] > ab["n_probe"]:
+        assert ab["n_cand"] <= fb["n_cand"], (ab, fb)
+    assert ar["recall"] == 1.0 and ar["recall"] >= fr["recall"], (ar, fr)
+
+    df = registry.QUERIES["sim_topk_filtered_adaptive"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:2000]
+    assert "label" in plan and "PushedFilters" in plan, plan[:2000]

@@ -347,6 +347,8 @@ EMB_QUERIES = [
     "sim_index_build_trained",
     "sim_topk_ivf_trained",
     "sim_cand_stats_trained",
+    "sim_topk_filtered_adaptive",
+    "sim_filtered_adaptive_stats",
 ]
 
 

@@ -51,6 +51,20 @@ from dist_mapreduce_spark.sources.tables import load_table
 KNN_K = 5          # neighbors kept per vector
 KNN_RESIDENCY = 2  # cells each vector is blocked into (crk <= 2)
 KNN_PROBE = 50     # recall certification: brute-force truth for src < 50
+#: Per-cell residency cap (round-8): a hot cell — duplicate flood,
+#: degenerate quantizer, crawl boilerplate — grows the in-cell
+#: self-join by |cell|², which is exactly what the replication stress
+#: measured blowing up (122 s at 20×, 687 s at 50×, ~quadratic). The
+#: cap keeps the KNN_CELL_CAP lowest-vec_id members per cell
+#: (deterministic, oracle-mirrored — the AHASH_BAND_CAP /
+#: LINK_BLOCK_CAP discipline), bounding pair volume at
+#: k·R·CAP² regardless of skew. Far above every gate corpus's largest
+#: cell (≲200 rows at sf0.1), so it binds ONLY under adversarial
+#: skew; test_knn_cell_cap_binds_only_above_cap pins that. The
+#: collapse pre-pass (knn_graph_collapsed) remains the right fix when
+#: the hot cell is exact duplicates; the cap is the backstop for hot
+#: cells the collapse cannot see.
+KNN_CELL_CAP = 1000
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,9 +78,13 @@ def _knn_oracle() -> str:
     # side's explicit isNotNull filter before cell assignment.
     return (
         f"WITH {IVF_CELLS_CTE},"
-        f" res AS (SELECT vec_id, embedding, cent_id AS rcell"
+        f" res0 AS (SELECT vec_id, embedding, cent_id AS rcell"
         f"  FROM rkd WHERE crk <= {KNN_RESIDENCY}"
         f"   AND embedding IS NOT NULL),"
+        f" res AS (SELECT vec_id, embedding, rcell FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY rcell"
+        f"   ORDER BY vec_id) AS cpos FROM res0)"
+        f"  WHERE cpos <= {KNN_CELL_CAP}),"
         f" pr AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id,"
         f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS score"
         f"  FROM res a JOIN res b"
@@ -111,7 +129,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cent_rows:
         return empty
     ranked = ivf_ranked_cells_sql(cent_rows)
-    res = (
+    res0 = (
         emb.repartition(spark.sparkContext.defaultParallelism)
         .select(
             "vec_id",
@@ -123,6 +141,15 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rcell"),
         )
+    )
+    # Hot-cell cap (oracle-mirrored): lowest-vec_id KNN_CELL_CAP
+    # members per cell. The window shuffles on rcell — the same key
+    # the candidate join hashes on, so AQE reuses the exchange.
+    wc = Window.partitionBy("rcell").orderBy("vec_id")
+    res = (
+        res0.withColumn("cpos", F.row_number().over(wc))
+        .filter(F.col("cpos") <= KNN_CELL_CAP)
+        .drop("cpos")
     )
     a, b = res.alias("a"), res.alias("b")
     pr = (
@@ -496,8 +523,12 @@ def _knn_collapsed_oracle() -> str:
         f" reps AS MATERIALIZED (SELECT vec_id, embedding FROM m"
         f"  WHERE vec_id = rep),"
         f" {cells_on_reps},"
-        f" res AS (SELECT vec_id, embedding, cent_id AS rcell"
+        f" res0 AS (SELECT vec_id, embedding, cent_id AS rcell"
         f"  FROM rkd WHERE crk <= {KNN_RESIDENCY}),"
+        f" res AS (SELECT vec_id, embedding, rcell FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY rcell"
+        f"   ORDER BY vec_id) AS cpos FROM res0)"
+        f"  WHERE cpos <= {KNN_CELL_CAP}),"
         f" pr AS (SELECT DISTINCT a.vec_id AS src_rep, b.vec_id AS dst_id,"
         f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS score"
         f"  FROM res a JOIN res b"
@@ -548,12 +579,18 @@ def q_knn_graph_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cent_rows:
         return empty
     ranked = ivf_ranked_cells_sql(cent_rows)
-    res = reps.repartition(spark.sparkContext.defaultParallelism).select(
+    res0 = reps.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         "embedding",
         F.explode(
             F.expr(f"transform(slice({ranked}, 1, {KNN_RESIDENCY}), x -> x.c)")
         ).alias("rcell"),
+    )
+    wc = Window.partitionBy("rcell").orderBy("vec_id")
+    res = (
+        res0.withColumn("cpos", F.row_number().over(wc))
+        .filter(F.col("cpos") <= KNN_CELL_CAP)
+        .drop("cpos")
     )
     a, b = res.alias("a"), res.alias("b")
     pr = (
@@ -586,7 +623,7 @@ def q_knn_graph_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------- sampled NN-Descent to convergence
 
-KNN_ITERS = 3      # NN-Descent iterations (recall plateaus by 3 — SCALE.md)
+KNN_ITERS = 3      # NN-Descent iterations under the oracle (fixpoint @5 — SCALE.md)
 KNN_SAMPLE = 3     # rho*K: sampled neighbors per vertex per iteration
 
 
@@ -648,10 +685,14 @@ def q_knn_graph_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood (deterministic md5 rank standing in for the paper's
     random sample, so both dialects pick identical subsets), pairs up
     the sampled members, rescores exactly, merges with the previous
-    graph (monotone) and re-tops per source; KNN_ITERS = 3 iterations,
-    after which probe-set recall is flat (the trajectory published in
-    docs/SCALE.md — the claimed isotropic ceiling is a FIXPOINT, not a
-    one-step artifact).
+    graph (monotone) and re-tops per source; KNN_ITERS = 3 iterations
+    under the full oracle. Measured trajectory on sf0.1
+    (tools/knn_trajectory.py, published in docs/SCALE.md): seed 0.352
+    → 0.352/0.356/0.364 over iterations 1-3, FIXPOINT 0.376 at
+    iteration 5, exactly flat through 10 — the isotropic ceiling is a
+    fixpoint of the sampled iteration, converging slightly below the
+    unsampled single-iteration 0.388 because the sample revisits only
+    3 of ~10 symmetrized neighbors (the honest sampling trade).
 
     Scale shape: sampling caps the per-pivot expansion at KNN_SAMPLE²
     candidate pairs (vs (2K)² unsampled — a 4-11× pair reduction at

@@ -449,3 +449,36 @@ def test_epoch_shuffle_is_bijective_and_replayable(spark):
         assert o0 != o1, f"epochs {e0}/{e1} share an order"
     replay = q(spark, SF_SMOKE_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))
+
+
+def test_knn_cell_cap_binds_only_above_cap(spark):
+    """KNN_CELL_CAP is a skew backstop, not a semantics change: on
+    every gate corpus the largest residency cell sits far below the
+    cap, so capped and uncapped builds are identical there (the gate's
+    oracle PASS proves cross-engine parity of the capped definition;
+    this pins that the cap had nothing to bite)."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.knn_graph import (
+        KNN_CELL_CAP,
+        KNN_RESIDENCY,
+        _emb,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_cent_rows,
+        ivf_ranked_cells_sql,
+    )
+
+    emb = _emb(spark, SF_SMOKE_DIR).filter(F.col("embedding").isNotNull())
+    ranked = ivf_ranked_cells_sql(ivf_cent_rows(emb))
+    res = emb.select(
+        F.explode(
+            F.expr(f"transform(slice({ranked}, 1, {KNN_RESIDENCY}), x -> x.c)")
+        ).alias("rcell")
+    )
+    biggest = (
+        res.groupBy("rcell").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert biggest < KNN_CELL_CAP, (biggest, KNN_CELL_CAP)

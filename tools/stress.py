@@ -108,6 +108,16 @@ DEFAULT_QUERIES = (
     "sim_range_search",
     "sim_topk_sq8",
     "sim_index_compact",
+    # round-8 operators: the kNN-graph family (replication is the
+    # adversarial C(rep,2)-per-cell case for the blocked self-join —
+    # the collapsed build must flatten the curve exactly as
+    # dedup_minhash_collapsed did), the trained-quantizer index
+    # (training cost is corpus-linear per round; the build is the
+    # sampled build's shape), and adaptive filtered serving (probe
+    # stats + pruned scan — must stay flat like the fixed variant).
+    "knn_graph_collapsed",
+    "sim_index_build_trained",
+    "sim_topk_filtered_adaptive",
 )
 
 

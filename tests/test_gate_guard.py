@@ -62,7 +62,7 @@ def test_explain_audit_covers_full_registry():
     if not os.path.isfile(EXPLAIN):
         pytest.skip("docs/EXPLAIN.md not present")
     text = open(EXPLAIN).read()
-    rows = set(re.findall(r"^([a-z0-9_]+)\s+(?:shuffles=|ERROR)", text, re.M))
+    rows = set(re.findall(r"^([a-z0-9_]+):?\s+(?:shuffles=|ERROR)", text, re.M))
     from dist_mapreduce_spark.plans import registry
 
     registry.load_all()

@@ -1,6 +1,6 @@
 """Format `check_correctness.py` logs into docs/LOCAL_GATE.md.
 
-Usage: python tools/make_local_gate.py <sf0.01.log> [sf0.1.log] [> docs/LOCAL_GATE.md]
+Usage: python tools/make_local_gate.py <sf0.01.log> [sf0.1.log] [sf0.001.log] [> docs/LOCAL_GATE.md]
 
 Reads PASS lines, FAIL lines (both the `(N rows, Xs)`-suffixed form and
 the `FAIL name: reason` error form), and `ok?` rows-only lines
@@ -61,6 +61,16 @@ overflow under ANSI — invisible at sf0.01, fixed with exact DECIMAL
 sums folded by the Mersenne prime 2^61−1.)""")
         for name, reason in sorted(f1.items()):
             print(f"- sf0.1 FAIL `{name}`: {reason}")
+    if len(sys.argv) > 3:
+        p2, f2, r2 = parse(sys.argv[3])
+        t2 = len(p2) + len(f2) + len(r2)
+        print(f"""
+A third sweep runs at **sf0.001 (1/10th the driver's scale —
+degenerate-cardinality regime: 13-cell IVF, empty candidate sets,
+single-row groups)**: **{len(p2)}/{t2} PASS**, {len(f2)} FAIL,
+{len(r2)} rows-only.""")
+        for name, reason in sorted(f2.items()):
+            print(f"- sf0.001 FAIL `{name}`: {reason}")
     print("""
 | query | status | rows | sec |
 |---|---|---|---|""")

@@ -57,5 +57,6 @@ def load_all() -> None:
     import dist_mapreduce_spark.plans.text_index  # noqa: F401
     import dist_mapreduce_spark.plans.tpch  # noqa: F401
     import dist_mapreduce_spark.plans.tpch_extended  # noqa: F401
+    import dist_mapreduce_spark.plans.tpch_partsupp  # noqa: F401
     import dist_mapreduce_spark.plans.knn_graph  # noqa: F401
     import dist_mapreduce_spark.plans.trained_quantizer  # noqa: F401

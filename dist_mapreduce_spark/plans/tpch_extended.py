@@ -7,8 +7,10 @@ tables omit ``partsupp`` entirely plus several columns
 (l_commitdate/l_receiptdate/l_shipmode, p_container, c_phone/c_address,
 o_shippriority), so:
 
-- Q2, Q9, Q11, Q16, Q20 (need partsupp) are out of scope;
-- Q12, Q21 (need commit/receipt dates + shipmode) are out of scope;
+- Q2, Q9, Q11, Q16, Q20 (need partsupp) and Q12, Q21 (need
+  commit/receipt dates + shipmode) live in ``tpch_partsupp.py``,
+  expressed over a supply relation DERIVED from lineitem — see that
+  module's docstring; with them the full 22-query suite is covered;
 - Q4, Q17, Q19, Q22 are ADAPTED: the structural operator shape (EXISTS
   semi-join, correlated per-group average, multi-disjunct pushdown,
   anti-join + scalar subquery) is preserved, with predicates rewritten

@@ -25,19 +25,24 @@ def _plan(df) -> str:
 
 
 def test_suite_membership():
+    # Full 22-query TPC-H coverage (Q2/Q9/Q11/Q12/Q16/Q20/Q21 over the
+    # derived supply relation — see plans/tpch_partsupp.py).
     assert TPCH == [
-        "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
-        "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q3",
-        "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+        "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+        "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+        "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22",
+        "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+        "tpch_q8", "tpch_q9",
     ]
 
 
 def test_all_tpch_run_and_return_rows(spark):
     # q22's lapsed-customer cohort and q7's specific nation pair can be
     # empty at the 6k-row smoke scale (both are non-empty at sf0.01,
-    # where the oracle gate checks values); all others must produce
-    # rows even on the smoke dataset.
-    may_be_empty = {"tpch_q22", "tpch_q7"}
+    # where the oracle gate checks values); q11's 2×-mean-value cut and
+    # q21's sole-late-supplier-in-a-two-nation-cohort likewise; all
+    # others must produce rows even on the smoke dataset.
+    may_be_empty = {"tpch_q22", "tpch_q7", "tpch_q11", "tpch_q21"}
     for name in TPCH:
         rows = QUERIES[name](spark, SF_SMOKE).collect()
         if name not in may_be_empty:
@@ -79,3 +84,50 @@ def test_q18_scans_are_column_pruned(spark):
     for s in li_scans:
         # The per-order quantity aggregate needs exactly two columns.
         assert "l_extendedprice" not in s and "l_shipdate" not in s, s
+
+
+def test_q2_min_cost_is_decorrelated_window(spark):
+    # The correlated min-supplycost subquery must run as ONE window
+    # pass over the region-restricted supply rows — no re-join of the
+    # supply relation against its own aggregate (which would add a
+    # second lineitem-derived shuffle at 100 TB).
+    plan = _plan(QUERIES["tpch_q2"](spark, SF_SMOKE))
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_predicates_reach_lineitem_scan(spark):
+    plan = _plan(QUERIES["tpch_q12"](spark, SF_SMOKE))
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    # IN-list returnflag and the shipdate year window both pushed.
+    assert "l_returnflag" in pushed
+    assert "l_shipdate" in pushed
+
+
+def test_q16_excluded_suppliers_as_anti_join(spark):
+    plan = _plan(QUERIES["tpch_q16"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    # Column pruning: the part scan reads exactly the join key plus the
+    # three predicate/group columns (toString elides PushedFilters on
+    # plans this wide, so ReadSchema is the pinnable scan evidence).
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    p_scans = [s for s in scans if "p_partkey" in s]
+    assert p_scans, scans
+    for s in p_scans:
+        assert "p_name" not in s and "p_retailprice" not in s, s
+
+
+def test_q21_single_pass_lateness_counts(spark):
+    # The EXISTS / NOT-EXISTS pair is rewritten to per-order distinct
+    # counts: the plan must contain NO row-at-a-time Python, and the
+    # orders scans must be pruned to the three columns the flags need
+    # (key, status predicate, lateness date) — never o_totalprice.
+    # sf0.01, not smoke: the cohort is empty at sf0.001 and AQE's
+    # empty-relation propagation would erase the scans being pinned.
+    plan = _plan(QUERIES["tpch_q21"](spark, "/root/testdata/sf0.01"))
+    assert "PythonUDF" not in plan
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    o_scans = [s for s in scans if "o_orderkey" in s]
+    assert o_scans, scans
+    for s in o_scans:
+        assert "o_totalprice" not in s and "o_custkey" not in s, s

@@ -134,3 +134,34 @@ def l2sq_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
 def dot_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
     """Public alias for the sequential-fold dot product (DuckDB)."""
     return _dot_duckdb(a, b, dim)
+
+
+def sub_spark_sql(a: str, b: str) -> str:
+    """Spark SQL element-wise vector subtraction (a − b) with double
+    widening — the residual computation of residual-encoded IVF-PQ.
+    zip_with NULL-pads ragged inputs and propagates NULL lists, so the
+    downstream folds (which cast each element, a no-op on the already-
+    double residual) inherit the same degenerate-input semantics as
+    every other twin in this module."""
+    return f"zip_with({a}, {b}, (x, y) -> cast(x as double) - cast(y as double))"
+
+
+def sub_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB twin of :func:`sub_spark_sql`: each element is the same
+    single IEEE double subtraction, unrolled to ``dim`` list entries on
+    the fast path with a lazy dynamic fallback mirroring zip_with
+    (NULL list → NULL; ragged lengths → NULL, since a partial residual
+    would silently score wrong)."""
+    fast = "list_value(" + ", ".join(
+        f"CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ) + ")"
+    dynamic = (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL OR len({a}) <> len({b})"
+        f" THEN NULL ELSE list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) END)"
+    )
+    return (
+        f"(CASE WHEN len({a}) = {dim} AND len({b}) = {dim}"
+        f" THEN {fast} ELSE {dynamic} END)"
+    )

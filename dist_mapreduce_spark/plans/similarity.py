@@ -1061,12 +1061,14 @@ def _arr(vals: list[float]) -> str:
     return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
 
 
-def pq_cells_expr(codebook: list[list[list[float]]]) -> str:
-    """Spark SQL: encode a row's `embedding` to its PQ_M 4-bit codes —
-    per subspace, argmin_c ||sub − codeword||² with cid tie-break
+def pq_cells_expr(codebook: list[list[list[float]]], col: str = "embedding") -> str:
+    """Spark SQL: encode a row's ``col`` vector to its PQ_M 4-bit codes
+    — per subspace, argmin_c ||sub − codeword||² with cid tie-break
     (array_sort over (d, c) structs, the IVF cell pick applied per
     subspace). One definition of the squared-L2 fold for both dialects
-    (functions/vectors.py) so the fold order cannot drift."""
+    (functions/vectors.py) so the fold order cannot drift. ``col``
+    defaults to the raw embedding; the residual IVF-PQ variant passes
+    its residual column instead."""
     k = len(codebook[0])
     cb_lit = (
         "array("
@@ -1077,7 +1079,7 @@ def pq_cells_expr(codebook: list[list[list[float]]]) -> str:
         + ")"
     )
     l2 = l2sq_spark_sql(
-        f"slice(embedding, m*{PQ_DSUB}+1, {PQ_DSUB})",
+        f"slice({col}, m*{PQ_DSUB}+1, {PQ_DSUB})",
         "element_at(element_at(__cb, m+1), c+1)",
     )
     return (

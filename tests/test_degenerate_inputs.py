@@ -349,6 +349,9 @@ EMB_QUERIES = [
     "sim_cand_stats_trained",
     "sim_topk_filtered_adaptive",
     "sim_filtered_adaptive_stats",
+    # round-8: residual-encoded composition — NULL vectors must not
+    # become residual codewords or ranked candidates.
+    "sim_topk_ivfpq_res",
 ]
 
 

@@ -2530,3 +2530,108 @@ def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("epoch", "doc_id", "bucket", "pos")
     )
+
+
+# -------------------------------- CCNet perplexity buckets + fertility
+
+@query(
+    "quality_ccnet_bucket",
+    oracle=(
+        f"WITH base AS ({_ORACLES['quality_perplexity']}),"
+        " lng AS (SELECT b.doc_id, d.lang, b.bits_per_token_milli"
+        "  FROM base b JOIN documents d ON d.doc_id = b.doc_id),"
+        " bkt AS (SELECT lang, bits_per_token_milli,"
+        "  ntile(3) OVER (PARTITION BY lang"
+        "   ORDER BY bits_per_token_milli, doc_id) AS bucket FROM lng)"
+        " SELECT lang, CAST(bucket AS BIGINT) AS bucket,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(min(bits_per_token_milli) AS BIGINT) AS min_milli,"
+        "  CAST(max(bits_per_token_milli) AS BIGINT) AS max_milli,"
+        "  CAST(sum(bits_per_token_milli) AS BIGINT) AS sum_milli"
+        " FROM bkt GROUP BY lang, bucket"
+    ),
+)
+def q_quality_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): rank
+    each language's documents by unigram-LM surprisal (the exact
+    integer bits_per_token_milli quality_perplexity already computes)
+    and cut into terciles — head = lowest-perplexity third, the slice
+    CCNet keeps for pretraining. ntile(3) over the deterministic
+    (score, doc_id) order is identical in both engines; the output is
+    the per-(lang, bucket) audit table (counts + exact score ranges)
+    a pipeline operator reviews before wiring the head-only filter.
+
+    Scale shape: rides quality_perplexity's three shuffles, then ONE
+    more narrow exchange on (lang) for the ntile — the per-doc score
+    frame is two integers per document, so even the 100 TB corpus's
+    score frame is ~TB-scale and the tercile pass is cheap. No
+    quantile sketch needed: ntile is exact and rank-stable by the
+    doc_id tiebreak."""
+    scores = q_quality_perplexity(spark, sf_dir).select(
+        "doc_id", "bits_per_token_milli"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("bits_per_token_milli", "doc_id")
+    return (
+        scores.join(d, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("bits_per_token_milli").alias("min_milli"),
+            F.max("bits_per_token_milli").alias("max_milli"),
+            F.sum("bits_per_token_milli").alias("sum_milli"),
+        )
+    )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=(
+        f"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+        f" CAST(sum(len({_D_TOKS})) AS BIGINT) AS ws_tokens,"
+        f" CAST(sum(len(regexp_extract_all(text, '{ta.BPE_ISH_RE}')))"
+        f"  AS BIGINT) AS bpe_ish_tokens,"
+        f" CAST(sum(n_chars) AS BIGINT) AS chars,"
+        f" CAST(CASE WHEN sum(n_chars) = 0 THEN NULL ELSE"
+        f"  sum(len(regexp_extract_all(text, '{ta.BPE_ISH_RE}')))"
+        f"  * 1000000 // sum(n_chars) END AS BIGINT) AS bpe_per_char_ppm,"
+        f" CAST(CASE WHEN sum(len({_D_TOKS})) = 0 THEN NULL ELSE"
+        f"  sum(len(regexp_extract_all(text, '{ta.BPE_ISH_RE}')))"
+        f"  * 1000 // sum(len({_D_TOKS})) END AS BIGINT) AS fertility_milli"
+        f" FROM documents GROUP BY lang"
+    ),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word (fertility_milli) and per character (bpe_per_char_ppm) — the
+    standard audit for how a tokenizer's byte budget lands across
+    languages (high fertility = that language pays more sequence
+    positions per word). Exact integer ppm/milli ratios of exact
+    counts, so cross-engine equality is trivial; the operator is one
+    map-side count pass + one 5-row group-by — at 100 TB it is scan-
+    bound and embarrassingly parallel."""
+    text = F.col("text")
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ta.n_tokens(text)).cast("long").alias("ws_tokens"),
+        F.sum(ta.bpe_ish_token_count(text)).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.sum("n_chars").cast("long").alias("chars"),
+        # CASE guards: a whitespace-only language stratum has zero
+        # chars/tokens — NULL, not an ANSI divide-by-zero abort.
+        F.expr(
+            f"CASE WHEN sum(n_chars) = 0 THEN NULL ELSE"
+            f" sum(size(regexp_extract_all(text, '{ta.BPE_ISH_RE}', 0)))"
+            f" * 1000000 DIV sum(n_chars) END"
+        ).alias("bpe_per_char_ppm"),
+        F.expr(
+            f"CASE WHEN sum(size(filter(split(text, '[{ta.WS_CHARS}]+'),"
+            f" w -> w != ''))) = 0 THEN NULL ELSE"
+            f" sum(size(regexp_extract_all(text, '{ta.BPE_ISH_RE}', 0)))"
+            f" * 1000 DIV sum(size(filter(split(text, '[{ta.WS_CHARS}]+'),"
+            f" w -> w != ''))) END"
+        ).alias("fertility_milli"),
+    )

@@ -1,0 +1,279 @@
+"""RAG-serving preparation operators: sliding-window document chunking
+and MMR-diversified retrieval.
+
+The reference has no retrieval surface (its one workload is word count,
+worker.go:24-44); these extend the north-star LLM-pipeline family with
+the two operators every retrieval-augmented stack runs between the raw
+corpus and the prompt: chunk the documents into overlapping windows
+(the unit that gets embedded and indexed), and diversify the final
+top-k with Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+so near-duplicate passages don't crowd out coverage.
+
+Parity rules as everywhere: token arrays use the repo-wide explicit
+whitespace class (operators/text_analysis.WS_CHARS), counts are exact
+integers, and every double is produced by the same single IEEE
+operation sequence in both dialects (cosine via the shared fold twins;
+MMR's lambda is 0.5 — a power of two, so lambda*x is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.functions.vectors import (
+    cosine_duckdb_sql,
+    cosine_spark_sql,
+)
+from dist_mapreduce_spark.operators import text_analysis as ta
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+# ------------------------------------------------------------ chunking
+
+#: Sliding-window geometry: 24-token chunks every 16 tokens (8-token
+#: overlap) — the driver corpus averages ~54 whitespace tokens per
+#: document, so a typical document yields 3-4 chunks. At 100 TB these
+#: are tuning knobs; the plan shape below is invariant in them.
+CHUNK_SIZE = 24
+CHUNK_STRIDE = 16
+
+_D_WS = f"[{ta.WS_CHARS}]"
+_D_TOKS = f"list_filter(string_split_regex(text, '{_D_WS}+'), w -> w <> '')"
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {_D_TOKS} AS toks FROM documents
+        ),
+        st AS (
+          SELECT doc_id, toks, CAST(s AS BIGINT) AS s
+          FROM t, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS u(s)
+        )
+        SELECT doc_id,
+               CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(len(toks[(s + 1):least(s + {CHUNK_SIZE}, len(toks))])
+                 AS BIGINT) AS n_tok,
+               array_to_string(
+                 toks[(s + 1):least(s + {CHUNK_SIZE}, len(toks))], ' ')
+                 AS chunk_text
+        FROM st
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document becomes ceil(n/stride)
+    overlapping CHUNK_SIZE-token windows (the tail window may be
+    shorter; a zero-token document yields no chunks in both engines —
+    DuckDB's range(0,0) is empty, Spark's guarded sequence likewise).
+
+    Scale shape: a PURE MAP + explode — zero shuffles, no window
+    function, chunk boundaries depend only on the row itself, so the
+    operator pipelines over the parquet scan at read throughput and
+    partition counts carry over 1:1. This is the embedding-ingest
+    front door: its output feeds the encoder fleet and then
+    sim_index_build, so not shuffling here matters at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ta.ws_tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.expr(
+            f"transform(sequence(0, (size(filter(split(text,"
+            f" '[{ta.WS_CHARS}]+'), w -> w != '')) - 1)"
+            f" DIV {CHUNK_STRIDE}), i -> i * {CHUNK_STRIDE})"
+        )
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("s") + 1, F.lit(CHUNK_SIZE)).alias(
+                "chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tok"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+# ------------------------------------------------------- MMR retrieval
+
+#: MMR geometry: diversify the final 5 from the top-20 cosine
+#: candidates per query, lambda = 0.5 (a power of two: 0.5*x is one
+#: exact IEEE multiply in both engines).
+MMR_CAND = 20
+MMR_K = 5
+MMR_QUERIES = 5  # vec_id < 5, the family's standard query batch
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-MMR CTE chain: sel1 is the relevance argmax;
+    each later step scores the remainder by 0.5*rel − 0.5*max(sim to
+    the selected set) and takes the argmax with a vec_id tiebreak.
+    MMR_K is small by definition (it is the final prompt budget), so
+    unrolling is bounded and keeps every step a plain window."""
+    cos_qc = cosine_duckdb_sql("q.embedding", "c.embedding")
+    cos_ab = cosine_duckdb_sql("ea.embedding", "eb.embedding")
+    parts = [
+        f"cand AS MATERIALIZED (SELECT query_id, vec_id, rel FROM ("
+        f"  SELECT q.vec_id AS query_id, c.vec_id, {cos_qc} AS rel,"
+        f"   row_number() OVER (PARTITION BY q.vec_id"
+        f"    ORDER BY {cos_qc} DESC, c.vec_id) AS rk"
+        f"  FROM embeddings q, embeddings c"
+        f"  WHERE q.vec_id < {MMR_QUERIES} AND c.vec_id <> q.vec_id"
+        f"   AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL)"
+        f" WHERE rk <= {MMR_CAND})",
+        # Pairwise candidate-candidate sims inside each query's pool
+        # (bounded: MMR_CAND^2 per query).
+        f"pair AS MATERIALIZED (SELECT x.query_id, x.vec_id AS a_id, y.vec_id AS b_id,"
+        f"  {cos_ab} AS s"
+        f" FROM cand x JOIN cand y ON x.query_id = y.query_id"
+        f"  AND x.vec_id <> y.vec_id"
+        f" JOIN embeddings ea ON ea.vec_id = x.vec_id"
+        f" JOIN embeddings eb ON eb.vec_id = y.vec_id)",
+        f"sel1 AS (SELECT query_id, vec_id, rel,"
+        f"  CAST(1 AS BIGINT) AS step, 0.5 * rel AS mmr FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY rel DESC, vec_id) AS rk FROM cand) WHERE rk = 1)",
+    ]
+    prev_sel = "sel1"
+    union = ["SELECT * FROM sel1"]
+    for t in range(2, MMR_K + 1):
+        prev_all = f"all{t - 1}"
+        parts.append(
+            f"{prev_all} AS MATERIALIZED ({' UNION ALL '.join(union)})"
+        )
+        parts.append(
+            f"sel{t} AS (SELECT query_id, vec_id, rel,"
+            f"  CAST({t} AS BIGINT) AS step, mmr FROM ("
+            f"  SELECT r.query_id, r.vec_id, r.rel,"
+            f"   0.5 * r.rel - 0.5 * max(p.s) AS mmr,"
+            f"   row_number() OVER (PARTITION BY r.query_id"
+            f"    ORDER BY 0.5 * r.rel - 0.5 * max(p.s) DESC, r.vec_id)"
+            f"    AS rk"
+            f"  FROM cand r"
+            f"  JOIN {prev_all} d ON d.query_id = r.query_id"
+            f"  JOIN pair p ON p.query_id = r.query_id"
+            f"   AND p.a_id = r.vec_id AND p.b_id = d.vec_id"
+            f"  WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev_all} z"
+            f"   WHERE z.query_id = r.query_id)"
+            f"  GROUP BY r.query_id, r.vec_id, r.rel) WHERE rk = 1)"
+        )
+        union.append(f"SELECT * FROM sel{t}")
+        prev_sel = f"sel{t}"
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT query_id, step, vec_id, rel, mmr FROM ("
+        + " UNION ALL ".join(union) + ") u"
+    )
+
+
+@query("sim_topk_mmr", oracle=_mmr_oracle())
+def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (Carbonell & Goldstein, SIGIR'98): greedy
+    argmax of 0.5·relevance − 0.5·max-similarity-to-already-selected
+    over a bounded candidate pool (top-MMR_CAND by exact cosine per
+    query). Step 1 is the plain relevance argmax; each later step
+    penalizes redundancy against everything selected so far — the
+    standard fix for ANN results that return five paraphrases of the
+    same passage.
+
+    Scale shape: the ONLY corpus-sized work is the candidate stage
+    (one scan + per-query top-MMR_CAND window — the existing
+    bruteforce/IVF serving shapes slot in unchanged); everything after
+    operates on ≤ MMR_CAND rows per query, so the MMR_K unrolled
+    greedy steps are joins/windows over a few hundred rows total,
+    independent of corpus size. The candidate pool and its pairwise
+    sims are computed ONCE and reused by every step (the pairwise
+    frame is MMR_CAND² per query, bounded by the serving budget, never
+    by N). Selection order is emitted as `step` so the diversification
+    is auditable."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qdf = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rel", F.expr(cosine_spark_sql("qv", "embedding")))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= MMR_CAND)
+        .select("query_id", "vec_id", "rel", "embedding")
+        .cache()
+    )
+    a = cand.select(
+        "query_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("rel").alias("a_rel"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("s", F.expr(cosine_spark_sql("a_emb", "b_emb")))
+        .select("query_id", "a_id", "b_id", "s")
+        .cache()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    selected = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            "rel",
+            F.lit(1).cast("long").alias("step"),
+            (F.lit(0.5) * F.col("rel")).alias("mmr"),
+        )
+    )
+    out = selected
+    for t in range(2, MMR_K + 1):
+        rem = cand.select("query_id", "vec_id", "rel").join(
+            out.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        # Pair rows whose b-side is already selected → per-remaining-
+        # candidate redundancy = max sim to the selected set.
+        div = (
+            pair.join(
+                out.select("query_id", F.col("vec_id").alias("b_id")),
+                ["query_id", "b_id"],
+                "left_semi",
+            )
+            .groupBy("query_id", F.col("a_id").alias("vec_id"))
+            .agg(F.max("s").alias("dmax"))
+        )
+        scored = rem.join(div, ["query_id", "vec_id"]).withColumn(
+            "mmr", F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("dmax")
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr"), F.asc("vec_id")
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(wt))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "rel",
+                F.lit(t).cast("long").alias("step"),
+                "mmr",
+            )
+        )
+        out = out.unionByName(pick)
+    return out.select("query_id", "step", "vec_id", "rel", "mmr")

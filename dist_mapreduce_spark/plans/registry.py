@@ -60,3 +60,4 @@ def load_all() -> None:
     import dist_mapreduce_spark.plans.tpch_partsupp  # noqa: F401
     import dist_mapreduce_spark.plans.knn_graph  # noqa: F401
     import dist_mapreduce_spark.plans.trained_quantizer  # noqa: F401
+    import dist_mapreduce_spark.plans.rag  # noqa: F401

@@ -70,6 +70,11 @@ DOC_QUERIES = [
     "dedup_image_near",
     "dedup_audio_fp",
     "graph_triangles",
+    # round-8: chunking (empty/whitespace docs must yield NO chunks,
+    # not a crash) and the perplexity-tercile audit.
+    "chunk_documents",
+    "quality_ccnet_bucket",
+    "tokenizer_fertility",
 ]
 
 
@@ -350,8 +355,10 @@ EMB_QUERIES = [
     "sim_topk_filtered_adaptive",
     "sim_filtered_adaptive_stats",
     # round-8: residual-encoded composition — NULL vectors must not
-    # become residual codewords or ranked candidates.
+    # become residual codewords or ranked candidates — and MMR
+    # serving, whose candidate pool must skip NULL vectors.
     "sim_topk_ivfpq_res",
+    "sim_topk_mmr",
 ]
 
 
@@ -390,7 +397,11 @@ def test_emb_query_survives_corrupt_vectors(spark, null_emb_dir, name):
     registry.load_all()
     rows = registry.QUERIES[name](spark, null_emb_dir).collect()
     corrupt_ids = (9000, 9001, 9034, 9085)
-    if name.startswith("sim_topk"):
+    if name == "sim_topk_mmr":
+        # MMR emits (rel, mmr) instead of score; same NULL hygiene.
+        assert all(r["vec_id"] not in corrupt_ids for r in rows), name
+        assert all(r["rel"] is not None and r["mmr"] is not None for r in rows), name
+    elif name.startswith("sim_topk"):
         # NULL embeddings must never appear among returned neighbors.
         assert all(r["vec_id"] not in corrupt_ids for r in rows), name
         assert all(r["score"] is not None for r in rows), name

@@ -1,0 +1,173 @@
+"""RAG-prep operators: chunking invariants, MMR diversification
+properties, and the plan shapes that matter at scale. Value parity is
+the gate's job; these pin the semantic contracts the oracle compare
+cannot see."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans.rag import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    MMR_K,
+    MMR_QUERIES,
+    q_chunk_documents,
+    q_sim_topk_mmr,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    df.collect()
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_chunks_cover_every_token_and_overlap(spark):
+    from dist_mapreduce_spark.operators.text_analysis import ws_tokens
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    chunks = q_chunk_documents(spark, SF_SMOKE)
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(ws_tokens(F.col("text"))).alias("n"))
+        .collect()
+    )
+    n_by_doc = {r["doc_id"]: r["n"] for r in docs}
+    got = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.max("n_tok").alias("max_tok"),
+    ).collect()
+    for r in got:
+        n = n_by_doc[r["doc_id"]]
+        # One chunk per stride start strictly below n.
+        import math
+
+        assert r["n_chunks"] == math.ceil(n / CHUNK_STRIDE), (r, n)
+        assert r["max_tok"] <= CHUNK_SIZE
+        # Window sum identity: every token counted once per window it
+        # falls in — Σ|chunk| = Σ_starts min(size, n - s).
+        expect = sum(
+            min(CHUNK_SIZE, n - s) for s in range(0, n, CHUNK_STRIDE)
+        )
+        assert r["tok_sum"] == expect, (r, n)
+
+
+def test_chunk_text_reconstructs_prefix(spark):
+    # chunk 0 of each doc must be exactly the first CHUNK_SIZE tokens
+    # joined by single spaces.
+    from dist_mapreduce_spark.operators.text_analysis import ws_tokens
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    first = {
+        r["doc_id"]: r["t"]
+        for r in q_chunk_documents(spark, SF_SMOKE)
+        .filter(F.col("chunk_id") == 0)
+        .select("doc_id", F.col("chunk_text").alias("t"))
+        .collect()
+    }
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    for r in docs:
+        toks = r["toks"]
+        if not toks:
+            assert r["doc_id"] not in first
+            continue
+        assert first[r["doc_id"]] == " ".join(toks[:CHUNK_SIZE])
+
+
+def test_chunking_is_pure_map(spark):
+    plan = _plan(q_chunk_documents(spark, SF_SMOKE))
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "PythonUDF" not in plan
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark):
+    from dist_mapreduce_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = q_sim_topk_mmr(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["step"]] = r
+    bf = QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in bf if r["rk"] == 1}
+    for qid, steps in by_q.items():
+        assert sorted(steps) == list(range(1, MMR_K + 1)), steps
+        assert steps[1]["vec_id"] == top1[qid], qid
+        # Selected ids are distinct within a query.
+        ids = [steps[t]["vec_id"] for t in range(1, MMR_K + 1)]
+        assert len(set(ids)) == MMR_K, ids
+
+
+def test_mmr_actually_diversifies(spark):
+    """The point of the operator: average pairwise similarity among
+    the MMR picks must not exceed that of the plain top-MMR_K — on
+    every query."""
+    from dist_mapreduce_spark.plans.registry import QUERIES, load_all
+    from dist_mapreduce_spark.plans.similarity import py_dot
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    load_all()
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .collect()
+    }
+
+    def cos(a, b):
+        import math
+
+        return py_dot(a, b) / (
+            math.sqrt(py_dot(a, a)) * math.sqrt(py_dot(b, b))
+        )
+
+    def avg_pair(ids):
+        sims = [
+            cos(emb[a], emb[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        ]
+        return sum(sims) / len(sims)
+
+    mmr_rows = q_sim_topk_mmr(spark, SF_SMOKE).collect()
+    bf = QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    for qid in range(MMR_QUERIES):
+        mmr_ids = [r["vec_id"] for r in mmr_rows if r["query_id"] == qid]
+        top_ids = [
+            r["vec_id"] for r in bf if r["query_id"] == qid and r["rk"] <= MMR_K
+        ]
+        if len(mmr_ids) < MMR_K or len(top_ids) < MMR_K:
+            continue
+        assert avg_pair(mmr_ids) <= avg_pair(top_ids) + 1e-12, qid
+
+
+def test_ccnet_buckets_are_terciles(spark):
+    from dist_mapreduce_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["quality_ccnet_bucket"](spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rs] == [1, 2, 3], (lang, rs)
+        # ntile balance: bucket sizes differ by at most one.
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        # Score ranges must be ordered head <= middle <= tail.
+        assert rs[0]["max_milli"] <= rs[1]["min_milli"] or sizes[0] == 0
+        assert rs[1]["max_milli"] <= rs[2]["min_milli"] or sizes[1] == 0

@@ -1,0 +1,401 @@
+"""Mergeable-sketch family, part 2: Count-Min and a fixed-bin quantile
+histogram — joining the bit-portable HyperLogLog (plans/relational.py
+sketch_hll / sketch_hll_merge) to complete the three sketches a 100 TB
+pipeline persists per partition and folds later: distinct counts
+(HLL, max-merge), frequencies (CMS, sum-merge), quantiles (fixed-bin
+histogram, sum-merge).
+
+Everything here is EXACT INTEGER arithmetic — counter increments,
+elementwise sums, cumulative walks — so cross-engine bit-parity is by
+construction (no float appears until a published ratio at the very
+end, and that is one division of exact integers). The hash rows use
+the repo-standard md5-prefix-to-BIGINT derivation, identical text in
+both dialects.
+
+The reference has no sketch surface; this extends SURVEY.md §2.12's
+north-star family (the skew_hitters / approx_distinct / agg_percentile
+measurement jobs are the exact-computation counterparts these sketches
+replace once the corpus no longer fits a re-scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_mapreduce_spark.plans.registry import query
+from dist_mapreduce_spark.sources.tables import load_table
+
+# ------------------------------------------------------------ Count-Min
+
+#: CMS geometry (Cormode & Muthukrishnan 2005): D independent hash
+#: rows × W counters. Overestimate ≤ e/W · N with prob ≥ 1 − e^−D;
+#: underestimate is IMPOSSIBLE (the property the test pins).
+CMS_D = 4
+CMS_W = 256
+#: Deterministic probe set: the audit estimates frequencies for these
+#: user ids (cross-engine identical and scale-stable).
+CMS_PROBES = 8
+
+
+def _cms_hash_duck(d: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({d} AS VARCHAR) || '_' ||"
+        f" CAST({key} AS VARCHAR)), 1, 12)) AS BIGINT) % {CMS_W}"
+    )
+
+
+def _cms_hash_spark(d: str, key: str) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat(CAST({d} AS STRING), '_',"
+        f" CAST({key} AS STRING))), 1, 12), 16, 10) AS BIGINT) % {CMS_W}"
+    )
+
+
+@query(
+    "sketch_cms",
+    oracle=(
+        f"WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),"
+        f" n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM ev),"
+        f" cnt AS (SELECT d, {_cms_hash_duck('d', 'user_id')} AS w,"
+        f"   CAST(count(*) AS BIGINT) AS c"
+        f"  FROM ev, unnest(range(0, {CMS_D})) AS u(d)"
+        f"  GROUP BY d, {_cms_hash_duck('d', 'user_id')}),"
+        f" probes AS (SELECT DISTINCT user_id AS probe FROM ev"
+        f"  WHERE user_id < {CMS_PROBES}),"
+        f" est AS (SELECT p.probe, min(c.c) AS cms_est"
+        f"  FROM probes p, unnest(range(0, {CMS_D})) AS u(d)"
+        f"  JOIN cnt c ON c.d = u.d"
+        f"   AND c.w = {_cms_hash_duck('u.d', 'p.probe')}"
+        f"  GROUP BY p.probe),"
+        f" ex AS (SELECT user_id AS probe, CAST(count(*) AS BIGINT) AS exact_cnt"
+        f"  FROM ev WHERE user_id < {CMS_PROBES} GROUP BY user_id)"
+        f" SELECT e.probe, ex.exact_cnt, e.cms_est,"
+        f"  e.cms_est - ex.exact_cnt AS overestimate,"
+        f"  n.n_events,"
+        f"  CAST(e.cms_est - ex.exact_cnt AS DOUBLE)"
+        f"   / CAST(n.n_events AS DOUBLE) AS over_frac"
+        f" FROM est e JOIN ex ON ex.probe = e.probe CROSS JOIN n"
+    ),
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch, bit-portable: D = 4 hash rows × 256
+    exact-integer counters over the event stream's user ids, estimates
+    read back as min over rows of the hashed counter — the canonical
+    heavy-hitter sketch (Cormode & Muthukrishnan 2005). The audit
+    output probes a deterministic key set and publishes exact count,
+    estimate, and the overestimate (never negative — CMS can only
+    overcount collisions; pinned by test alongside the e/W·N error
+    ceiling's realized value over_frac).
+
+    Scale shape: the sketch build is ONE aggregate over (d, h_d(key))
+    — map-side combinable into ≤ D·W rows regardless of corpus size
+    (this 4×256 sketch summarizes any stream in 8 KB of longs). The
+    probe join touches only sketch rows. At 100 TB: one scan, 1 024
+    counters shuffled, done — the exact computation this replaces
+    (skew_hitters) shuffles every distinct key."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    cnt = (
+        ev.crossJoin(F.broadcast(ds))
+        .select("d", F.expr(_cms_hash_spark("d", "user_id")).alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    probes = (
+        ev.filter(F.col("user_id") < CMS_PROBES)
+        .select(F.col("user_id").alias("probe"))
+        .distinct()
+    )
+    est = (
+        probes.crossJoin(F.broadcast(ds))
+        .withColumn("w", F.expr(_cms_hash_spark("d", "probe")))
+        .join(cnt, ["d", "w"])
+        .groupBy("probe")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    ex = (
+        ev.filter(F.col("user_id") < CMS_PROBES)
+        .groupBy(F.col("user_id").alias("probe"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        est.join(ex, "probe")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "probe",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+            "n_events",
+            (
+                (F.col("cms_est") - F.col("exact_cnt")).cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("over_frac"),
+        )
+    )
+
+
+@query(
+    "sketch_cms_merge",
+    oracle=(
+        f"WITH ev AS (SELECT coalesce(event_type, '(null)') AS part, user_id"
+        f"  FROM events WHERE user_id IS NOT NULL),"
+        f" pc AS (SELECT part, d, {_cms_hash_duck('d', 'user_id')} AS w,"
+        f"   CAST(count(*) AS BIGINT) AS c"
+        f"  FROM ev, unnest(range(0, {CMS_D})) AS u(d)"
+        f"  GROUP BY part, d, {_cms_hash_duck('d', 'user_id')}),"
+        f" mg AS (SELECT d, w, CAST(sum(c) AS BIGINT) AS c FROM pc"
+        f"  GROUP BY d, w),"
+        f" gc AS (SELECT d, {_cms_hash_duck('d', 'user_id')} AS w,"
+        f"   CAST(count(*) AS BIGINT) AS c"
+        f"  FROM ev, unnest(range(0, {CMS_D})) AS u(d)"
+        f"  GROUP BY d, {_cms_hash_duck('d', 'user_id')}),"
+        f" pa AS (SELECT part, CAST(sum(c) AS BIGINT) AS mass,"
+        f"   CAST(sum(c * (d * {CMS_W} + w + 1)) AS BIGINT) AS checksum"
+        f"  FROM pc GROUP BY part),"
+        f" ma AS (SELECT 'zz_merged' AS part, CAST(sum(c) AS BIGINT) AS mass,"
+        f"   CAST(sum(c * (d * {CMS_W} + w + 1)) AS BIGINT) AS checksum"
+        f"  FROM mg),"
+        f" ga AS (SELECT 'zz_global' AS part, CAST(sum(c) AS BIGINT) AS mass,"
+        f"   CAST(sum(c * (d * {CMS_W} + w + 1)) AS BIGINT) AS checksum"
+        f"  FROM gc)"
+        f" SELECT part, mass, checksum FROM pa"
+        f" UNION ALL SELECT part, mass, checksum FROM ma"
+        f" UNION ALL SELECT part, mass, checksum FROM ga"
+    ),
+)
+def q_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned CMS sketches + SUM-merge — the deployment shape:
+    one 4×256 counter table per source partition (event_type here;
+    per-day in production), persisted as (part, d, w, c) rows, folded
+    by elementwise addition. The output carries each partition's
+    sketch summary (total mass + a position-weighted exact-integer
+    checksum that pins every counter, not just the total) plus two
+    independently derived rows: `zz_merged` (sum of the per-part
+    counters) and `zz_global` (the sketch built directly over the
+    undivided stream). Counter-by-counter equality holds BY ALGEBRA
+    (sum of partial counts = total count per cell); the hash compare
+    proves both engines agree on every checksum.
+
+    Scale shape: per-part sketching is one aggregate keyed
+    (part, d, w) — ≤ |parts|·1 024 rows shuffle; the merge touches
+    only counter rows, never the stream."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(null)")).alias("part"),
+            "user_id",
+        )
+    )
+    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    hashed = ev.crossJoin(F.broadcast(ds)).select(
+        "part", "d", F.expr(_cms_hash_spark("d", "user_id")).alias("w")
+    )
+    pc = hashed.groupBy("part", "d", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    chk = F.sum(
+        F.col("c") * (F.col("d").cast("long") * CMS_W + F.col("w") + 1)
+    ).cast("long")
+    pa = pc.groupBy("part").agg(
+        F.sum("c").cast("long").alias("mass"), chk.alias("checksum")
+    )
+    mg = pc.groupBy("d", "w").agg(F.sum("c").cast("long").alias("c"))
+    ma = mg.agg(
+        F.lit("zz_merged").alias("part"),
+        F.sum("c").cast("long").alias("mass"),
+        chk.alias("checksum"),
+    )
+    gc = hashed.groupBy("d", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ga = gc.agg(
+        F.lit("zz_global").alias("part"),
+        F.sum("c").cast("long").alias("mass"),
+        chk.alias("checksum"),
+    )
+    return pa.select("part", "mass", "checksum").unionByName(ma).unionByName(ga)
+
+
+# --------------------------------------------- fixed-bin quantile sketch
+
+#: Histogram geometry over o_totalprice in exact integer cents: a
+#: FIXED literal range with equi-width bins — fixed bins are what make
+#: the sketch mergeable by plain elementwise sum (adaptive sketches
+#: like t-digest merge approximately and engine-specifically). The
+#: estimate error is bounded by one bin width BY CONSTRUCTION: the
+#: r-th smallest value lies inside the bin where the cumulative count
+#: crosses r.
+QH_LO = 0                    # cents
+QH_HI = 50_000_000           # cents ($500 000 — covers the schema's range)
+QH_BINS = 1000
+QH_WIDTH = (QH_HI - QH_LO) // QH_BINS
+QH_QS = (25, 50, 75, 90, 99)
+
+
+_D_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+def _qh_bin(cents: str) -> str:
+    """bin id (dialect-neutral int arithmetic): clamp into [0, BINS)."""
+    return f"least(greatest(({cents} - {QH_LO}), 0) // {QH_WIDTH}, {QH_BINS - 1})"
+
+
+@query(
+    "sketch_quantile_hist",
+    oracle=(
+        f"WITH v AS (SELECT {_D_CENTS} AS cents FROM orders),"
+        f" n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),"
+        f" h AS (SELECT CAST({_qh_bin('cents')} AS BIGINT) AS b,"
+        f"   CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),"
+        f" cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM h),"
+        f" qs AS (SELECT q FROM unnest(ARRAY{list(QH_QS)}) AS t(q)),"
+        f" ranks AS (SELECT q, CAST((q * n + 99) // 100 AS BIGINT) AS r"
+        f"  FROM qs, n),"
+        f" est AS (SELECT q, r, min(b) AS eb FROM ranks JOIN cum"
+        f"  ON cum.cum >= ranks.r GROUP BY q, r),"
+        f" srt AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn"
+        f"  FROM v),"
+        f" exact AS (SELECT e.q, s.cents AS exact_cents FROM est e"
+        f"  JOIN srt s ON s.rn = e.r)"
+        f" SELECT e.q, n.n, e.eb * {QH_WIDTH} + {QH_LO} AS est_lo_cents,"
+        f"  x.exact_cents,"
+        f"  x.exact_cents - (e.eb * {QH_WIDTH} + {QH_LO}) AS err_cents,"
+        f"  CAST({QH_WIDTH} AS BIGINT) AS width_cents"
+        f" FROM est e JOIN exact x ON x.q = e.q CROSS JOIN n"
+    ),
+)
+def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin quantile histogram sketch over order totals in exact
+    integer cents: 1 000 equi-width bins over a FIXED literal range,
+    quantile q read back as the lower bound of the bin where the
+    cumulative count crosses rank ceil(q·n/100) (type-1 quantile). The
+    audit row per q publishes the sketch estimate, the EXACT rank
+    statistic (row_number over the total order — same tie semantics in
+    both engines), their difference, and the bin width — err_cents ∈
+    [0, width) is guaranteed by construction, pinned by test. Fixed
+    bins (not t-digest/KLL) because fixed bins merge by plain
+    elementwise sum in exact integers — engine-portable and
+    associative; see sketch_quantile_merge.
+
+    Scale shape: the sketch is one aggregate into ≤ 1 000 rows (map-
+    side combinable), the cumulative walk is a 1 000-row window. The
+    exact-rank comparison column is the audit's luxury — at 100 TB a
+    deployment publishes the sketch columns alone and never sorts."""
+    v = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    n = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h = v.select(
+        F.expr(
+            f"CAST(least(greatest((cents - {QH_LO}), 0) DIV {QH_WIDTH},"
+            f" {QH_BINS - 1}) AS BIGINT)"
+        ).alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark.sql import Window
+
+    cum = h.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("b"))
+    ).select("b", "cum")
+    qs = spark.createDataFrame([(q,) for q in QH_QS], "q int")
+    ranks = qs.crossJoin(F.broadcast(n)).select(
+        "q", F.expr("CAST((q * n + 99) DIV 100 AS BIGINT)").alias("r")
+    )
+    est = (
+        ranks.join(cum, cum["cum"] >= ranks["r"])
+        .groupBy("q", "r")
+        .agg(F.min("b").alias("eb"))
+    )
+    srt = v.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cents"))
+    )
+    exact = est.join(srt, srt["rn"] == est["r"]).select(
+        "q", F.col("cents").alias("exact_cents")
+    )
+    return (
+        est.join(exact, "q")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "q",
+            "n",
+            (F.col("eb") * QH_WIDTH + QH_LO).alias("est_lo_cents"),
+            "exact_cents",
+            (
+                F.col("exact_cents") - (F.col("eb") * QH_WIDTH + QH_LO)
+            ).alias("err_cents"),
+            F.lit(QH_WIDTH).cast("long").alias("width_cents"),
+        )
+    )
+
+
+@query(
+    "sketch_quantile_merge",
+    oracle=(
+        f"WITH v AS (SELECT o_orderstatus AS part, {_D_CENTS} AS cents"
+        f"  FROM orders),"
+        f" ph AS (SELECT part, CAST({_qh_bin('cents')} AS BIGINT) AS b,"
+        f"   CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),"
+        f" mg AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM ph GROUP BY b),"
+        f" gh AS (SELECT CAST({_qh_bin('cents')} AS BIGINT) AS b,"
+        f"   CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),"
+        f" pa AS (SELECT part, CAST(sum(c) AS BIGINT) AS mass,"
+        f"   CAST(sum(c * (b + 1)) AS BIGINT) AS checksum FROM ph"
+        f"  GROUP BY part),"
+        f" ma AS (SELECT 'zz_merged' AS part, CAST(sum(c) AS BIGINT) AS mass,"
+        f"   CAST(sum(c * (b + 1)) AS BIGINT) AS checksum FROM mg),"
+        f" ga AS (SELECT 'zz_global' AS part, CAST(sum(c) AS BIGINT) AS mass,"
+        f"   CAST(sum(c * (b + 1)) AS BIGINT) AS checksum FROM gh)"
+        f" SELECT part, mass, checksum FROM pa"
+        f" UNION ALL SELECT part, mass, checksum FROM ma"
+        f" UNION ALL SELECT part, mass, checksum FROM ga"
+    ),
+)
+def q_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned quantile-histogram sketches + SUM-merge: one
+    fixed-bin histogram per order status (per-day/per-shard in
+    production), merged by elementwise addition — merged == global
+    bin-for-bin BY ALGEBRA, both derivations emitted and hash-proven
+    (same contract as sketch_hll_merge / sketch_cms_merge, completing
+    the mergeable trio: max-merge distinct, sum-merge frequency,
+    sum-merge quantiles). The position-weighted checksum pins every
+    bin count."""
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("part"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    binned = v.select(
+        "part",
+        F.expr(
+            f"CAST(least(greatest((cents - {QH_LO}), 0) DIV {QH_WIDTH},"
+            f" {QH_BINS - 1}) AS BIGINT)"
+        ).alias("b"),
+    )
+    ph = binned.groupBy("part", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    chk = F.sum(F.col("c") * (F.col("b") + 1)).cast("long")
+    pa = ph.groupBy("part").agg(
+        F.sum("c").cast("long").alias("mass"), chk.alias("checksum")
+    )
+    mg = ph.groupBy("b").agg(F.sum("c").cast("long").alias("c"))
+    ma = mg.agg(
+        F.lit("zz_merged").alias("part"),
+        F.sum("c").cast("long").alias("mass"),
+        chk.alias("checksum"),
+    )
+    gh = binned.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ga = gh.agg(
+        F.lit("zz_global").alias("part"),
+        F.sum("c").cast("long").alias("mass"),
+        chk.alias("checksum"),
+    )
+    return pa.select("part", "mass", "checksum").unionByName(ma).unionByName(ga)

@@ -482,3 +482,61 @@ def test_knn_cell_cap_binds_only_above_cap(spark):
         .collect()[0]["m"]
     )
     assert biggest < KNN_CELL_CAP, (biggest, KNN_CELL_CAP)
+
+
+def test_cms_never_underestimates(spark):
+    """The Count-Min invariant: estimates are exact counts plus
+    collision mass — an underestimate is structurally impossible."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["sketch_cms"](spark, SF_SMOKE_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["overestimate"] >= 0, r
+
+
+def test_cms_merged_equals_global(spark):
+    """Sum-merge of per-partition CMS counter tables must equal the
+    sketch built over the undivided stream — checksum pins every
+    counter cell, not just the mass."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = {
+        r["part"]: r
+        for r in registry.QUERIES["sketch_cms_merge"](spark, SF_SMOKE_DIR).collect()
+    }
+    m, g = rows["zz_merged"], rows["zz_global"]
+    assert m["mass"] == g["mass"]
+    assert m["checksum"] == g["checksum"]
+    part_mass = sum(
+        r["mass"] for k, r in rows.items() if not k.startswith("zz_")
+    )
+    assert part_mass == g["mass"]
+
+
+def test_quantile_hist_error_bounded_by_bin_width(spark):
+    """The fixed-bin guarantee: the exact rank statistic lies inside
+    the bin the cumulative walk selects, so 0 <= err < width."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["sketch_quantile_hist"](spark, SF_SMOKE_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["err_cents"] < r["width_cents"], r
+        assert r["est_lo_cents"] <= r["exact_cents"], r
+
+
+def test_quantile_merged_equals_global(spark):
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = {
+        r["part"]: r
+        for r in registry.QUERIES["sketch_quantile_merge"](spark, SF_SMOKE_DIR).collect()
+    }
+    m, g = rows["zz_merged"], rows["zz_global"]
+    assert m["mass"] == g["mass"] and m["checksum"] == g["checksum"]

@@ -389,3 +389,105 @@ def test_stream_cdc_kill_and_resume_exactly_once(spark, tmp_path):
         for r in _q("cdc_apply")(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_incremental_kill_and_resume(spark, tmp_path):
+    """Failure injection for the streaming dedup ingest: the run-writing
+    sink crashes at micro-batch 2 AFTER writing its run directory but
+    before the checkpoint commit — the harshest replay case: the
+    restarted stream replays batch 2 and its dynamic-partition
+    overwrite must land on the same ingest_batch=2 directory instead
+    of duplicating rows. The drained verdicts must equal the one-shot
+    batch operator (dedup_incremental) row-for-row — min-fold
+    order-invariance plus idempotent run rewrites is exactly-once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.operators import text_analysis as ta
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.llm_pipeline import INCR_MOD, INCR_REM
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    fp = load_table(spark, SF, "documents").select(
+        "doc_id",
+        ta.normalized_fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
+    )
+    idx = (
+        fp.filter(~F.col("is_new")).groupBy("fp").agg(F.min("doc_id").alias("canon"))
+    )
+    arrivals = fp.filter(F.col("is_new")).select("doc_id", "fp")
+    stage = str(tmp_path / "stage")
+    runs = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+    arrivals.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def write_run(bdf, bid):
+        (
+            bdf.groupBy("fp")
+            .agg(F.min("doc_id").alias("min_id"))
+            .withColumn("ingest_batch", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(runs)
+        )
+
+    def crashing_sink(bdf, bid):
+        write_run(bdf, bid)  # run lands on disk...
+        if bid == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    def stream(sink):
+        return (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = stream(crashing_sink)
+    with pytest.raises(Exception, match="injected|Terminated|STREAM"):
+        q1.processAllAvailable()
+    q1.stop()
+
+    q2 = stream(write_run)
+    try:
+        q2.processAllAvailable()
+        resumed = [p["batchId"] for p in (q2.recentProgress or []) if p]
+    finally:
+        q2.stop()
+    assert resumed and min(resumed) >= 2, resumed
+
+    in_batch = (
+        spark.read.parquet(runs)
+        .groupBy("fp")
+        .agg(F.min("min_id").alias("first_in_batch"))
+    )
+    got = sorted(
+        (r["doc_id"], r["status"], r["canonical_id"])
+        for r in spark.read.parquet(stage)
+        .join(idx, "fp", "left")
+        .join(in_batch, "fp")
+        .select(
+            "doc_id",
+            F.when(F.col("canon").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > F.col("first_in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.when(F.col("canon").isNotNull(), F.col("canon"))
+            .when(F.col("doc_id") > F.col("first_in_batch"), F.col("first_in_batch"))
+            .cast("long")
+            .alias("canonical_id"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["status"], r["canonical_id"])
+        for r in registry.QUERIES["dedup_incremental"](spark, SF).collect()
+    )
+    assert got == want

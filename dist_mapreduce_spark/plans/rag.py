@@ -277,3 +277,130 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(pick)
     return out.select("query_id", "step", "vec_id", "rel", "mmr")
+
+
+# ------------------------------------------------ passage retrieval
+
+PASSAGE_TOPK = 10
+
+
+def _passage_oracle() -> str:
+    """Chunk-level rational BM25 + per-document MaxP, composed from
+    the chunking CTE above and text_index's exact-rational scoring."""
+    from dist_mapreduce_spark.plans.text_index import (
+        BM25_TERMS,
+        _bm25_term_sql,
+    )
+
+    sl = f"toks[(s + 1):least(s + {CHUNK_SIZE}, len(toks))]"
+    tfs = ", ".join(
+        f"len(list_filter(ch, x -> x = '{w}')) AS tf{i}"
+        for i, w in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = [
+        _bm25_term_sql(f"tf{i}", f"df{i}", "dl", "n", "l")
+        for i in range(len(BM25_TERMS))
+    ]
+    score = f"(({terms[0]} + {terms[1]}) + {terms[2]})"
+    return (
+        f"WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents"
+        f"  WHERE text IS NOT NULL),"
+        f" ck AS (SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT)"
+        f"   AS chunk_id, {sl} AS ch"
+        f"  FROM t, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS u(s)),"
+        f" pe AS (SELECT doc_id, chunk_id, len(ch) AS dl, {tfs} FROM ck),"
+        f" st AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        f"  CAST(coalesce(sum(dl), 0) AS BIGINT) AS l, {dfs} FROM pe),"
+        f" sc AS (SELECT doc_id, chunk_id, {score} AS score FROM pe, st),"
+        f" best AS (SELECT doc_id, chunk_id, score FROM (SELECT *,"
+        f"   row_number() OVER (PARTITION BY doc_id"
+        f"    ORDER BY score DESC, chunk_id) AS crk FROM sc) WHERE crk = 1)"
+        f" SELECT doc_id, chunk_id, score, rk FROM (SELECT *,"
+        f"  row_number() OVER (ORDER BY score DESC, doc_id) AS rk"
+        f"  FROM best) WHERE rk <= {PASSAGE_TOPK}"
+    )
+
+
+@query("search_passage_maxp", oracle=_passage_oracle())
+def q_search_passage_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval with MaxP aggregation (Dai & Callan,
+    SIGIR 2019): score every CHUNK with the exact-rational BM25
+    (text_index's scoring contract verbatim — chunk-level tf/dl and
+    chunk-corpus stats), then each document is represented by its
+    best passage and the top documents ranked by that passage score.
+    This is the shape long-document retrieval actually ships: BM25
+    over whole 100-page documents drowns the signal in length
+    normalization; scoring fixed-size windows and max-pooling per doc
+    is the standard fix — and it returns WHICH passage matched, the
+    span a RAG prompt actually wants.
+
+    Scale shape: chunking is the pure map above; per-chunk tf/dl ride
+    the same scan; the stats row is ONE aggregate broadcast back;
+    the per-doc max is a window on doc_id (combinable max, narrow
+    rows); the final top-k is TakeOrderedAndProject. Two narrow
+    shuffles total beyond the scan — same class as document-level
+    BM25, with ~3-4× the scored rows (chunks per doc), which is the
+    price of span granularity."""
+    from dist_mapreduce_spark.plans.text_index import (
+        BM25_TERMS,
+        _bm25_term_sql,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = ta.ws_tokens(F.col("text"))
+    n_t = F.size(toks)
+    starts = F.when(n_t <= 0, F.array().cast("array<int>")).otherwise(
+        F.expr(
+            f"transform(sequence(0, (size(filter(split(text,"
+            f" '[{ta.WS_CHARS}]+'), w -> w != '')) - 1)"
+            f" DIV {CHUNK_STRIDE}), i -> i * {CHUNK_STRIDE})"
+        )
+    )
+    ck = d.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.slice(F.col("toks"), F.col("s") + 1, F.lit(CHUNK_SIZE)).alias("ch"),
+    )
+    pe = ck.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ch").alias("dl"),
+        *[
+            F.expr(f"size(filter(ch, x -> x = '{w}'))").alias(f"tf{i}")
+            for i, w in enumerate(BM25_TERMS)
+        ],
+    )
+    st = pe.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("l"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    terms = [
+        _bm25_term_sql(f"tf{i}", f"df{i}", "dl", "n", "l")
+        for i in range(len(BM25_TERMS))
+    ]
+    score = f"(({terms[0]} + {terms[1]}) + {terms[2]})"
+    sc = pe.crossJoin(F.broadcast(st)).withColumn("score", F.expr(score))
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_id")
+    )
+    best = (
+        sc.withColumn("crk", F.row_number().over(wdoc))
+        .filter(F.col("crk") == 1)
+        .select("doc_id", "chunk_id", "score")
+    )
+    wall = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PASSAGE_TOPK)
+        .withColumn("rk", F.row_number().over(wall))
+    )

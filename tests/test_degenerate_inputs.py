@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "chunk_documents",
     "quality_ccnet_bucket",
     "tokenizer_fertility",
+    "search_passage_maxp",
 ]
 
 

@@ -118,6 +118,22 @@ DEFAULT_QUERIES = (
     "knn_graph_collapsed",
     "sim_index_build_trained",
     "sim_topk_filtered_adaptive",
+    # round-8 wave 2: chunking (pure map — must be exactly linear),
+    # the CMS / quantile-histogram sketches (counter tables are FIXED
+    # size, so time must be scan-linear and flat in output), MMR
+    # (candidate stage is the only corpus-sized work; the greedy steps
+    # run on <= 20 rows/query regardless of rep), the residual IVF-PQ
+    # composition (same shuffle shape as the raw one), and the two
+    # heaviest completed TPC-H queries (fact volume grows rep×; the
+    # derived-partsupp aggregate and per-order counts are the shuffles
+    # that must scale ~linearly).
+    "chunk_documents",
+    "sketch_cms",
+    "sketch_quantile_hist",
+    "sim_topk_mmr",
+    "sim_topk_ivfpq_res",
+    "tpch_q9",
+    "tpch_q21",
 )
 
 

@@ -2724,3 +2724,92 @@ def q_sim_recall_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+# ------------------------------------ semantic train/eval contamination
+
+#: Deterministic eval split (~7.7% of vectors) and the contamination
+#: cosine bar (driver corpus's near-dup band; production uses 0.95+ on
+#: real embeddings — the knob, not the shape, changes).
+CONTAM_MOD = 13
+CONTAM_REM = 6
+CONTAM_COS = 0.30
+#: Eval rows resident in their top-2 cells (the knn_graph residency
+#: trick): a train/eval pair split across neighboring cells is still
+#: blocked together if EITHER of the eval row's two nearest cells is
+#: the train row's home cell.
+CONTAM_RES = 2
+
+
+@query(
+    "contamination_embedding",
+    oracle=(
+        f"WITH {IVF_CELLS_CTE},"
+        f" ev AS (SELECT r.vec_id AS eval_id, r.embedding AS ev_emb,"
+        f"   r.cent_id AS cell FROM rkd r"
+        f"  WHERE r.vec_id % {CONTAM_MOD} = {CONTAM_REM}"
+        f"   AND r.embedding IS NOT NULL AND r.crk <= {CONTAM_RES}),"
+        f" tr AS (SELECT vec_id, embedding, cell FROM cells"
+        f"  WHERE vec_id % {CONTAM_MOD} <> {CONTAM_REM}),"
+        f" hit AS (SELECT t.vec_id, e.eval_id,"
+        f"   {cosine_duckdb_sql('t.embedding', 'e.ev_emb')} AS cos_sim"
+        f"  FROM tr t JOIN ev e ON t.cell = e.cell"
+        f"  WHERE {cosine_duckdb_sql('t.embedding', 'e.ev_emb')}"
+        f"   >= {CONTAM_COS})"
+        f" SELECT vec_id, eval_id, cos_sim FROM (SELECT *,"
+        f"  row_number() OVER (PARTITION BY vec_id"
+        f"   ORDER BY cos_sim DESC, eval_id) AS rk FROM hit) WHERE rk = 1"
+    ),
+)
+def q_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/eval contamination audit — the embedding-space
+    complement of contamination_ngram (which catches verbatim
+    overlap): a deterministic eval slice is carved out of the corpus,
+    and every TRAIN vector whose cosine to any eval vector clears the
+    bar is flagged with its closest eval item — paraphrased or
+    near-duplicated benchmark content that n-gram matching misses
+    (the decontamination gap the GPT-3 appendix and SemDeDup both
+    document). Output: one row per contaminated train vector
+    (vec_id, closest eval_id, cos_sim) — the drop list a pretraining
+    pipeline subtracts before the next epoch.
+
+    Scale shape: the train×eval cosine matrix never materializes —
+    both sides block on the SAME frozen IVF quantizer the index and
+    dedup_semantic use; eval rows take 2-cell residency so near-
+    boundary pairs still meet (pair volume Σ|cell_train|·|cell_eval|
+    ·2, never N·E); at 100 TB both sides read the cell-partitioned
+    index co-partitioned, and the eval side (benchmarks: thousands of
+    rows, not billions) broadcasts whole. Blocking recall shares
+    knn_clustered's published evidence: 1.0 on clustered corpora at
+    the same residency."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, eval_id bigint, cos_sim double"
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    is_eval = F.col("vec_id") % CONTAM_MOD == CONTAM_REM
+    tr = ivf_cells_df(spark, emb.filter(~is_eval), ranked)
+    ev = (
+        emb.filter(is_eval & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("ev_emb"),
+            F.explode(
+                F.expr(f"transform(slice({ranked}, 1, {CONTAM_RES}), x -> x.c)")
+            ).alias("cell"),
+        )
+    )
+    hit = (
+        tr.join(F.broadcast(ev), "cell")
+        .withColumn("cos_sim", F.expr(cosine_spark_sql("embedding", "ev_emb")))
+        .filter(F.col("cos_sim") >= CONTAM_COS)
+        .select("vec_id", "eval_id", "cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("eval_id"))
+    return (
+        hit.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "eval_id", "cos_sim")
+    )

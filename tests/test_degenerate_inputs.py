@@ -360,6 +360,7 @@ EMB_QUERIES = [
     # serving, whose candidate pool must skip NULL vectors.
     "sim_topk_ivfpq_res",
     "sim_topk_mmr",
+    "contamination_embedding",
 ]
 
 

@@ -212,6 +212,13 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "rel", "embedding")
         .cache()
     )
+    return _mmr_greedy(cand)
+
+
+def _mmr_greedy(cand: DataFrame) -> DataFrame:
+    """The unrolled greedy selection over a (query_id, vec_id, rel,
+    embedding) candidate pool — shared by the brute-force and the
+    IVF-pruned MMR variants (ONE definition of the selection)."""
     a = cand.select(
         "query_id",
         F.col("vec_id").alias("a_id"),
@@ -275,7 +282,11 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mmr",
             )
         )
-        out = out.unionByName(pick)
+        # Truncate lineage: each step's plan would otherwise embed the
+        # full recomputation of every previous pick (the iterative-
+        # algorithm rule from plans/iterative.py); the frame is
+        # ≤ MMR_K·|queries| rows, so the checkpoint is trivial.
+        out = out.unionByName(pick).localCheckpoint()
     return out.select("query_id", "step", "vec_id", "rel", "mmr")
 
 
@@ -404,3 +415,118 @@ def q_search_passage_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PASSAGE_TOPK)
         .withColumn("rk", F.row_number().over(wall))
     )
+
+
+def _mmr_ivf_oracle() -> str:
+    """MMR over IVF-PRUNED candidates: the cand CTE becomes the probed-
+    cells cosine top-MMR_CAND (sim_topk_ivf's serving shape) instead of
+    the brute-force scan; the greedy chain is shared verbatim."""
+    from dist_mapreduce_spark.plans.similarity import (
+        IVF_CELLS_CTE,
+        N_PROBE,
+    )
+
+    cos_pc = cosine_duckdb_sql("p.qv", "cl.embedding")
+    cos_ab = cosine_duckdb_sql("ea.embedding", "eb.embedding")
+    parts = [
+        f"{IVF_CELLS_CTE}",
+        f"probes AS (SELECT vec_id AS query_id, embedding AS qv,"
+        f"  cent_id AS pcell FROM rkd"
+        f" WHERE vec_id < {MMR_QUERIES} AND embedding IS NOT NULL"
+        f"  AND crk <= {N_PROBE})",
+        f"cand AS MATERIALIZED (SELECT query_id, vec_id, rel FROM ("
+        f"  SELECT p.query_id, cl.vec_id, {cos_pc} AS rel,"
+        f"   row_number() OVER (PARTITION BY p.query_id"
+        f"    ORDER BY {cos_pc} DESC, cl.vec_id) AS rk"
+        f"  FROM cells cl JOIN probes p ON cl.cell = p.pcell"
+        f"   AND cl.vec_id <> p.query_id"
+        f"  WHERE cl.embedding IS NOT NULL)"
+        f" WHERE rk <= {MMR_CAND})",
+        f"pair AS MATERIALIZED (SELECT x.query_id, x.vec_id AS a_id,"
+        f"  y.vec_id AS b_id, {cos_ab} AS s"
+        f" FROM cand x JOIN cand y ON x.query_id = y.query_id"
+        f"  AND x.vec_id <> y.vec_id"
+        f" JOIN embeddings ea ON ea.vec_id = x.vec_id"
+        f" JOIN embeddings eb ON eb.vec_id = y.vec_id)",
+        f"sel1 AS (SELECT query_id, vec_id, rel,"
+        f"  CAST(1 AS BIGINT) AS step, 0.5 * rel AS mmr FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY rel DESC, vec_id) AS rk FROM cand) WHERE rk = 1)",
+    ]
+    union = ["SELECT * FROM sel1"]
+    for t in range(2, MMR_K + 1):
+        prev_all = f"all{t - 1}"
+        parts.append(f"{prev_all} AS MATERIALIZED ({' UNION ALL '.join(union)})")
+        parts.append(
+            f"sel{t} AS (SELECT query_id, vec_id, rel,"
+            f"  CAST({t} AS BIGINT) AS step, mmr FROM ("
+            f"  SELECT r.query_id, r.vec_id, r.rel,"
+            f"   0.5 * r.rel - 0.5 * max(p.s) AS mmr,"
+            f"   row_number() OVER (PARTITION BY r.query_id"
+            f"    ORDER BY 0.5 * r.rel - 0.5 * max(p.s) DESC, r.vec_id)"
+            f"    AS rk"
+            f"  FROM cand r"
+            f"  JOIN {prev_all} d ON d.query_id = r.query_id"
+            f"  JOIN pair p ON p.query_id = r.query_id"
+            f"   AND p.a_id = r.vec_id AND p.b_id = d.vec_id"
+            f"  WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev_all} z"
+            f"   WHERE z.query_id = r.query_id)"
+            f"  GROUP BY r.query_id, r.vec_id, r.rel) WHERE rk = 1)"
+        )
+        union.append(f"SELECT * FROM sel{t}")
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT query_id, step, vec_id, rel, mmr FROM ("
+        + " UNION ALL ".join(union) + ") u"
+    )
+
+
+@query("sim_topk_mmr_pruned", oracle=_mmr_ivf_oracle())
+def q_sim_topk_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification SERVED FROM THE ANN PATH: the candidate pool
+    comes from the IVF probed-cells cosine top-MMR_CAND (sim_topk_ivf's
+    exact serving shape — at 100 TB, the partition-pruned materialized
+    index) instead of a full corpus scan; the greedy diversification is
+    sim_topk_mmr's verbatim. This is the deployment composition: ANN
+    narrows billions to tens, MMR re-orders the tens — proof the two
+    stages compose without a full-scan anywhere.
+
+    Scale shape: candidate stage reads only each query's N_PROBE cells
+    (the pruned scan sim_topk_ivf_pruned pins); everything downstream
+    is ≤ MMR_CAND rows per query exactly as in sim_topk_mmr."""
+    from dist_mapreduce_spark.plans.similarity import (
+        N_PROBE,
+        ivf_cells_df,
+        ivf_cent_rows,
+        ivf_probes_df,
+        ivf_ranked_cells_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = ivf_cent_rows(emb)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, step bigint, vec_id bigint,"
+            " rel double, mmr double"
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    cells = ivf_cells_df(
+        spark, emb.filter(F.col("embedding").isNotNull()), ranked
+    )
+    probes = ivf_probes_df(
+        emb.filter(F.col("embedding").isNotNull()), ranked, MMR_QUERIES
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("rel", F.expr(cosine_spark_sql("qv", "embedding")))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= MMR_CAND)
+        .select("query_id", "vec_id", "rel", "embedding")
+        .cache()
+    )
+    return _mmr_greedy(cand)

@@ -360,6 +360,7 @@ EMB_QUERIES = [
     # serving, whose candidate pool must skip NULL vectors.
     "sim_topk_ivfpq_res",
     "sim_topk_mmr",
+    "sim_topk_mmr_pruned",
     "contamination_embedding",
 ]
 
@@ -399,7 +400,7 @@ def test_emb_query_survives_corrupt_vectors(spark, null_emb_dir, name):
     registry.load_all()
     rows = registry.QUERIES[name](spark, null_emb_dir).collect()
     corrupt_ids = (9000, 9001, 9034, 9085)
-    if name == "sim_topk_mmr":
+    if name in ("sim_topk_mmr", "sim_topk_mmr_pruned"):
         # MMR emits (rel, mmr) instead of score; same NULL hygiene.
         assert all(r["vec_id"] not in corrupt_ids for r in rows), name
         assert all(r["rel"] is not None and r["mmr"] is not None for r in rows), name

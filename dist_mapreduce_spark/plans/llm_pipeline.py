@@ -2749,3 +2749,79 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("canonical_id"),
         )
     )
+
+
+# ----------------------------------------------------- data-mix report
+
+@query(
+    "data_mix_report",
+    oracle=(
+        f"WITH base AS (SELECT source, lang,"
+        f"  CAST(count(*) AS BIGINT) AS n_docs,"
+        f"  CAST(sum(len({_D_TOKS})) AS BIGINT) AS n_tokens"
+        f" FROM documents GROUP BY source, lang),"
+        f" w AS (SELECT *, CAST(CASE "
+        + " ".join(
+            f"WHEN lang = '{k}' THEN {v}" for k, v in (
+                ("en", 5), ("zh", 3), ("de", 2), ("fr", 2), ("es", 2),
+            )
+        )
+        + f" ELSE 1 END AS BIGINT) AS weight FROM base),"
+        f" tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,"
+        f"  CAST(sum(weight * n_tokens) AS BIGINT) AS wt FROM w)"
+        f" SELECT source, lang, n_docs, n_tokens, weight,"
+        f"  CAST(n_tokens * 1000000 // t AS BIGINT) AS token_share_ppm,"
+        f"  CAST(weight * n_tokens * 1000000 // wt AS BIGINT)"
+        f"   AS sampled_share_ppm,"
+        f"  CAST((weight * n_tokens * 1000000 // wt) * 1000"
+        f"   // greatest(n_tokens * 1000000 // t, 1) AS BIGINT)"
+        f"   AS upsample_milli"
+        f" FROM w, tot"
+    ),
+)
+def q_data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training data-mix audit: per (source, language) stratum — the
+    unit a pretraining run budgets — document and token counts, the
+    stratum's raw token share, its SAMPLED share under the
+    MIX_WEIGHTS language weights (the mix_interleave schedule), and
+    the resulting up/down-sampling factor. This is the table every
+    data-mix decision meeting looks at: which strata the weights
+    amplify, by how much, and what raw mass backs them (an upsampled
+    tiny stratum = repeated epochs = memorization risk). All ratios
+    are exact integer ppm/milli of exact counts.
+
+    Scale shape: ONE scan with map-side token counting into a
+    |sources|×|langs| aggregate, one 1-row total broadcast back —
+    scan-bound and embarrassingly parallel at any corpus size."""
+    d = _docs(spark, sf_dir)
+    base = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ta.n_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    wexpr = "CAST(CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}"
+        for k, v in (("en", 5), ("zh", 3), ("de", 2), ("fr", 2), ("es", 2))
+    ) + " ELSE 1 END AS BIGINT)"
+    w = base.withColumn("weight", F.expr(wexpr))
+    tot = w.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.sum(F.col("weight") * F.col("n_tokens")).cast("long").alias("wt"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.expr("n_tokens * 1000000 DIV t").alias("token_share_ppm"),
+            F.expr("weight * n_tokens * 1000000 DIV wt").alias(
+                "sampled_share_ppm"
+            ),
+            F.expr(
+                "(weight * n_tokens * 1000000 DIV wt) * 1000"
+                " DIV greatest(n_tokens * 1000000 DIV t, 1)"
+            ).alias("upsample_milli"),
+        )
+    )

@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "quality_ccnet_bucket",
     "tokenizer_fertility",
     "search_passage_maxp",
+    "data_mix_report",
 ]
 
 

@@ -142,7 +142,6 @@ def _mmr_oracle() -> str:
         f"  SELECT *, row_number() OVER (PARTITION BY query_id"
         f"   ORDER BY rel DESC, vec_id) AS rk FROM cand) WHERE rk = 1)",
     ]
-    prev_sel = "sel1"
     union = ["SELECT * FROM sel1"]
     for t in range(2, MMR_K + 1):
         prev_all = f"all{t - 1}"
@@ -166,7 +165,6 @@ def _mmr_oracle() -> str:
             f"  GROUP BY r.query_id, r.vec_id, r.rel) WHERE rk = 1)"
         )
         union.append(f"SELECT * FROM sel{t}")
-        prev_sel = f"sel{t}"
     return (
         "WITH " + ", ".join(parts)
         + " SELECT query_id, step, vec_id, rel, mmr FROM ("

@@ -325,3 +325,55 @@ def test_hll_merge_register_rows_only(spark):
     |parts|×256 register tables."""
     info = _audit(spark, "sketch_hll_merge")
     assert info["python_stages"] == 0, info
+
+
+def test_passage_maxp_two_shuffles_beyond_scan(spark):
+    """MaxP = chunk scan + ONE stats aggregate broadcast back + ONE
+    per-doc window + TakeOrderedAndProject; no Python, no SMJ."""
+    info = _audit(spark, "search_passage_maxp")
+    assert info["shuffles"] <= 3, info
+    assert info["python_stages"] == 0, info
+    assert info["sortmerge_joins"] == 0, info
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """The eval slice (benchmark-sized) must broadcast onto the
+    cell-blocked train side — never a shuffled join of the corpus."""
+    info = _audit(spark, "contamination_embedding")
+    assert info["broadcast_joins"] >= 1, info
+    assert info["sortmerge_joins"] == 0, info
+    assert info["python_stages"] == 0, info
+
+
+def test_interval_overlap_is_equi_join_on_bins(spark):
+    """The interval join must plan as a hash equi-join on (key, bin) —
+    a BroadcastNestedLoop/cartesian here would be the quadratic form
+    the binning exists to avoid."""
+    from dist_mapreduce_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["join_interval_overlap"](spark, SF)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, "binned join degenerated"
+    assert "CartesianProduct" not in plan
+    info = _audit(spark, "join_interval_overlap")
+    assert info["python_stages"] == 0, info
+
+
+def test_cms_counter_table_is_bounded(spark):
+    """The sketch build must aggregate into <= CMS_D * CMS_W rows —
+    the whole point of the sketch (any corpus in 8 KB of longs)."""
+    from dist_mapreduce_spark.plans.registry import QUERIES, load_all
+    from dist_mapreduce_spark.plans.sketches import CMS_D, CMS_W
+
+    load_all()
+    rows = QUERIES["sketch_cms_merge"](spark, SF).collect()
+    parts = [r for r in rows if not r["part"].startswith("zz_")]
+    # mass conservation: per-part masses sum to the global mass.
+    zz = {r["part"]: r for r in rows}
+    assert sum(r["mass"] for r in parts) == zz["zz_global"]["mass"]
+    assert CMS_D * CMS_W == 1024  # the documented 8 KB bound

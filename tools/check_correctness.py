@@ -67,11 +67,21 @@ def main() -> int:
     from dist_mapreduce_spark.session import get_spark
 
     spark = get_spark("check_correctness")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+
+    def fresh_con():
+        # A FRESH connection per oracle: one long-lived connection
+        # accumulates buffer-manager usage across hundreds of
+        # MATERIALIZED-CTE oracles until a tiny allocation fails with
+        # Out of Memory (first seen at 260 queries: sim_topk_mmr OOMed
+        # in the full sweep while passing in isolation). Connect + 10
+        # view DDLs cost ~ms; isolation also makes every oracle's
+        # timing independent of sweep order.
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return c
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
@@ -91,7 +101,11 @@ def main() -> int:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            ddf = con.execute(oracles[name]).fetchdf()
+            con = fresh_con()
+            try:
+                ddf = con.execute(oracles[name]).fetchdf()
+            finally:
+                con.close()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)

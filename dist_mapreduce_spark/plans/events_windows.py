@@ -1163,3 +1163,74 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("scaled DIV row_n").alias("p_ppm"),
     )
+
+
+# -------------------------------------- sequential pattern match (M_R)
+
+#: Maximum span (seconds) from the pattern's first to last event —
+#: 7 days: the driver's per-user event cadence is ~1/day, so an
+#: hour-scale span would make the pattern vacuously empty; production
+#: tunes this to the product's session scale.
+PATTERN_SPAN_S = 7 * 86400
+
+
+@query(
+    "events_pattern_match",
+    oracle=(
+        f"WITH seq AS (SELECT user_id, ts, event_id, event_type,"
+        f"  lead(event_type, 1) OVER w AS e2,"
+        f"  lead(event_type, 2) OVER w AS e3,"
+        f"  lead(ts, 2) OVER w AS t3"
+        f" FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        f" WINDOW w AS (PARTITION BY user_id"
+        f"  ORDER BY ts, event_id NULLS FIRST)),"
+        f" m AS (SELECT user_id, ts FROM seq"
+        f"  WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'"
+        f"   AND t3 <= ts + INTERVAL {PATTERN_SPAN_S} SECOND)"
+        f" SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,"
+        f"  strftime(min(ts), '{_TS_FMT_DUCK}') AS first_match"
+        f" FROM m GROUP BY user_id"
+    ),
+)
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-2016 MATCH_RECOGNIZE's core case as a window plan: per user,
+    STRICTLY CONSECUTIVE view → click → purchase sequences completing
+    within the span — the row-pattern class (fraud step-sequences,
+    conversion micro-funnels) that differs from events_funnel's
+    anywhere-after semantics by requiring contiguity. Spark has no
+    MATCH_RECOGNIZE; the fixed-length pattern compiles to k−1 lead()
+    columns over one (user, time) window and a row predicate — the
+    standard rewrite, and for fixed k the PLAN-OPTIMAL one: one
+    exchange on user_id, one intra-partition sort, zero joins.
+
+    Ordering is total ((ts, event_id) with NULLS FIRST pinned — Spark
+    and DuckDB default NULL placement differs, so it is spelled);
+    NULL-user and NULL-ts rows are excluded as in every events window.
+
+    Scale shape: one shuffle regardless of pattern length; state is
+    the window frame's k-row lookahead, not a regex NFA — at 100 TB
+    per-user logs sort within their partition and stream through."""
+    e = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc_nulls_first()
+    )
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    )
+    m = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+        & (F.col("t3") <= F.expr(f"ts + INTERVAL {PATTERN_SPAN_S} SECONDS"))
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("first_match"),
+    )

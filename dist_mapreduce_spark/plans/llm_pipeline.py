@@ -2825,3 +2825,53 @@ def q_data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("upsample_milli"),
         )
     )
+
+
+# --------------------------------------------- lang-ID confusion matrix
+
+@query(
+    "quality_langid_confusion",
+    oracle=(
+        f"WITH pred AS (SELECT lang AS truth, {_duck_lang_pred()} AS pred"
+        f"  FROM documents),"
+        f" cm AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS n"
+        f"  FROM pred GROUP BY truth, pred),"
+        f" tot AS (SELECT truth, CAST(sum(n) AS BIGINT) AS n_truth"
+        f"  FROM cm GROUP BY truth)"
+        f" SELECT cm.truth, cm.pred, cm.n, tot.n_truth,"
+        f"  CAST(cm.n * 1000000 // tot.n_truth AS BIGINT) AS row_ppm,"
+        f"  cm.truth = cm.pred AS correct"
+        f" FROM cm JOIN tot ON tot.truth = cm.truth"
+    ),
+)
+def q_quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation audit for the heuristic language ID: the
+    full confusion matrix of labeled language vs lang_id's prediction,
+    with exact per-truth-row shares in ppm — the table that tells you
+    WHERE the classifier fails (e.g. zh has no marker lexicon, so its
+    row concentrates on 'und'/'en'), not just that it does. This is
+    the model-evaluation shape a data pipeline runs for every
+    heuristic gate it deploys (quality classifiers, langid, toxicity):
+    predictions against a labeled slice, stratified error rates.
+
+    Scale shape: ONE map-side scan evaluates the prediction per row
+    (pure codegen CASE chain over marker-hit counts), then a
+    |langs|² bounded aggregate — scan-throughput-bound at any corpus
+    size; the labeled slice in production is a sampled stratum, which
+    sample_stratified already produces."""
+    d = _docs(spark, sf_dir)
+    pred = d.select(
+        F.col("lang").alias("truth"), ta.lang_pred(F.col("text")).alias("pred")
+    )
+    cm = pred.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cm.groupBy("truth").agg(F.sum("n").cast("long").alias("n_truth"))
+    return cm.join(tot, "truth").select(
+        "truth",
+        "pred",
+        "n",
+        "n_truth",
+        F.expr("n * 1000000 DIV n_truth").alias("row_ppm"),
+        (F.col("truth") == F.col("pred")).alias("correct"),
+    )

@@ -399,3 +399,143 @@ def q_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         chk.alias("checksum"),
     )
     return pa.select("part", "mass", "checksum").unionByName(ma).unionByName(ga)
+
+
+# ------------------------------------------------ streaming HLL upkeep
+
+from dist_mapreduce_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query("stream_sketch_hll", oracle=_ORACLES["sketch_hll"])
+def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog maintenance — the live form of sketch_hll
+    and the third streamed merge-on-read index after
+    stream_index_append (cells) and stream_dedup_incremental (min-fold
+    fingerprints): events arrive in micro-batches, each batch writes
+    its per-register maxima as an ``ingest_batch=<id>`` run with
+    dynamic partition overwrite (replay-idempotent), and the live
+    sketch is the register-wise MAX over all runs. max is associative,
+    commutative and idempotent, so the drained sketch is independent
+    of arrival order and replay count — the contract
+    test_stream_hll_equals_batch pins by comparing the drained
+    registers and estimate BIT-FOR-BIT against the batch sketch_hll
+    over the same events. The registered oracle is sketch_hll's
+    VERBATIM: drained == batch is bit-exact, so the streamed path
+    passes the full value gate like the other streamed twins
+    (stream_cdc, stream_index_append, stream_dedup_incremental).
+
+    Scale shape: per micro-batch cost is one narrow (j, max r)
+    aggregate over the batch's hashes — ≤ 256 rows written per batch
+    regardless of volume; the merge reads only register runs. A year
+    of per-day sketches is ~100 KB."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from dist_mapreduce_spark.plans.relational import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_WBITS,
+        _hll_est_sql,
+        _LN_SPARK,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    stage = os.path.join(scratch, f"hll_stream_stage_{tag}")
+    ckpt = os.path.join(scratch, f"hll_stream_ckpt_{tag}")
+    runs = os.path.join(scratch, f"hll_stream_runs_{tag}")
+    for d in (stage, ckpt, runs):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def reg_maxima(df: DataFrame) -> DataFrame:
+        h = df.select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+            )
+            .cast("bigint")
+            .alias("hv")
+        ).distinct()
+        rho = h.select(
+            (F.col("hv") % HLL_M).alias("j"),
+            F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
+            .otherwise(
+                F.lit(HLL_WBITS + 1)
+                - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
+            )
+            .alias("r"),
+        )
+        return rho.groupBy("j").agg(F.max("r").alias("mj"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            reg_maxima(batch_df)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(runs)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    mx = spark.read.parquet(runs).groupBy("j").agg(F.max("mj").alias("mj"))
+    allj = spark.range(HLL_M).select(F.col("id").alias("j"))
+    fl = allj.join(mx, "j", "left").select(
+        "j", F.coalesce(F.col("mj"), F.lit(0)).alias("mj")
+    )
+    agg = fl.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - mj)"))
+        .cast("long")
+        .alias("reg_sum"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+    ).withColumn("k", F.lit(1))
+    ex = (
+        spark.read.parquet(stage)
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .withColumn("k", F.lit(1))
+    )
+    raw = f"CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(reg_sum AS DOUBLE)"
+    est_sql = _hll_est_sql(
+        raw, "v_zero", f"element_at({_LN_SPARK}, CAST(v_zero AS INT))"
+    )
+    method_sql = (
+        f"CASE WHEN v_zero > 0 AND ({raw}) < {2.5 * HLL_M!r}"
+        f" THEN 'linear_counting' ELSE 'raw' END"
+    )
+    return agg.join(ex, "k").select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "reg_sum",
+        "v_zero",
+        F.expr(est_sql).alias("hll_estimate"),
+        F.expr(method_sql).alias("method"),
+        "exact_users",
+        (
+            F.abs(F.expr(est_sql) - F.col("exact_users").cast("double"))
+            / F.greatest(F.col("exact_users"), F.lit(1)).cast("double")
+        ).alias("rel_err"),
+    )

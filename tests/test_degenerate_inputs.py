@@ -77,6 +77,7 @@ DOC_QUERIES = [
     "tokenizer_fertility",
     "search_passage_maxp",
     "data_mix_report",
+    "quality_langid_confusion",
 ]
 
 
@@ -158,6 +159,7 @@ EVENT_QUERIES = [
     "events_outliers",
     "skew_hitters",
     "events_transitions",
+    "events_pattern_match",
 ]
 
 

@@ -491,3 +491,88 @@ def test_stream_dedup_incremental_kill_and_resume(spark, tmp_path):
         for r in registry.QUERIES["dedup_incremental"](spark, SF).collect()
     )
     assert got == want
+
+
+def test_stream_hll_kill_and_resume_bit_equal(spark, tmp_path):
+    """The streaming HLL's exactly-once contract under failure: crash
+    the register-run sink at batch 2 after its write, resume from the
+    checkpoint, and require the drained registers to MAX-merge to the
+    exact batch sketch — max is idempotent, so the replayed run's
+    rewrite changes nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.relational import HLL_M, HLL_WBITS
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    stage = str(tmp_path / "stage")
+    runs = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def reg_maxima(df):
+        h = df.select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+            ).cast("bigint").alias("hv")
+        ).distinct()
+        return (
+            h.select(
+                (F.col("hv") % HLL_M).alias("j"),
+                F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
+                .otherwise(
+                    F.lit(HLL_WBITS + 1)
+                    - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
+                ).alias("r"),
+            )
+            .groupBy("j").agg(F.max("r").alias("mj"))
+        )
+
+    def write_run(bdf, bid):
+        (
+            reg_maxima(bdf).withColumn("ingest_batch", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(runs)
+        )
+
+    def crashing(bdf, bid):
+        write_run(bdf, bid)
+        if bid == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    def stream(sink):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+
+    q1 = stream(crashing)
+    with pytest.raises(Exception, match="injected|Terminated|STREAM"):
+        q1.processAllAvailable()
+    q1.stop()
+    q2 = stream(write_run)
+    try:
+        q2.processAllAvailable()
+        resumed = [p["batchId"] for p in (q2.recentProgress or []) if p]
+    finally:
+        q2.stop()
+    assert resumed and min(resumed) >= 2, resumed
+
+    drained = {
+        r["j"]: r["mj"]
+        for r in spark.read.parquet(runs).groupBy("j")
+        .agg(F.max("mj").alias("mj")).collect()
+    }
+    batch = {r["j"]: r["mj"] for r in reg_maxima(ev).collect()}
+    assert drained == batch

@@ -2467,7 +2467,12 @@ def _res_codebook(
     ]
 
 
-def _ivfpq_res_oracle() -> str:
+def _res_codes_ctes() -> str:
+    """The residual-codes CTE chain (cwr -> cw -> rcw -> rcb -> resv ->
+    rsub -> rasg -> rcodes): every vector's PQ codes over its residual
+    against its own cell centroid — ONE definition shared by the
+    serving oracle and the stored-codes index audit. Requires
+    IVF_CELLS_CTE's cent/cells to be in scope."""
     from dist_mapreduce_spark.functions.vectors import (
         l2sq_duckdb_sql,
         sub_duckdb_sql,
@@ -2483,20 +2488,10 @@ def _ivfpq_res_oracle() -> str:
 
     lo = f"(m*{PQ_DSUB}+1)"
     hi = f"(m*{PQ_DSUB}+{PQ_DSUB})"
-    adc_terms = " + ".join(
-        f"sum(CASE WHEN pc.m = {m} THEN pdot END)" for m in range(PQ_M)
-    )
     return (
-        f"WITH {IVF_CELLS_CTE},"
-        # Probes carry the per-(query, cell) coarse term qc = <q, c>:
-        # the residual decomposition <q, c + r> = <q, c> + <q, r>.
-        f" probes AS (SELECT r.vec_id AS query_id, r.cent_id AS pcell,"
-        f"   {dot_duckdb_sql('r.embedding', 'ct.cvec')} AS qc"
-        f"  FROM rkd r JOIN cent ct ON ct.cent_id = r.cent_id"
-        f"  WHERE r.vec_id < {N_QUERIES} AND r.crk <= {N_PROBE}),"
         # Deterministic sample rows keep their vec_id so their own cell
         # (and thus their residual) is derivable.
-        f" cwr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f"cwr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
         f"   vec_id AS svid, embedding AS cv"
         f"  FROM embeddings WHERE vec_id % {PQ_MOD} = {PQ_REM}"
         f"   AND vec_id < {PQ_CAP} AND embedding IS NOT NULL),"
@@ -2518,7 +2513,27 @@ def _ivfpq_res_oracle() -> str:
         f"  FROM rsub JOIN rcb USING (m)),"
         f" rcodes AS (SELECT vec_id, m, cid FROM (SELECT *, row_number()"
         f"   OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM rasg)"
-        f"  WHERE rk = 1),"
+        f"  WHERE rk = 1)"
+    )
+
+
+def _ivfpq_res_oracle() -> str:
+    from dist_mapreduce_spark.plans.similarity import PQ_DSUB, PQ_M
+
+    lo = f"(m*{PQ_DSUB}+1)"
+    hi = f"(m*{PQ_DSUB}+{PQ_DSUB})"
+    adc_terms = " + ".join(
+        f"sum(CASE WHEN pc.m = {m} THEN pdot END)" for m in range(PQ_M)
+    )
+    return (
+        f"WITH {IVF_CELLS_CTE},"
+        # Probes carry the per-(query, cell) coarse term qc = <q, c>:
+        # the residual decomposition <q, c + r> = <q, c> + <q, r>.
+        f" probes AS (SELECT r.vec_id AS query_id, r.cent_id AS pcell,"
+        f"   {dot_duckdb_sql('r.embedding', 'ct.cvec')} AS qc"
+        f"  FROM rkd r JOIN cent ct ON ct.cent_id = r.cent_id"
+        f"  WHERE r.vec_id < {N_QUERIES} AND r.crk <= {N_PROBE}),"
+        f" {_res_codes_ctes()},"
         # LUT: RAW query subvectors against RESIDUAL codewords (the
         # asymmetric side of IVFADC — queries are never residualized).
         f" qsub AS (SELECT vec_id AS query_id, m, embedding[{lo}:{hi}] AS qsv"
@@ -2812,4 +2827,202 @@ def q_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", "eval_id", "cos_sim")
+    )
+
+
+# ------------------------------- codes-augmented RESIDUAL index (IVFADC)
+
+def build_ivfpq_res_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write the residual-codes-augmented materialized index:
+    (vec_id, embedding, codes, cell) hive-partitioned by IVF cell, the
+    PQ codes computed ONCE at ingest over each vector's residual
+    against its own cell centroid (build_ivfpq_index's layout with the
+    IVFADC code family). Memoized per process like its siblings."""
+    from dist_mapreduce_spark.functions.vectors import sub_spark_sql
+    from dist_mapreduce_spark.plans.similarity import pq_cb_rows, pq_cells_expr
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = ivf_cent_rows(emb)
+    cb_rows = pq_cb_rows(emb)
+    path = _index_dir("ivfpq_res_index", sf_dir)
+    if not cent_rows or not cb_rows:
+        return path, cent_rows, cb_rows
+    fp = _corpus_fingerprint(sf_dir)
+    if _BUILT_THIS_SESSION.get(path) == fp and os.path.isdir(path):
+        return path, cent_rows, cb_rows
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    rcb = _res_codebook(cent_rows, cb_rows)
+    cent_df = spark.createDataFrame(
+        [(int(cid), cv) for cid, cv in cent_rows], "cell long, cvec array<double>"
+    )
+    (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", F.expr(f"{ranked}[0].c"))
+        .join(F.broadcast(cent_df), "cell")
+        .withColumn("res", F.expr(sub_spark_sql("embedding", "cvec")))
+        .withColumn("codes", F.expr(pq_cells_expr(rcb, "res")))
+        .select("vec_id", "embedding", "codes", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    _BUILT_THIS_SESSION[path] = fp
+    return path, cent_rows, cb_rows
+
+
+def _ivfpq_res_audit_oracle() -> str:
+    from dist_mapreduce_spark.plans.similarity import PQ_M
+
+    weights = " ".join(f"WHEN {m} THEN {16 ** m}" for m in range(PQ_M))
+    return (
+        f"WITH {IVF_CELLS_CTE},"
+        f" {_res_codes_ctes()},"
+        f" cvx AS (SELECT vec_id,"
+        f"  CAST(sum(cid * CASE m {weights} END) AS BIGINT) AS code_val"
+        f"  FROM rcodes GROUP BY vec_id)"
+        f" SELECT CAST(cl.cell AS BIGINT) AS cell,"
+        f"  CAST(count(*) AS BIGINT) AS n_vecs,"
+        f"  CAST(sum(CAST(cl.vec_id AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        f"   AS id_sum,"
+        f"  CAST(sum(CAST(cx.code_val AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        f"   AS code_sum"
+        f" FROM cells cl JOIN cvx cx ON cx.vec_id = cl.vec_id"
+        f" GROUP BY cl.cell"
+    )
+
+
+@query("sim_index_build_res", oracle=_ivfpq_res_audit_oracle())
+def q_sim_index_build_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the RESIDUAL-codes index and audit it from the
+    read-back files — sim_index_build_pq's contract for the IVFADC
+    code family: per-cell vector count, id checksum, and the base-16
+    code checksum proving the stored residual codes equal a SQL
+    re-derivation of subtract-then-encode from the source table (the
+    same rcodes CTE chain the residual serving oracle uses). With this
+    row the residual composition is a stored-codes system end to end:
+    encode once at ingest, serve from 8 small ints per row."""
+    from dist_mapreduce_spark.plans.similarity import PQ_M
+
+    path, cent_rows, cb_rows = build_ivfpq_res_index(spark, sf_dir)
+    if not cent_rows or not cb_rows:
+        return spark.createDataFrame(
+            [], "cell bigint, n_vecs bigint, id_sum bigint, code_sum bigint"
+        )
+    back = spark.read.parquet(path)
+    code_val = " + ".join(
+        f"CAST(element_at(codes, {m + 1}) AS BIGINT) * {16 ** m}"
+        for m in range(PQ_M)
+    )
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.expr(
+                f"CAST(sum(CAST(({code_val}) AS DECIMAL(38,0)))"
+                f" % {CHECKSUM_MOD} AS BIGINT)"
+            ).alias("code_sum"),
+        )
+    )
+
+
+@query("sim_topk_ivfpq_res_pruned", oracle=_ivfpq_res_oracle())
+def q_sim_topk_ivfpq_res_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ serving FROM the stored codes — the IVFADC read
+    path: ONE partition-pruned scan of the probed cells supplies the
+    stored residual codes (ADC via the broadcast LUT frame, ranked by
+    adc + the per-(query, cell) coarse term riding the probes frame)
+    and the full vectors for the exact rerank; nothing re-encodes at
+    query time. Identical output to sim_topk_ivfpq_res — same oracle,
+    same one-plan batched shape as sim_topk_ivfpq_pruned."""
+    from dist_mapreduce_spark.plans.similarity import PQ_DSUB, PQ_M, pq_cb_rows
+
+    emb = _emb(spark, sf_dir)
+    path, cent_rows, cb_rows = build_ivfpq_res_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, score double, rk int"
+    )
+    if not cent_rows or not cb_rows:
+        return empty
+    q_rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") < N_QUERIES) & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not q_rows:
+        return empty
+    rcb = _res_codebook(cent_rows, cb_rows)
+    cmap = dict(cent_rows)
+    probe_rows = [
+        (qid, int(c), py_dot(qv, cmap[int(c)]))
+        for qid, qv in q_rows
+        for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, pcell long, qc double")
+    union_cells = sorted({c for _, c, _ in probe_rows})
+    luts = {
+        qid: [
+            [py_dot(qv[m * PQ_DSUB : (m + 1) * PQ_DSUB], rcb[m][c])
+             for c in range(len(rcb[m]))]
+            for m in range(PQ_M)
+        ]
+        for qid, qv in q_rows
+    }
+    lut_df = spark.createDataFrame(
+        [
+            (qid, m, c, luts[qid][m][c])
+            for qid, _ in q_rows
+            for m in range(PQ_M)
+            for c in range(len(luts[qid][m]))
+        ],
+        "query_id long, m int, cid int, pdot double",
+    )
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    adc_terms = " + ".join(
+        f"sum(CASE WHEN m = {m} THEN pdot END)" for m in range(PQ_M)
+    )
+    scored = (
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", "vec_id", "qc", F.posexplode("codes").alias("m", "cid")
+        )
+        .join(F.broadcast(lut_df), ["query_id", "m", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.expr(adc_terms).alias("adc"), F.max("qc").alias("qc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("adc") + F.col("qc")), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= IVFPQ_RES_RERANK)
+        .select("query_id", "vec_id")
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    vecs = spark.read.parquet(path).filter(
+        F.col("cell").isin(union_cells)
+    ).select("vec_id", "embedding")
+    reranked = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rk")
     )

@@ -539,3 +539,102 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("exact_users"), F.lit(1)).cast("double")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------- distribution drift audit
+
+#: Drift histogram: coarser than the quantile sketch (20 bins) so the
+#: per-bin audit table stays eyeball-sized; same fixed literal range.
+DRIFT_BINS = 20
+DRIFT_WIDTH = (QH_HI - QH_LO) // DRIFT_BINS
+#: Deterministic cohort split: orders before vs since this date.
+DRIFT_CUT = "1998-01-01"
+
+
+@query(
+    "dq_distribution_drift",
+    oracle=(
+        f"WITH v AS (SELECT"
+        f"  CAST(least(greatest(({_D_CENTS} - {QH_LO}), 0) // {DRIFT_WIDTH},"
+        f"   {DRIFT_BINS - 1}) AS BIGINT) AS b,"
+        f"  (o_orderdate < TIMESTAMP '{DRIFT_CUT}') AS is_a FROM orders),"
+        f" h AS (SELECT b,"
+        f"  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,"
+        f"  CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b"
+        f"  FROM v GROUP BY b),"
+        f" tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,"
+        f"  CAST(sum(n_b) AS BIGINT) AS tb FROM h),"
+        f" sh AS (SELECT b, n_a, n_b,"
+        f"  CAST(n_a * 1000000 // greatest(ta, 1) AS BIGINT) AS share_a_ppm,"
+        f"  CAST(n_b * 1000000 // greatest(tb, 1) AS BIGINT) AS share_b_ppm"
+        f"  FROM h, tot)"
+        f" SELECT b, n_a, n_b, share_a_ppm, share_b_ppm,"
+        f"  abs(share_a_ppm - share_b_ppm) AS drift_ppm FROM sh"
+        f" UNION ALL"
+        f" SELECT CAST(-1 AS BIGINT) AS b, CAST(sum(n_a) AS BIGINT),"
+        f"  CAST(sum(n_b) AS BIGINT),"
+        f"  CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT),"
+        f"  CAST(sum(abs(share_a_ppm - share_b_ppm)) // 2 AS BIGINT)"
+        f" FROM sh"
+    ),
+)
+def q_dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two deterministic time cohorts
+    (orders before vs since {DRIFT_CUT}) over the fixed-bin order-value
+    histogram: per bin, both cohorts' counts and exact ppm shares plus
+    the share delta, and a summary row (b = −1) carrying the TOTAL
+    VARIATION distance in ppm (Σ|Δ|/2 — the standard drift gate
+    metric, exact integers instead of a libm-dependent KL/PSI, so both
+    engines agree bit-for-bit). This is the monitoring table a
+    pipeline computes per ingest batch against the trailing window:
+    TV above threshold blocks the batch for review — the dq family's
+    (dq_expectations) temporal complement.
+
+    Scale shape: one scan binned map-side into ≤ DRIFT_BINS rows per
+    cohort flag, one tiny aggregate — scan-bound at any scale, and the
+    per-cohort histograms are exactly the mergeable sketch rows
+    sketch_quantile_merge persists, so in production the drift audit
+    reads two stored sketches and never re-scans either cohort."""
+    v = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            f"CAST(least(greatest(((CAST(CAST(o_totalprice AS DECIMAL(12,2))"
+            f" * 100 AS BIGINT)) - {QH_LO}), 0) DIV {DRIFT_WIDTH},"
+            f" {DRIFT_BINS - 1}) AS BIGINT)"
+        ).alias("b"),
+        (F.col("o_orderdate") < F.lit(DRIFT_CUT).cast("timestamp_ntz")).alias(
+            "is_a"
+        ),
+    )
+    h = v.groupBy("b").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    tot = h.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    )
+    sh = h.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "n_a",
+        "n_b",
+        F.expr("n_a * 1000000 DIV greatest(ta, 1)").alias("share_a_ppm"),
+        F.expr("n_b * 1000000 DIV greatest(tb, 1)").alias("share_b_ppm"),
+    )
+    per_bin = sh.select(
+        "b",
+        "n_a",
+        "n_b",
+        "share_a_ppm",
+        "share_b_ppm",
+        F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).alias("drift_ppm"),
+    )
+    total = sh.agg(
+        F.lit(-1).cast("long").alias("b"),
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.lit(1000000).cast("long").alias("share_a_ppm"),
+        F.lit(1000000).cast("long").alias("share_b_ppm"),
+        F.expr(
+            "CAST(sum(abs(share_a_ppm - share_b_ppm)) DIV 2 AS BIGINT)"
+        ).alias("drift_ppm"),
+    )
+    return per_bin.unionByName(total)

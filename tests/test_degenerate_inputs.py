@@ -362,6 +362,8 @@ EMB_QUERIES = [
     # become residual codewords or ranked candidates — and MMR
     # serving, whose candidate pool must skip NULL vectors.
     "sim_topk_ivfpq_res",
+    "sim_topk_ivfpq_res_pruned",
+    "sim_index_build_res",
     "sim_topk_mmr",
     "sim_topk_mmr_pruned",
     "contamination_embedding",

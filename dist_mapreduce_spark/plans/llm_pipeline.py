@@ -2875,3 +2875,51 @@ def q_quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * 1000000 DIV n_truth").alias("row_ppm"),
         (F.col("truth") == F.col("pred")).alias("correct"),
     )
+
+
+# --------------------------------------------- dedup-rate report
+
+@query(
+    "quality_dedup_report",
+    oracle=(
+        f"WITH fp AS (SELECT doc_id, source, lang, {_D_FP} AS fp"
+        f"  FROM documents),"
+        f" canon AS (SELECT fp, min(doc_id) AS canon_id FROM fp GROUP BY fp),"
+        f" flagged AS (SELECT f.source, f.lang,"
+        f"   (f.doc_id <> c.canon_id) AS is_dup"
+        f"  FROM fp f JOIN canon c ON c.fp = f.fp)"
+        f" SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,"
+        f"  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,"
+        f"  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000"
+        f"   // count(*) AS BIGINT) AS dup_ppm"
+        f" FROM flagged GROUP BY source, lang"
+    ),
+)
+def q_quality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health dedup report: exact-duplicate rates per
+    (source, language) stratum — the table that tells a crawl operator
+    WHICH feeds are boilerplate-heavy before any expensive near-dup
+    pass runs (strata with high exact-dup ppm get the MinHash budget
+    first). Reuses dedup_exact's normalized fingerprint verbatim;
+    rates are exact integer ppm.
+
+    Scale shape: one fingerprint scan + one (fp → min id) aggregate +
+    one stratum rollup — the same two narrow shuffles dedup_exact
+    runs, with a |sources|×|langs| output."""
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "lang",
+        ta.normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    flagged = fp.join(canon, "fp").select(
+        "source", "lang", (F.col("doc_id") != F.col("canon_id")).alias("is_dup")
+    )
+    return flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dups"),
+        F.expr(
+            "sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000 DIV count(*)"
+        ).alias("dup_ppm"),
+    )

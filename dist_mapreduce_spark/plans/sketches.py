@@ -403,6 +403,12 @@ def q_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ streaming HLL upkeep
 
+# Explicit dependency: the streamed twins below register with their
+# batch twins' oracles, which live in relational.py — import it so a
+# DIRECT import of this module (tests) sees them registered, not just
+# the load_all() path whose ordering happens to do it first.
+import dist_mapreduce_spark.plans.relational  # noqa: E402,F401
+
 from dist_mapreduce_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
 
 
@@ -638,3 +644,115 @@ def q_dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drift_ppm"),
     )
     return per_bin.unionByName(total)
+
+
+# ------------------------------------------------ streaming CMS upkeep
+
+@query("stream_sketch_cms", oracle=_ORACLES["sketch_cms"])
+def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min maintenance — the fourth streamed
+    merge-on-read artifact, and the one that proves the run-directory
+    pattern handles NON-IDEMPOTENT folds: unlike set-union (cells),
+    min (fingerprints) and max (HLL registers), CMS counters SUM —
+    naively replaying a crashed micro-batch would double-count. The
+    per-batch dynamic-overwrite run directory is what restores
+    exactly-once: a replayed batch REWRITES its own
+    ``ingest_batch=<id>`` partial counters instead of adding to them,
+    so the drained elementwise sum over runs equals the batch sketch
+    regardless of crash/replay history (pinned by the kill-resume
+    test). The registered oracle is sketch_cms's VERBATIM — the
+    drained counters feed the same probe/exact audit and the values
+    are bit-equal.
+
+    Scale shape: per micro-batch cost is one (d, w) count aggregate —
+    ≤ 1 024 rows written per batch regardless of volume; the merge and
+    the probe reads touch only counter rows."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    stage = os.path.join(scratch, f"cms_stream_stage_{tag}")
+    ckpt = os.path.join(scratch, f"cms_stream_ckpt_{tag}")
+    runs = os.path.join(scratch, f"cms_stream_runs_{tag}")
+    for d in (stage, ckpt, runs):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.crossJoin(F.broadcast(ds))
+            .select("d", F.expr(_cms_hash_spark("d", "user_id")).alias("w"))
+            .groupBy("d", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(runs)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cnt = (
+        spark.read.parquet(runs)
+        .groupBy("d", "w")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    staged = spark.read.parquet(stage)
+    n = staged.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    probes = (
+        staged.filter(F.col("user_id") < CMS_PROBES)
+        .select(F.col("user_id").alias("probe"))
+        .distinct()
+    )
+    est = (
+        probes.crossJoin(F.broadcast(ds))
+        .withColumn("w", F.expr(_cms_hash_spark("d", "probe")))
+        .join(cnt, ["d", "w"])
+        .groupBy("probe")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    ex = (
+        staged.filter(F.col("user_id") < CMS_PROBES)
+        .groupBy(F.col("user_id").alias("probe"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        est.join(ex, "probe")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "probe",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+            "n_events",
+            (
+                (F.col("cms_est") - F.col("exact_cnt")).cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("over_frac"),
+        )
+    )

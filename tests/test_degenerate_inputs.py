@@ -78,6 +78,7 @@ DOC_QUERIES = [
     "search_passage_maxp",
     "data_mix_report",
     "quality_langid_confusion",
+    "quality_dedup_report",
 ]
 
 

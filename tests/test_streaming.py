@@ -576,3 +576,79 @@ def test_stream_hll_kill_and_resume_bit_equal(spark, tmp_path):
     }
     batch = {r["j"]: r["mj"] for r in reg_maxima(ev).collect()}
     assert drained == batch
+
+
+def test_stream_cms_kill_and_resume_no_double_count(spark, tmp_path):
+    """The non-idempotent-fold case: CMS counters SUM, so a naive
+    replay of a crashed batch would double-count. The run-directory
+    rewrite must keep the drained counter table exactly equal to the
+    batch sketch — the strongest exactly-once evidence in the streamed
+    family because the fold itself offers no replay protection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.sketches import CMS_D, _cms_hash_spark
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    stage = str(tmp_path / "stage")
+    runs = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+
+    def counters(df):
+        return (
+            df.crossJoin(F.broadcast(ds))
+            .select("d", F.expr(_cms_hash_spark("d", "user_id")).alias("w"))
+            .groupBy("d", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    def write_run(bdf, bid):
+        (
+            counters(bdf).withColumn("ingest_batch", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(runs)
+        )
+
+    def crashing(bdf, bid):
+        write_run(bdf, bid)
+        if bid == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    def stream(sink):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+
+    q1 = stream(crashing)
+    with pytest.raises(Exception, match="injected|Terminated|STREAM"):
+        q1.processAllAvailable()
+    q1.stop()
+    q2 = stream(write_run)
+    try:
+        q2.processAllAvailable()
+        resumed = [p["batchId"] for p in (q2.recentProgress or []) if p]
+    finally:
+        q2.stop()
+    assert resumed and min(resumed) >= 2, resumed
+
+    drained = {
+        (r["d"], r["w"]): r["c"]
+        for r in spark.read.parquet(runs).groupBy("d", "w")
+        .agg(F.sum("c").cast("long").alias("c")).collect()
+    }
+    batch = {(r["d"], r["w"]): r["c"] for r in counters(ev).collect()}
+    assert drained == batch

@@ -700,3 +700,64 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity_ppm"),
         )
     )
+
+
+@query(
+    "graph_degree_hist",
+    oracle=(
+        "WITH p AS ({mh}),"
+        " edges AS (SELECT doc_a AS v FROM p"
+        "  UNION ALL SELECT doc_b FROM p),"
+        " deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM edges"
+        "  GROUP BY v),"
+        " bkt AS (SELECT length(bin(d)) - 1 AS lb, d FROM deg),"
+        " tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)"
+        " SELECT CAST(lb AS BIGINT) AS log2_bucket,"
+        "  CAST(1 << lb AS BIGINT) AS bucket_lo,"
+        "  CAST(count(*) AS BIGINT) AS n_nodes,"
+        "  CAST(min(d) AS BIGINT) AS min_deg,"
+        "  CAST(max(d) AS BIGINT) AS max_deg,"
+        "  CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm"
+        " FROM bkt, tot GROUP BY lb, tot.n"
+    ).format(mh=_duck_minhash_oracle()),
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph in log2 buckets — the
+    power-law audit that complements graph_triangles' transitivity
+    check: a healthy near-dup graph is sparse with a thin tail, while
+    a heavy high-degree bucket means a template/boilerplate cluster is
+    snowballing (exactly the hot-cell class the collapse pre-passes
+    and caps exist for — this table is the alarm that fires BEFORE a
+    build blows up). Buckets are floor(log2(d)) via the house
+    length(bin(d))−1 trick, pure integers, with exact ppm node shares.
+
+    Scale shape: degrees are one aggregate over the already-
+    thresholded edge list; the histogram is a ≤64-row rollup —
+    strictly cheaper than any consumer of the same graph."""
+    from dist_mapreduce_spark.plans.llm_pipeline import q_dedup_minhash
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    deg = edges.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    bkt = deg.select(
+        (F.length(F.bin("d")) - 1).cast("long").alias("log2_bucket"), "d"
+    )
+    tot = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        bkt.crossJoin(F.broadcast(tot))
+        .groupBy("log2_bucket", "n")
+        .agg(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(log2_bucket AS INT))"
+                   " AS BIGINT)").alias("bucket_lo"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+            F.expr("count(*) * 1000000 DIV n").alias("share_ppm"),
+        )
+        .select(
+            "log2_bucket", "bucket_lo", "n_nodes", "min_deg", "max_deg",
+            "share_ppm",
+        )
+    )

@@ -70,6 +70,7 @@ DOC_QUERIES = [
     "dedup_image_near",
     "dedup_audio_fp",
     "graph_triangles",
+    "graph_degree_hist",
     # round-8: chunking (empty/whitespace docs must yield NO chunks,
     # not a crash) and the perplexity-tercile audit.
     "chunk_documents",

@@ -438,8 +438,14 @@ def q_sim_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     from dist_mapreduce_spark.plans.similarity import q_sim_topk_filtered
 
-    truth = q_sim_topk_filtered(spark, sf_dir).select("query_id", "vec_id")
-    truth.cache()  # reused by n_truth and the hit join; source-only reads
+    # Reused by n_truth and the hit join; localCheckpoint(eager) instead
+    # of cache() so the materialized blocks are GC-owned by this frame
+    # and don't accumulate in executor storage across a long gate sweep.
+    truth = (
+        q_sim_topk_filtered(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     cand = _filtered_candidates(spark, sf_dir)
     post = (
         cand.withColumn(
@@ -2383,7 +2389,10 @@ def q_sim_filtered_adaptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= TOP_K)
             .select("query_id", "vec_id")
-            .cache()
+            # eager localCheckpoint, not cache(): truth is ≤ nq·k rows,
+            # reused by nt/nh joins, and the blocks are released with
+            # the frame instead of persisting across the gate sweep.
+            .localCheckpoint(eager=True)
         )
 
     def cnt(df: DataFrame, col: str) -> DataFrame:

@@ -2770,11 +2770,12 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,"
         f"  CAST(sum(weight * n_tokens) AS BIGINT) AS wt FROM w)"
         f" SELECT source, lang, n_docs, n_tokens, weight,"
-        f"  CAST(n_tokens * 1000000 // t AS BIGINT) AS token_share_ppm,"
-        f"  CAST(weight * n_tokens * 1000000 // wt AS BIGINT)"
+        f"  CAST(n_tokens * 1000000 // greatest(t, 1) AS BIGINT)"
+        f"   AS token_share_ppm,"
+        f"  CAST(weight * n_tokens * 1000000 // greatest(wt, 1) AS BIGINT)"
         f"   AS sampled_share_ppm,"
-        f"  CAST((weight * n_tokens * 1000000 // wt) * 1000"
-        f"   // greatest(n_tokens * 1000000 // t, 1) AS BIGINT)"
+        f"  CAST((weight * n_tokens * 1000000 // greatest(wt, 1)) * 1000"
+        f"   // greatest(n_tokens * 1000000 // greatest(t, 1), 1) AS BIGINT)"
         f"   AS upsample_milli"
         f" FROM w, tot"
     ),
@@ -2815,13 +2816,15 @@ def q_data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             "weight",
-            F.expr("n_tokens * 1000000 DIV t").alias("token_share_ppm"),
-            F.expr("weight * n_tokens * 1000000 DIV wt").alias(
+            F.expr("n_tokens * 1000000 DIV greatest(t, 1)").alias(
+                "token_share_ppm"
+            ),
+            F.expr("weight * n_tokens * 1000000 DIV greatest(wt, 1)").alias(
                 "sampled_share_ppm"
             ),
             F.expr(
-                "(weight * n_tokens * 1000000 DIV wt) * 1000"
-                " DIV greatest(n_tokens * 1000000 DIV t, 1)"
+                "(weight * n_tokens * 1000000 DIV greatest(wt, 1)) * 1000"
+                " DIV greatest(n_tokens * 1000000 DIV greatest(t, 1), 1)"
             ).alias("upsample_milli"),
         )
     )

@@ -185,13 +185,11 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ONLY corpus-sized work is the candidate stage
     (one scan + per-query top-MMR_CAND window — the existing
     bruteforce/IVF serving shapes slot in unchanged); everything after
-    operates on ≤ MMR_CAND rows per query, so the MMR_K unrolled
-    greedy steps are joins/windows over a few hundred rows total,
-    independent of corpus size. The candidate pool and its pairwise
-    sims are computed ONCE and reused by every step (the pairwise
-    frame is MMR_CAND² per query, bounded by the serving budget, never
-    by N). Selection order is emitted as `step` so the diversification
-    is auditable."""
+    operates on ≤ MMR_CAND rows per query inside ONE Arrow grouped-map
+    stage (_mmr_greedy), so job count is constant in MMR_K and the
+    pairwise sims (MMR_CAND² per query, bounded by the serving budget,
+    never by N) are computed once per pool. Selection order is emitted
+    as `step` so the diversification is auditable."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -208,84 +206,105 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= MMR_CAND)
         .select("query_id", "vec_id", "rel", "embedding")
-        .cache()
     )
     return _mmr_greedy(cand)
 
 
+def _dot_seq(a, b) -> float:
+    """The shared sequential left-fold dot product (seed 0.0, add
+    terms in index order) in Python doubles — the SAME IEEE operation
+    sequence as cosine_spark_sql's aggregate(zip_with(...)) and the
+    DuckDB unrolled chain, so a cosine computed here is bit-identical
+    to one computed by either engine."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _cos_seq(a, b) -> float:
+    import math
+
+    return _dot_seq(a, b) / (math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b)))
+
+
+def _desc_first(v: float, best: float) -> bool:
+    """True iff v ranks strictly before best under ORDER BY x DESC with
+    both engines' NaN-is-greatest semantics (ties resolve to the
+    earlier candidate because callers iterate vec_id-ascending)."""
+    import math
+
+    vn, bn = math.isnan(v), math.isnan(best)
+    if vn != bn:
+        return vn
+    if vn:
+        return False
+    return v > best
+
+
 def _mmr_greedy(cand: DataFrame) -> DataFrame:
-    """The unrolled greedy selection over a (query_id, vec_id, rel,
-    embedding) candidate pool — shared by the brute-force and the
-    IVF-pruned MMR variants (ONE definition of the selection)."""
-    a = cand.select(
-        "query_id",
-        F.col("vec_id").alias("a_id"),
-        F.col("rel").alias("a_rel"),
-        F.col("embedding").alias("a_emb"),
+    """The greedy selection over a (query_id, vec_id, rel, embedding)
+    candidate pool — shared by the brute-force and the IVF-pruned MMR
+    variants (ONE definition of the selection).
+
+    Executed as a SINGLE Arrow grouped-map stage (applyInPandas over
+    query_id): each query's pool is ≤ MMR_CAND rows, so all MMR_K
+    greedy steps run inside one task with job count CONSTANT in K —
+    the previous unrolled-DataFrame form issued K driver-coordinated
+    jobs per serving batch, linear in the page depth. The corpus-sized
+    candidate stage stays fully JVM-side upstream; only the bounded
+    per-query pools cross the Arrow boundary. Float parity with the
+    CTE oracle holds bit-for-bit: rel arrives already folded by Spark,
+    pairwise cosines use the identical sequential double fold
+    (_dot_seq), and mmr = 0.5*rel − 0.5*dmax is the same two exact
+    power-of-two multiplies and one subtract in every dialect."""
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rows = sorted(
+            (
+                (int(r.vec_id), float(r.rel), [float(x) for x in r.embedding])
+                for r in pdf.itertuples()
+            ),
+            key=lambda r: r[0],
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        # Pairwise sims inside the pool, computed once (MMR_CAND² max).
+        sims = {}
+        for i, (ai, _, ae) in enumerate(rows):
+            for bj, (bi, _, be) in enumerate(rows):
+                if i < bj:
+                    s = _cos_seq(ae, be)
+                    sims[(ai, bi)] = s
+                    sims[(bi, ai)] = s
+        out = []
+        selected = []
+        remaining = list(rows)
+        for step in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best = None
+            best_mmr = None
+            for vid, rel, _ in remaining:  # vec_id-ascending → tiebreak
+                if step == 1:
+                    mmr = 0.5 * rel
+                else:
+                    dmax = max(sims[(vid, s_id)] for s_id in selected)
+                    mmr = 0.5 * rel - 0.5 * dmax
+                if best is None or _desc_first(mmr, best_mmr):
+                    best, best_mmr = (vid, rel), mmr
+            out.append((qid, step, best[0], best[1], best_mmr))
+            selected.append(best[0])
+            remaining = [r for r in remaining if r[0] != best[0]]
+        return pd.DataFrame(
+            out, columns=["query_id", "step", "vec_id", "rel", "mmr"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, step long, vec_id long, rel double, mmr double",
     )
-    b = cand.select(
-        "query_id",
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-    )
-    pair = (
-        a.join(b, "query_id")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("s", F.expr(cosine_spark_sql("a_emb", "b_emb")))
-        .select("query_id", "a_id", "b_id", "s")
-        .cache()
-    )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
-    selected = (
-        cand.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            "vec_id",
-            "rel",
-            F.lit(1).cast("long").alias("step"),
-            (F.lit(0.5) * F.col("rel")).alias("mmr"),
-        )
-    )
-    out = selected
-    for t in range(2, MMR_K + 1):
-        rem = cand.select("query_id", "vec_id", "rel").join(
-            out.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
-        )
-        # Pair rows whose b-side is already selected → per-remaining-
-        # candidate redundancy = max sim to the selected set.
-        div = (
-            pair.join(
-                out.select("query_id", F.col("vec_id").alias("b_id")),
-                ["query_id", "b_id"],
-                "left_semi",
-            )
-            .groupBy("query_id", F.col("a_id").alias("vec_id"))
-            .agg(F.max("s").alias("dmax"))
-        )
-        scored = rem.join(div, ["query_id", "vec_id"]).withColumn(
-            "mmr", F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("dmax")
-        )
-        wt = Window.partitionBy("query_id").orderBy(
-            F.desc("mmr"), F.asc("vec_id")
-        )
-        pick = (
-            scored.withColumn("rk", F.row_number().over(wt))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id",
-                "vec_id",
-                "rel",
-                F.lit(t).cast("long").alias("step"),
-                "mmr",
-            )
-        )
-        # Truncate lineage: each step's plan would otherwise embed the
-        # full recomputation of every previous pick (the iterative-
-        # algorithm rule from plans/iterative.py); the frame is
-        # ≤ MMR_K·|queries| rows, so the checkpoint is trivial.
-        out = out.unionByName(pick).localCheckpoint()
-    return out.select("query_id", "step", "vec_id", "rel", "mmr")
 
 
 # ------------------------------------------------ passage retrieval
@@ -525,6 +544,5 @@ def q_sim_topk_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= MMR_CAND)
         .select("query_id", "vec_id", "rel", "embedding")
-        .cache()
     )
     return _mmr_greedy(cand)

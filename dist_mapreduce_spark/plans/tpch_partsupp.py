@@ -53,7 +53,8 @@ _DEC_FRAC = "decimal(4,2)"
 _SQL_PARTSUPP = """
         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                   // CAST(l_quantity AS BIGINT)) AS ps_supplycost_cents,
+                   // greatest(CAST(l_quantity AS BIGINT), 1))
+                 AS ps_supplycost_cents,
                sum(CAST(l_quantity AS BIGINT)) AS ps_availqty
         FROM lineitem
         GROUP BY l_partkey, l_suppkey
@@ -82,7 +83,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.expr(
                 "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
-                " DIV CAST(l_quantity AS BIGINT)"
+                " DIV greatest(CAST(l_quantity AS BIGINT), 1)"
             )).alias("ps_supplycost_cents"),
             F.sum(qty).alias("ps_availqty"),
         )

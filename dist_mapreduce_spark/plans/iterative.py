@@ -102,42 +102,71 @@ KMEANS_SCALE = 1 << 20
 
 
 def kmeans_dist_duck(lhs: str = "e.q", rhs: str = "c.cq") -> str:
-    """DuckDB int64 squared-L2 between two quantized-vector columns."""
-    return (
-        f"list_reduce(list_transform(range(1, {DIM} + 1),"
-        f" j -> ({lhs}[j] - {rhs}[j]) * ({lhs}[j] - {rhs}[j])),"
-        f" (a, b) -> a + b)"
+    """DuckDB int64 squared-L2 between two quantized-vector columns.
+
+    UNROLLED to explicit terms (round 9): int64 addition is exact and
+    associative, so the left-associative `t1 + t2 + …` chain is
+    VALUE-IDENTICAL to the old list_reduce fold (unlike the float dot
+    twins, where only the identical fold ORDER guarantees parity) but
+    ~60× faster — DuckDB's interpreted per-row lambda machinery cost
+    ~0.5 ms per 64-element fold, which priced the 5-round training
+    replay at N·k·5 folds per oracle. Bounds: |q| < 2^20 per
+    coordinate, per-term < 2^42, 64 terms < 2^48 ≪ 2^63. Out-of-range
+    indexing on a ragged vector yields NULL exactly like the fold over
+    range(1, 65) did."""
+    terms = " + ".join(
+        f"({lhs}[{j}] - {rhs}[{j}]) * ({lhs}[{j}] - {rhs}[{j}])"
+        for j in range(1, DIM + 1)
     )
+    return f"(CAST(0 AS BIGINT) + {terms})"
 
 
-def kmeans_train_ctes() -> list[str]:
+def kmeans_train_ctes(
+    k_sql: str | None = None,
+    null_guard: bool = False,
+    materialized: bool = True,
+) -> list[str]:
     """The unrolled Lloyd's-training CTE chain (e, c0, a1/u1/c1 …
-    c{N_ITER}) — shared verbatim by the kmeans_embeddings oracle and
-    the trained-quantizer oracles in plans/trained_quantizer.py, so
-    'trained centroids' has exactly ONE cross-engine definition."""
+    c{N_ITER}) — shared verbatim by the kmeans_embeddings oracle, the
+    trained-quantizer oracles in plans/trained_quantizer.py, and the
+    DEFAULT serving quantizer (plans/similarity.py, round 9), so
+    'trained centroids' has exactly ONE cross-engine definition.
+
+    ``k_sql`` overrides the centroid-count LIMIT (a constant or a
+    scalar subquery like ``(SELECT k FROM krule)`` — the data-scaled
+    K rule); ``null_guard`` excludes NULL-embedding rows from training
+    (a NULL row in the first K would otherwise poison a centroid);
+    ``materialized`` (default) marks each round MATERIALIZED — with
+    the unrolled distance expression, letting DuckDB INLINE the chain
+    re-expands c{r} (referenced twice per round) exponentially and
+    the planner OOMs; materialization also means an oracle that
+    references the trained cells many times replays training once."""
     dist = kmeans_dist_duck()
+    limit = k_sql if k_sql is not None else str(K)
+    guard = " WHERE embedding IS NOT NULL" if null_guard else ""
+    mat = " MATERIALIZED" if materialized else ""
     parts = [
-        f"e AS (SELECT vec_id, list_transform(embedding,"
+        f"e AS{mat} (SELECT vec_id, list_transform(embedding,"
         f" x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS q"
-        f" FROM embeddings)",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq"
-        f" FROM e ORDER BY vec_id LIMIT {K})",
+        f" FROM embeddings{guard})",
+        f"c0 AS{mat} (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq"
+        f" FROM e ORDER BY vec_id LIMIT {limit})",
     ]
     for r in range(1, N_ITER + 1):
         prev = f"c{r - 1}"
         parts.append(
-            f"a{r} AS (SELECT vec_id, q, cid FROM ("
+            f"a{r} AS{mat} (SELECT vec_id, q, cid FROM ("
             f" SELECT e.vec_id, e.q, c.cid,"
             f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid)"
             f" AS rn FROM e CROSS JOIN {prev} c) sub WHERE rn = 1)"
         )
         parts.append(
-            f"u{r} AS (SELECT cid, j AS dim,"
+            f"u{r} AS{mat} (SELECT cid, j AS dim,"
             f" CAST(sum(q[j]) AS BIGINT) AS s, count(*) AS n"
             f" FROM a{r} CROSS JOIN range(1, {DIM} + 1) t(j) GROUP BY cid, j)"
         )
         parts.append(
-            f"c{r} AS (SELECT p.cid, COALESCE(w.newq, p.cq) AS cq"
+            f"c{r} AS{mat} (SELECT p.cid, COALESCE(w.newq, p.cq) AS cq"
             f" FROM {prev} p LEFT JOIN (SELECT cid,"
             f" list((s - (((s % n) + n) % n)) // n ORDER BY dim) AS newq"
             f" FROM u{r} GROUP BY cid) w ON w.cid = p.cid)"
@@ -177,18 +206,23 @@ def _duck_kmeans_oracle() -> str:
     )
 
 
+def kmeans_quantize_col(col: str = "embedding"):
+    """floor(x · 2^20) as int64 — the exact fixed-point quantization
+    every trainer and oracle in this family shares (one definition)."""
+    return F.transform(
+        F.col(col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE))).cast(
+            "long"
+        ),
+    )
+
+
 def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q): embeddings floor-quantized to int64 at 2^-20 — the
     exact fixed-point frame every k-means stage (and the trained
     quantizer in plans/trained_quantizer.py) computes on."""
     return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE))).cast(
-                "long"
-            ),
-        ).alias("q"),
+        "vec_id", kmeans_quantize_col().alias("q")
     )
 
 
@@ -230,8 +264,18 @@ def train_kmeans_centroids(
     trainer behind kmeans_embeddings and the trained-quantizer index
     family. Deterministic and bit-reproducible: seeded from the first
     K vectors by vec_id, every round exact int64."""
-    emb = kmeans_quantized(spark, sf_dir)
-    init = emb.orderBy("vec_id").limit(K).collect()
+    return train_kmeans_centroids_df(kmeans_quantized(spark, sf_dir), K)
+
+
+def train_kmeans_centroids_df(emb, k: int) -> list[list[int]]:
+    """The same fixed-point Lloyd's loop over an arbitrary quantized
+    frame (vec_id, q) with an arbitrary centroid count — the trainer
+    behind the DEFAULT serving quantizer (plans/similarity.py), whose
+    K follows the corpus-size rule rather than the fixed module K.
+    Identical arithmetic to train_kmeans_centroids: c0 = first k rows
+    by vec_id, every round exact int64, empty clusters keep their
+    previous centroid."""
+    init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[int(x) for x in r["q"]] for r in init]
     # Fewer rows than K: the oracle's LIMIT K simply yields fewer
     # centroids and completes; run with what exists instead of

@@ -51,19 +51,22 @@ from dist_mapreduce_spark.functions.vectors import (
 from dist_mapreduce_spark.plans.registry import ORACLES, query
 from dist_mapreduce_spark.plans.similarity import (
     FILTER_LABEL,
-    IVF_CELLS_CTE,
     N_PROBE,
     N_QUERIES,
     PQ_RERANK,
     TOP_K,
+    TRAINED_CELLS_CTE,
+    TRAINED_NPROBE_CTES,
     ivf_cells_df,
-    ivf_cent_rows,
     ivf_probes_df,
     ivf_py_probe_cells,
     ivf_ranked_cells_sql,
-    ivf_topk_oracle,
     lsh_candidates,
     py_dot,
+    trained_n_probe,
+    trained_probes_cte,
+    trained_quantizer,
+    trained_topk_oracle,
 )
 from dist_mapreduce_spark.sources.tables import load_table
 
@@ -119,22 +122,28 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list, int]:
     """Write the hive-partitioned IVF index (idempotent overwrite) and
-    return (index_path, cent_rows). The write is the ingest-time step a
-    100 TB deployment runs once: cell assignment is a pure map over one
-    corpus scan (literal centroids), and partitionBy('cell') lays each
-    cell in its own directory so probes become partition pruning.
-    Within one process the build really does run once — subsequent
-    calls (the serving queries) reuse the index on disk."""
+    return (index_path, cent_rows, n_corpus). The coarse quantizer is
+    the TRAINED default (round 9 — similarity.trained_quantizer:
+    integer k-means, K from the corpus-size rule); n_corpus feeds the
+    probe-count rule at serving time. The write is the ingest-time
+    step a 100 TB deployment runs once: cell assignment is a pure map
+    over one corpus scan (literal centroids), and partitionBy('cell')
+    lays each cell in its own directory so probes become partition
+    pruning. Within one process the build (and the training) really
+    does run once — subsequent calls (the serving queries) reuse the
+    index on disk."""
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     path = _index_dir("ivf_index", sf_dir)
     if not cent_rows:
-        return path, cent_rows
+        return path, cent_rows, n_corpus
     fp = _corpus_fingerprint(sf_dir)
     if _BUILT_THIS_SESSION.get(path) == fp and os.path.isdir(path):
-        return path, cent_rows
+        return path, cent_rows, n_corpus
     ranked = ivf_ranked_cells_sql(cent_rows)
     # Same assignment as ivf_cells_df, with `label` riding along so
     # metadata-filtered serving (sim_topk_filtered_ivf) can push its
@@ -147,13 +156,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     )
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
     _BUILT_THIS_SESSION[path] = fp
-    return path, cent_rows
+    return path, cent_rows, n_corpus
 
 
 @query(
     "sim_index_build",
     oracle=(
-        f"WITH {IVF_CELLS_CTE}"
+        f"WITH {TRAINED_CELLS_CTE}"
         f" SELECT CAST(cell AS BIGINT) AS cell,"
         f"  CAST(count(*) AS BIGINT) AS n_vecs,"
         f"  CAST(sum(CAST(vec_id AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
@@ -177,7 +186,7 @@ def q_sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the index. At 100 TB the same job runs incrementally: new
     vectors append to their cell directories, the audit is the
     monitoring query."""
-    path, cent_rows = build_ivf_index(spark, sf_dir)
+    path, cent_rows, n_corpus = build_ivf_index(spark, sf_dir)
     if not cent_rows:
         return spark.createDataFrame(
             [],
@@ -220,14 +229,17 @@ def serve_batched_from_index(
     query production batch needs (tests pin: one FileScan of the index
     in the final plan, numPartitions == |union of probed cells|)."""
     emb = _emb(spark, sf_dir)
-    path, cent_rows = build_ivf_index(spark, sf_dir)
+    path, cent_rows, n_corpus = build_ivf_index(spark, sf_dir)
     empty = spark.createDataFrame(
         [], "query_id bigint, vec_id bigint, score double, rk int"
     )
     if not cent_rows:
         return empty
     ranked = ivf_ranked_cells_sql(cent_rows)
-    probes = ivf_probes_df(emb, ranked, n_queries)
+    probes = ivf_probes_df(
+        emb, ranked, n_queries,
+        n_probe=trained_n_probe(len(cent_rows), n_corpus),
+    )
     # Bounded driver pull: ≤ k cell ids, independent of n_queries.
     union_cells = sorted(
         int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
@@ -276,7 +288,7 @@ def q_sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SERVE_BATCH = 64
 
 
-@query("sim_serve_batch", oracle=ivf_topk_oracle(N_SERVE_BATCH))
+@query("sim_serve_batch", oracle=trained_topk_oracle(N_SERVE_BATCH))
 def q_sim_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched-serving proof at production batch shape: 64 queries
     served from the materialized partition-pruned index through ONE
@@ -304,7 +316,7 @@ _FILTERED_PROBES_CTE = (
 )
 
 _FILTERED_IVF_ORACLE = (
-    f"WITH {IVF_CELLS_CTE},"
+    f"WITH {TRAINED_CELLS_CTE},"
     f" {_FILTERED_PROBES_CTE},"
     f" s AS (SELECT p.query_id, cl.vec_id,"
     f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
@@ -324,7 +336,7 @@ def _filtered_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_filtered_stats so 'what the filtered index examines' has one
     definition (the lsh_candidates convention)."""
     emb = _emb(spark, sf_dir)
-    path, cent_rows = build_ivf_index(spark, sf_dir)
+    path, cent_rows, n_corpus = build_ivf_index(spark, sf_dir)
     empty = spark.createDataFrame(
         [], "query_id bigint, vec_id bigint, score double"
     )
@@ -395,12 +407,24 @@ def q_sim_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_filtered_stats",
     oracle=(
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
         f" {_FILTERED_PROBES_CTE},"
         # Nested WITH inside CTE parens is valid DuckDB (the sim_recall
         # precedent); MATERIALIZED so each heavy sub-oracle runs once.
+        # post is REBUILT from the in-scope cells/probes instead of
+        # nesting _FILTERED_IVF_ORACLE: MATERIALIZED CTE names are
+        # query-global in DuckDB, so the trained chain cannot appear
+        # twice — and this also replays training once, not twice.
         f" truth AS MATERIALIZED ({ORACLES['sim_topk_filtered']}),"
-        f" post AS MATERIALIZED ({_FILTERED_IVF_ORACLE}),"
+        f" post AS MATERIALIZED (SELECT query_id, vec_id FROM ("
+        f"  SELECT s2.*, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM ("
+        f"   SELECT p.query_id, cl.vec_id,"
+        f"    {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+        f"   FROM cells cl JOIN embeddings emf ON emf.vec_id = cl.vec_id"
+        f"   JOIN probes p ON cl.cell = p.pcell AND cl.vec_id <> p.query_id"
+        f"   WHERE emf.label = {FILTER_LABEL}) s2)"
+        f"  WHERE rk <= {TOP_K}),"
         f" tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),"
         f" nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM embeddings"
         f"  WHERE vec_id < {N_QUERIES}),"
@@ -540,9 +564,11 @@ def _lsh_cand_count_oracle() -> str:
 @query(
     "sim_cand_stats",
     oracle=(
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
+        f" {TRAINED_NPROBE_CTES},"
         f" probes AS (SELECT vec_id AS query_id, cent_id AS pcell FROM rkd"
-        f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),"
+        f"  WHERE vec_id < {N_QUERIES}"
+        f"   AND crk <= (SELECT np FROM npr)),"
         f" tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),"
         f" nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM embeddings"
         f"  WHERE vec_id < {N_QUERIES}),"
@@ -572,11 +598,12 @@ def q_sim_cand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC pass touches every CODE — 8 bytes/vector — so the meaningful
     exact-scan fraction is the rerank; the closed form n_q·min(R, N−1)
     is what the rank-≤R window provably keeps, identically in both
-    dialects). Measured on the isotropic driver corpus at sf0.1:
-    lsh 0.607, ivf 0.498, pq_rerank 0.256 — honest numbers for a
-    corpus whose true neighbors are near-orthogonal; the clustered
-    regime (sim_ivf_clustered) shows the ≤0.10 behavior real corpora
-    get. Integer counts + one division keep it hash-exact."""
+    dialects). Measured on the driver corpus at sf0.1:
+    lsh 0.607, ivf (TRAINED default, round 9) ~0.29 at recall 0.98 —
+    down from the sampled quantizer's 0.498 at 0.90 — and
+    pq_rerank 0.256; the clustered regime (sim_ivf_clustered) shows
+    the ≤0.10 behavior real corpora get. Integer counts + one
+    division keep it hash-exact."""
     emb = _emb(spark, sf_dir)
     n_corpus = emb.agg(F.count(F.lit(1)).cast("long").alias("n")).withColumn(
         "j", F.lit(1)
@@ -591,13 +618,19 @@ def q_sim_cand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .withColumn("j", F.lit(1))
     )
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_all = trained_quantizer(emb)
     if cent_rows:
         ranked = ivf_ranked_cells_sql(cent_rows)
         ivf_c = (
             ivf_cells_df(spark, emb, ranked)
             .join(
-                F.broadcast(ivf_probes_df(emb, ranked).select("query_id", "pcell")),
+                F.broadcast(
+                    ivf_probes_df(
+                        emb,
+                        ranked,
+                        n_probe=trained_n_probe(len(cent_rows), n_all),
+                    ).select("query_id", "pcell")
+                ),
                 (F.col("cell") == F.col("pcell"))
                 & (F.col("vec_id") != F.col("query_id")),
             )
@@ -950,7 +983,7 @@ def q_sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base index is untouched. The audit aggregate is the
     monitoring query a production deployment alerts on."""
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, _n = trained_quantizer(emb)
     path = _index_dir("ivf_index_incr", sf_dir)
     if not cent_rows:
         return spark.createDataFrame(
@@ -993,14 +1026,15 @@ DELETE_MOD, DELETE_REM = 97, 13
 _DELETE_PRED_SQL = f"(vec_id % {DELETE_MOD}) = {DELETE_REM}"
 
 #: sim_index_build's cells CTE with the tombstoned rows removed from
-#: the ASSIGNMENT source only — the quantizer (cent) still trains on
-#: the full corpus, the standard frozen-quantizer delete semantics:
-#: deletes never move surviving vectors between cells.
-_CELLS_CTE_AFTER_DELETE = IVF_CELLS_CTE.replace(
+#: the ASSIGNMENT source only — the quantizer (the trained-centroid
+#: chain) still trains on the full corpus, the standard
+#: frozen-quantizer delete semantics: deletes never move surviving
+#: vectors between cells.
+_CELLS_CTE_AFTER_DELETE = TRAINED_CELLS_CTE.replace(
     "FROM embeddings e, cent c",
     f"FROM (SELECT * FROM embeddings WHERE NOT ({_DELETE_PRED_SQL})) e, cent c",
 )
-assert _CELLS_CTE_AFTER_DELETE != IVF_CELLS_CTE
+assert _CELLS_CTE_AFTER_DELETE != TRAINED_CELLS_CTE
 
 
 @query(
@@ -1054,7 +1088,7 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     path = _index_dir("ivf_index_del", sf_dir)
     if not cent_rows:
         return spark.createDataFrame(
@@ -1125,10 +1159,10 @@ _UPSERT_PRED_SQL = f"(vec_id % {UPSERT_MOD}) = {UPSERT_REM}"
 #: once per row, not once per (row, centroid) fold); the quantizer
 #: (cent) stays frozen on the ORIGINAL corpus — an upsert re-embeds a
 #: document, it does not retrain the quantizer.
-_CELLS_CTE_AFTER_UPSERT = IVF_CELLS_CTE.replace(
+_CELLS_CTE_AFTER_UPSERT = TRAINED_CELLS_CTE.replace(
     "FROM embeddings e, cent c", "FROM ups e, cent c"
 )
-assert _CELLS_CTE_AFTER_UPSERT != IVF_CELLS_CTE
+assert _CELLS_CTE_AFTER_UPSERT != TRAINED_CELLS_CTE
 
 
 @query(
@@ -1175,7 +1209,7 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     path = _index_dir("ivf_index_ups", sf_dir)
     if not cent_rows:
         return spark.createDataFrame(
@@ -1325,7 +1359,7 @@ def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as the same staged-write + directory-swap primitive the
     delete/upsert path already proved."""
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     path = _index_dir("ivf_index_cpt", sf_dir)
     if not cent_rows:
         return spark.createDataFrame(
@@ -1383,7 +1417,7 @@ SEMANTIC_COS = 0.30
 @query(
     "dedup_semantic",
     oracle=(
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
         f" pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
         f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS cos_sim"
         f"  FROM cells a JOIN cells b"
@@ -1417,7 +1451,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     BAND_BUCKET_CAP analogue) slots in unchanged if a production
     corpus collapses into one cell."""
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     if not cent_rows:
         return emb.select(
             "vec_id",
@@ -1486,7 +1520,7 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     if not cent_rows:
         return spark.createDataFrame(
             [],
@@ -1606,9 +1640,11 @@ def _ivfpq_oracle() -> str:
         f"sum(CASE WHEN pc.m = {m} THEN pdot END)" for m in range(PQ_M)
     )
     return (
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
+        f" {TRAINED_NPROBE_CTES},"
         f" probes AS (SELECT vec_id AS query_id, cent_id AS pcell FROM rkd"
-        f"  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),"
+        f"  WHERE vec_id < {N_QUERIES}"
+        f"   AND crk <= (SELECT np FROM npr)),"
         f" {_pq_codes_ctes()},"
         f" lut AS (SELECT s.vec_id AS query_id, s.m, cb.cid,"
         f"   {dot_duckdb_sql('s.sv', 'cb.cvec', PQ_DSUB)} AS pdot"
@@ -1662,7 +1698,7 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     cb_rows = pq_cb_rows(emb)
     q_rows = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
@@ -1687,7 +1723,9 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_pairs = [
         (qid, int(c))
         for qid, qv in q_rows
-        for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)
+        for c in ivf_py_probe_cells(
+            cent_rows, qv, trained_n_probe(len(cent_rows), n_corpus)
+        )
     ]
     probes = spark.createDataFrame(probe_pairs, "query_id long, pcell long")
     # ADC lookup tables as broadcast DATA, not plan literals: round 5
@@ -1813,7 +1851,7 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     cb_rows = pq_cb_rows(emb)
     path = _index_dir("ivfpq_index", sf_dir)
     if not cent_rows or not cb_rows:
@@ -1844,7 +1882,7 @@ def _ivfpq_audit_oracle() -> str:
     # per code sequence).
     weights = " ".join(f"WHEN {m} THEN {16 ** m}" for m in range(PQ_M))
     return (
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
         f" {_pq_codes_ctes()},"
         f" cvx AS (SELECT vec_id,"
         f"  CAST(sum(cid * CASE m {weights} END) AS BIGINT) AS code_val"
@@ -1919,6 +1957,7 @@ def q_sim_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not cent_rows or not cb_rows:
         return empty
+    n_corpus = trained_quantizer(emb)[1]  # memoized with cent_rows
     q_rows = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
         for r in emb.filter(
@@ -1932,7 +1971,9 @@ def q_sim_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_pairs = [
         (qid, int(c))
         for qid, qv in q_rows
-        for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)
+        for c in ivf_py_probe_cells(
+            cent_rows, qv, trained_n_probe(len(cent_rows), n_corpus)
+        )
     ]
     probes = spark.createDataFrame(probe_pairs, "query_id long, pcell long")
     union_cells = sorted({c for _, c in probe_pairs})
@@ -2019,13 +2060,14 @@ def q_stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     emb = _emb(spark, sf_dir)
-    path, cent_rows = build_ivf_index(spark, sf_dir)
+    path, cent_rows, n_corpus = build_ivf_index(spark, sf_dir)
     empty = spark.createDataFrame(
         [], "query_id bigint, vec_id bigint, score double, rk int"
     )
     if not cent_rows:
         return empty
     ranked = ivf_ranked_cells_sql(cent_rows)
+    np_ = trained_n_probe(len(cent_rows), n_corpus)
     stage = _index_dir("serve_stream_stage", sf_dir)
     out = _index_dir("serve_stream_out", sf_dir)
     ckpt = _index_dir("serve_stream_ckpt", sf_dir)
@@ -2044,7 +2086,7 @@ def q_stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.explode(
-                F.expr(f"transform(slice({ranked}, 1, {N_PROBE}), x -> x.c)")
+                F.expr(f"transform(slice({ranked}, 1, {np_}), x -> x.c)")
             ).alias("pcell"),
         )
         cells = sorted(
@@ -2133,17 +2175,19 @@ def _broad_pred_spark():
 
 def _adapt_p_duck(pred: str) -> str:
     """Adaptive probe count, exact integer arithmetic both engines
-    share: p = min(k_cells, ceil(N_PROBE · n_corpus / n_pred)) — probe
+    share: p = min(k_cells, ceil(np · n_corpus / n_pred)) — probe
     enough cells that the EXPECTED number of predicate-surviving
-    candidates matches the unfiltered plan's per-query budget
-    (N_PROBE/k of the corpus). Selectivity 1 degrades to plain
-    N_PROBE; selectivity → 0 saturates to all cells (at which point
-    the candidate pool is the tiny filtered set itself and exactness
-    is free). ceil = (a + b − 1) // b — pure int, no FP."""
+    candidates matches the unfiltered plan's per-query budget, where
+    np is the TRAINED quantizer's rule-derived probe count (round 9;
+    previously the fixed N_PROBE). Selectivity 1 degrades to plain
+    np probing; selectivity → 0 saturates to all cells (at which
+    point the candidate pool is the tiny filtered set itself and
+    exactness is free). ceil = (a + b − 1) // b — pure int, no FP.
+    Requires TRAINED_NPROBE_CTES (npr) in scope."""
     npred = f"greatest((SELECT count(*) FROM embeddings WHERE {pred}), 1)"
     return (
         f"least(CAST((SELECT count(*) FROM cent) AS BIGINT),"
-        f" ({N_PROBE} * (SELECT count(*) FROM embeddings)"
+        f" ((SELECT np FROM npr) * (SELECT count(*) FROM embeddings)"
         f"  + {npred} - 1) // {npred})"
     )
 
@@ -2156,7 +2200,8 @@ _ADAPT_PROBES_CTE = (
 )
 
 _ADAPT_TOPK_ORACLE = (
-    f"WITH {IVF_CELLS_CTE},"
+    f"WITH {TRAINED_CELLS_CTE},"
+    f" {TRAINED_NPROBE_CTES},"
     f" {_ADAPT_PROBES_CTE},"
     f" s AS (SELECT p.query_id, cl.vec_id,"
     f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
@@ -2169,18 +2214,21 @@ _ADAPT_TOPK_ORACLE = (
 )
 
 
-def _adaptive_probe_count(spark, sf_dir: str, k_cells: int, pred) -> int:
+def _adaptive_probe_count(
+    spark, sf_dir: str, k_cells: int, pred, n_probe: int
+) -> int:
     """The Spark-side statistics lookup: two exact counts (one scan,
     map-side agg) → the same integer the oracle's scalar subqueries
-    compute. At 100 TB these are table-statistics reads (row count +
-    predicate cardinality refreshed by ANALYZE), not scans."""
+    compute, with the trained quantizer's rule-derived probe count as
+    the budget. At 100 TB these are table-statistics reads (row count
+    + predicate cardinality refreshed by ANALYZE), not scans."""
     emb = _emb(spark, sf_dir)
     row = emb.agg(
         F.count(F.lit(1)).cast("long").alias("tot"),
         F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("npred"),
     ).collect()[0]
     tot, npred = int(row["tot"]), max(int(row["npred"] or 0), 1)
-    return min(k_cells, (N_PROBE * tot + npred - 1) // npred)
+    return min(k_cells, (n_probe * tot + npred - 1) // npred)
 
 
 def _pred_filtered_candidates(
@@ -2190,7 +2238,7 @@ def _pred_filtered_candidates(
     arbitrary probe depth and attribute predicate — the
     _filtered_candidates machinery with both knobs parameterized."""
     emb = _emb(spark, sf_dir)
-    path, cent_rows = build_ivf_index(spark, sf_dir)
+    path, cent_rows, n_corpus = build_ivf_index(spark, sf_dir)
     empty = spark.createDataFrame(
         [], "query_id bigint, vec_id bigint, score double"
     )
@@ -2241,13 +2289,16 @@ def q_sim_topk_filtered_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical number via scalar subqueries.
     sim_filtered_adaptive_stats publishes the full fixed-vs-adaptive
     × rare-vs-broad evidence grid this rule is chosen on."""
-    path, cent_rows = build_ivf_index(spark, sf_dir)
+    path, cent_rows, n_corpus = build_ivf_index(spark, sf_dir)
     empty = spark.createDataFrame(
         [], "query_id bigint, vec_id bigint, score double, rk int"
     )
     if not cent_rows:
         return empty
-    p = _adaptive_probe_count(spark, sf_dir, len(cent_rows), _rare_pred_spark())
+    np_base = trained_n_probe(len(cent_rows), n_corpus)
+    p = _adaptive_probe_count(
+        spark, sf_dir, len(cent_rows), _rare_pred_spark(), np_base
+    )
     cand = _pred_filtered_candidates(spark, sf_dir, p, _rare_pred_spark())
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -2317,7 +2368,8 @@ def _adapt_stats_row(
 
 
 _ADAPT_STATS_ORACLE = (
-    f"WITH {IVF_CELLS_CTE},"
+    f"WITH {TRAINED_CELLS_CTE},"
+    f" {TRAINED_NPROBE_CTES},"
     f" trur AS MATERIALIZED (SELECT * FROM {_pred_truth_duck(_rare_pred_duck)} t),"
     f" trub AS MATERIALIZED (SELECT * FROM {_pred_truth_duck(_broad_pred_duck)} t),"
     f"{_adapt_stats_branch('fxr', f'crk <= {FILTER_OVER_PROBE}', _rare_pred_duck, 'trur')},"
@@ -2358,7 +2410,7 @@ def q_sim_filtered_adaptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     counts + one division per column keep both engines
     bit-identical."""
     emb = _emb(spark, sf_dir)
-    path, cent_rows = build_ivf_index(spark, sf_dir)
+    path, cent_rows, n_corpus = build_ivf_index(spark, sf_dir)
     if not cent_rows:
         return spark.createDataFrame(
             [],
@@ -2407,7 +2459,9 @@ def q_sim_filtered_adaptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         ("broad", _broad_pred_spark()),
     ):
         tru = truth(spred)
-        p_ad = _adaptive_probe_count(spark, sf_dir, k, spred)
+        p_ad = _adaptive_probe_count(
+            spark, sf_dir, k, spred, trained_n_probe(k, n_corpus)
+        )
         base = base.join(cnt(emb.filter(spred), f"nl_{pred_name}"), "j").join(
             cnt(tru, f"nt_{pred_name}"), "j"
         )
@@ -2481,7 +2535,7 @@ def _res_codes_ctes() -> str:
     rsub -> rasg -> rcodes): every vector's PQ codes over its residual
     against its own cell centroid — ONE definition shared by the
     serving oracle and the stored-codes index audit. Requires
-    IVF_CELLS_CTE's cent/cells to be in scope."""
+    the cells chain's cent/cells to be in scope."""
     from dist_mapreduce_spark.functions.vectors import (
         l2sq_duckdb_sql,
         sub_duckdb_sql,
@@ -2535,13 +2589,15 @@ def _ivfpq_res_oracle() -> str:
         f"sum(CASE WHEN pc.m = {m} THEN pdot END)" for m in range(PQ_M)
     )
     return (
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
+        f" {TRAINED_NPROBE_CTES},"
         # Probes carry the per-(query, cell) coarse term qc = <q, c>:
         # the residual decomposition <q, c + r> = <q, c> + <q, r>.
         f" probes AS (SELECT r.vec_id AS query_id, r.cent_id AS pcell,"
         f"   {dot_duckdb_sql('r.embedding', 'ct.cvec')} AS qc"
         f"  FROM rkd r JOIN cent ct ON ct.cent_id = r.cent_id"
-        f"  WHERE r.vec_id < {N_QUERIES} AND r.crk <= {N_PROBE}),"
+        f"  WHERE r.vec_id < {N_QUERIES}"
+        f"   AND r.crk <= (SELECT np FROM npr)),"
         f" {_res_codes_ctes()},"
         # LUT: RAW query subvectors against RESIDUAL codewords (the
         # asymmetric side of IVFADC — queries are never residualized).
@@ -2617,7 +2673,7 @@ def q_sim_topk_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     cb_rows = pq_cb_rows(emb)
     q_rows = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
@@ -2648,7 +2704,9 @@ def q_sim_topk_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows = [
         (qid, int(c), py_dot(qv, cmap[int(c)]))
         for qid, qv in q_rows
-        for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)
+        for c in ivf_py_probe_cells(
+            cent_rows, qv, trained_n_probe(len(cent_rows), n_corpus)
+        )
     ]
     probes = spark.createDataFrame(probe_rows, "query_id long, pcell long, qc double")
     luts = {
@@ -2768,7 +2826,7 @@ CONTAM_RES = 2
 @query(
     "contamination_embedding",
     oracle=(
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
         f" ev AS (SELECT r.vec_id AS eval_id, r.embedding AS ev_emb,"
         f"   r.cent_id AS cell FROM rkd r"
         f"  WHERE r.vec_id % {CONTAM_MOD} = {CONTAM_REM}"
@@ -2807,7 +2865,7 @@ def q_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_clustered's published evidence: 1.0 on clustered corpora at
     the same residency."""
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     if not cent_rows:
         return spark.createDataFrame(
             [], "vec_id bigint, eval_id bigint, cos_sim double"
@@ -2851,7 +2909,7 @@ def build_ivfpq_res_index(spark: SparkSession, sf_dir: str) -> tuple:
     from dist_mapreduce_spark.plans.similarity import pq_cb_rows, pq_cells_expr
 
     emb = _emb(spark, sf_dir)
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     cb_rows = pq_cb_rows(emb)
     path = _index_dir("ivfpq_res_index", sf_dir)
     if not cent_rows or not cb_rows:
@@ -2884,7 +2942,7 @@ def _ivfpq_res_audit_oracle() -> str:
 
     weights = " ".join(f"WHEN {m} THEN {16 ** m}" for m in range(PQ_M))
     return (
-        f"WITH {IVF_CELLS_CTE},"
+        f"WITH {TRAINED_CELLS_CTE},"
         f" {_res_codes_ctes()},"
         f" cvx AS (SELECT vec_id,"
         f"  CAST(sum(cid * CASE m {weights} END) AS BIGINT) AS code_val"
@@ -2956,6 +3014,7 @@ def q_sim_topk_ivfpq_res_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not cent_rows or not cb_rows:
         return empty
+    n_corpus = trained_quantizer(emb)[1]  # memoized with cent_rows
     q_rows = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
         for r in emb.filter(
@@ -2971,7 +3030,9 @@ def q_sim_topk_ivfpq_res_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows = [
         (qid, int(c), py_dot(qv, cmap[int(c)]))
         for qid, qv in q_rows
-        for c in ivf_py_probe_cells(cent_rows, qv, N_PROBE)
+        for c in ivf_py_probe_cells(
+            cent_rows, qv, trained_n_probe(len(cent_rows), n_corpus)
+        )
     ]
     probes = spark.createDataFrame(probe_rows, "query_id long, pcell long, qc double")
     union_cells = sorted({c for _, c, _ in probe_rows})

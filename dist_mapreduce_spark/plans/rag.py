@@ -436,21 +436,23 @@ def q_search_passage_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mmr_ivf_oracle() -> str:
     """MMR over IVF-PRUNED candidates: the cand CTE becomes the probed-
-    cells cosine top-MMR_CAND (sim_topk_ivf's serving shape) instead of
-    the brute-force scan; the greedy chain is shared verbatim."""
+    cells cosine top-MMR_CAND (sim_topk_ivf's serving shape, on the
+    round-9 TRAINED default quantizer) instead of the brute-force
+    scan; the greedy chain is shared verbatim."""
     from dist_mapreduce_spark.plans.similarity import (
-        IVF_CELLS_CTE,
-        N_PROBE,
+        TRAINED_CELLS_CTE,
+        TRAINED_NPROBE_CTES,
     )
 
     cos_pc = cosine_duckdb_sql("p.qv", "cl.embedding")
     cos_ab = cosine_duckdb_sql("ea.embedding", "eb.embedding")
     parts = [
-        f"{IVF_CELLS_CTE}",
+        f"{TRAINED_CELLS_CTE}",
+        f"{TRAINED_NPROBE_CTES}",
         f"probes AS (SELECT vec_id AS query_id, embedding AS qv,"
         f"  cent_id AS pcell FROM rkd"
         f" WHERE vec_id < {MMR_QUERIES} AND embedding IS NOT NULL"
-        f"  AND crk <= {N_PROBE})",
+        f"  AND crk <= (SELECT np FROM npr))",
         f"cand AS MATERIALIZED (SELECT query_id, vec_id, rel FROM ("
         f"  SELECT p.query_id, cl.vec_id, {cos_pc} AS rel,"
         f"   row_number() OVER (PARTITION BY p.query_id"
@@ -512,15 +514,15 @@ def q_sim_topk_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pruned scan sim_topk_ivf_pruned pins); everything downstream
     is ≤ MMR_CAND rows per query exactly as in sim_topk_mmr."""
     from dist_mapreduce_spark.plans.similarity import (
-        N_PROBE,
         ivf_cells_df,
-        ivf_cent_rows,
         ivf_probes_df,
         ivf_ranked_cells_sql,
+        trained_n_probe,
+        trained_quantizer,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = ivf_cent_rows(emb)
+    cent_rows, n_corpus = trained_quantizer(emb)
     if not cent_rows:
         return spark.createDataFrame(
             [], "query_id bigint, step bigint, vec_id bigint,"
@@ -531,7 +533,10 @@ def q_sim_topk_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.filter(F.col("embedding").isNotNull()), ranked
     )
     probes = ivf_probes_df(
-        emb.filter(F.col("embedding").isNotNull()), ranked, MMR_QUERIES
+        emb.filter(F.col("embedding").isNotNull()),
+        ranked,
+        MMR_QUERIES,
+        n_probe=trained_n_probe(len(cent_rows), n_corpus),
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
     cand = (

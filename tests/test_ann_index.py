@@ -52,7 +52,7 @@ def test_pruned_probe_scan_has_partition_filters(spark):
     )
     from dist_mapreduce_spark.sources.tables import load_table
 
-    path, cent_rows = build_ivf_index(spark, SF)
+    path, cent_rows, _n = build_ivf_index(spark, SF)
     emb = load_table(spark, SF, "embeddings")
     qv = [
         float(v)
@@ -91,7 +91,7 @@ def test_index_roundtrip_lossless(spark):
     from dist_mapreduce_spark.plans.ann_index import build_ivf_index
     from dist_mapreduce_spark.sources.tables import load_table
 
-    path, _ = build_ivf_index(spark, SF)
+    path, _, _n = build_ivf_index(spark, SF)
     src = {
         int(r["vec_id"]): [float(v) for v in r["embedding"]]
         for r in load_table(spark, SF, "embeddings").collect()
@@ -377,10 +377,10 @@ def test_build_memo_detects_in_process_corpus_rewrite(spark, tmp_path):
         shutil.copy(glob.glob(staged + "/part-*.parquet")[0], dst)
 
     write(base.limit(120))
-    path1, _ = build_ivf_index(spark, str(root))
+    path1, _, _n1 = build_ivf_index(spark, str(root))
     n1 = spark.read.parquet(path1).count()
     write(base.limit(80))
-    path2, _ = build_ivf_index(spark, str(root))
+    path2, _, _n2 = build_ivf_index(spark, str(root))
     assert path2 == path1
     n2 = spark.read.parquet(path2).count()
     assert (n1, n2) == (120, 80)
@@ -401,7 +401,7 @@ def test_filtered_scan_pushes_label_predicate(spark):
         ivf_py_probe_cells,
     )
 
-    path, cent_rows = build_ivf_index(spark, SF)
+    path, cent_rows, _n = build_ivf_index(spark, SF)
     emb = spark.read.parquet(SF + "/embeddings.parquet")
     qv = [
         float(v)
@@ -583,7 +583,7 @@ def test_batched_serving_one_scan_union_of_probed_cells(spark):
     )
     from dist_mapreduce_spark.sources.tables import load_table
 
-    path, cent_rows = build_ivf_index(spark, SF)
+    path, cent_rows, _n = build_ivf_index(spark, SF)
     emb = load_table(spark, SF, "embeddings")
     q_rows = [
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
@@ -821,7 +821,7 @@ def test_trained_index_serving_is_partition_pruned(spark):
     ]
     from dist_mapreduce_spark.plans.ann_index import build_ivf_index
 
-    spath, _ = build_ivf_index(spark, SF)
+    spath, _, _n = build_ivf_index(spark, SF)
     ssizes = [
         r["n"]
         for r in spark.read.parquet(spath)
@@ -871,7 +871,7 @@ def test_adaptive_over_probe_grid(spark):
     ar, fr = rows[("adaptive", "rare")], rows[("fixed", "rare")]
     from dist_mapreduce_spark.plans.ann_index import build_ivf_index
 
-    _, cent_rows = build_ivf_index(spark, SF)
+    _, cent_rows, _n = build_ivf_index(spark, SF)
     assert ab["n_probe"] == min(N_PROBE, len(cent_rows)), ab
     # At gate scale k_cells may be < 2*N_PROBE, so compare candidate
     # pools only when the fixed rule actually probed more cells.

@@ -51,19 +51,32 @@ from dist_mapreduce_spark.sources.tables import load_table
 KNN_K = 5          # neighbors kept per vector
 KNN_RESIDENCY = 2  # cells each vector is blocked into (crk <= 2)
 KNN_PROBE = 50     # recall certification: brute-force truth for src < 50
-#: Per-cell residency cap (round-8): a hot cell — duplicate flood,
-#: degenerate quantizer, crawl boilerplate — grows the in-cell
-#: self-join by |cell|², which is exactly what the replication stress
-#: measured blowing up (122 s at 20×, 687 s at 50×, ~quadratic). The
-#: cap keeps the KNN_CELL_CAP lowest-vec_id members per cell
-#: (deterministic, oracle-mirrored — the AHASH_BAND_CAP /
-#: LINK_BLOCK_CAP discipline), bounding pair volume at
-#: k·R·CAP² regardless of skew. Far above every gate corpus's largest
-#: cell (≲200 rows at sf0.1), so it binds ONLY under adversarial
-#: skew; test_knn_cell_cap_binds_only_above_cap pins that. The
-#: collapse pre-pass (knn_graph_collapsed) remains the right fix when
-#: the hot cell is exact duplicates; the cap is the backstop for hot
-#: cells the collapse cannot see.
+#: Per-cell pair-volume cap (round-8), made VERTEX-COMPLETE in round 9:
+#: a hot cell — duplicate flood, degenerate quantizer, crawl
+#: boilerplate — grows the in-cell self-join by |cell|², which is what
+#: the replication stress measured blowing up (122 s at 20×, 687 s at
+#: 50×, ~quadratic). Round 8's cap simply DROPPED members beyond the
+#: first KNN_CELL_CAP per cell, which bounded pair volume but silently
+#: emitted NO edges for out-of-cap vertices (130k of 500k edges at the
+#: 100× stress). Round 9 replaces the drop with a SUB-SPLIT: a cell of
+#: m > CAP members is divided into nsplit = ceil((2m/CAP)²)
+#: round-robin groups (by the cell-local vec_id rank — deterministic,
+#: oracle-mirrored), and every member resides in ITS OWN group's
+#: sub-cell and the NEXT (ring residency) — so each sub-cell holds
+#: 2·ceil(m/nsplit) ≤ CAP/2 + 2 members (a HARD bound, not
+#: probabilistic) and per-cell pair volume is nsplit·(2m/nsplit)² =
+#: 4m²/nsplit ≤ CAP² — CONSTANT in m, the same budget the round-8 cap
+#: spent, so the stress curve stays flat while coverage returns to
+#: 100%: every vertex keeps ~CAP²/2m cohabitant candidates (the
+#: honest skew trade — hotter cells give each member a smaller random
+#: candidate sample — instead of most members getting NONE). Cells at
+#: or under the cap get exactly one sub-cell, i.e. the unsplit build:
+#: identical output on every gate corpus (largest residency cell
+#: ≲200 rows at sf0.1; test_knn_cell_subsplit_* pins both halves).
+#: The collapse pre-pass (knn_graph_collapsed) remains the right fix
+#: when the hot cell is exact duplicates; the sub-split is the
+#: backstop for hot cells the collapse cannot see — now with 100%
+#: vertex coverage.
 KNN_CELL_CAP = 1000
 
 
@@ -76,19 +89,36 @@ def _knn_oracle() -> str:
     # centroid list); residency is just crk <= KNN_RESIDENCY instead of
     # the cells CTE's crk = 1. embedding IS NOT NULL mirrors the Spark
     # side's explicit isNotNull filter before cell assignment.
+    cap = KNN_CELL_CAP
     return (
         f"WITH {IVF_CELLS_CTE},"
         f" res0 AS (SELECT vec_id, embedding, cent_id AS rcell"
         f"  FROM rkd WHERE crk <= {KNN_RESIDENCY}"
         f"   AND embedding IS NOT NULL),"
-        f" res AS (SELECT vec_id, embedding, rcell FROM ("
-        f"  SELECT *, row_number() OVER (PARTITION BY rcell"
-        f"   ORDER BY vec_id) AS cpos FROM res0)"
-        f"  WHERE cpos <= {KNN_CELL_CAP}),"
+        # Hot-cell sub-split (see KNN_CELL_CAP): nsplit round-robin
+        # groups by cell-local vec_id rank; ring residency (own group
+        # + next) keeps every vertex candidate-complete while each
+        # (rcell, sub) block stays ≤ CAP members.
+        f" rpos AS (SELECT vec_id, embedding, rcell,"
+        f"  row_number() OVER (PARTITION BY rcell ORDER BY vec_id) - 1"
+        f"   AS gpos FROM res0),"
+        f" rsplit AS (SELECT rcell, CASE WHEN m <= {cap} THEN 1"
+        f"  ELSE (4 * m * m + {cap} * {cap} - 1) // ({cap} * {cap}) END AS nsplit FROM ("
+        f"  SELECT rcell, CAST(count(*) AS BIGINT) AS m FROM res0"
+        f"  GROUP BY rcell)),"
+        f" res AS (SELECT r.vec_id, r.embedding, r.rcell,"
+        f"   r.gpos % s.nsplit AS sub"
+        f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
+        f"  UNION ALL"
+        f"  SELECT r.vec_id, r.embedding, r.rcell,"
+        f"   (r.gpos % s.nsplit + 1) % s.nsplit"
+        f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
+        f"  WHERE s.nsplit > 1),"
         f" pr AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id,"
         f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS score"
         f"  FROM res a JOIN res b"
-        f"   ON a.rcell = b.rcell AND a.vec_id <> b.vec_id)"
+        f"   ON a.rcell = b.rcell AND a.sub = b.sub"
+        f"    AND a.vec_id <> b.vec_id)"
         f" SELECT src_id, dst_id, score, rk FROM ("
         f"  SELECT *, row_number() OVER (PARTITION BY src_id"
         f"   ORDER BY score DESC, dst_id) AS rk FROM pr)"
@@ -142,20 +172,51 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rcell"),
         )
     )
-    # Hot-cell cap (oracle-mirrored): lowest-vec_id KNN_CELL_CAP
-    # members per cell. The window shuffles on rcell — the same key
-    # the candidate join hashes on, so AQE reuses the exchange.
+    # Hot-cell sub-split (oracle-mirrored; see KNN_CELL_CAP): cells
+    # above the cap divide into round-robin groups by cell-local
+    # vec_id rank, with ring residency so every vertex keeps ~CAP
+    # candidates. The rank window shuffles on rcell — the same key the
+    # candidate join hashes on; the per-cell split table is ≤ k·R rows
+    # and broadcasts.
     wc = Window.partitionBy("rcell").orderBy("vec_id")
-    res = (
-        res0.withColumn("cpos", F.row_number().over(wc))
-        .filter(F.col("cpos") <= KNN_CELL_CAP)
-        .drop("cpos")
+    rpos = res0.withColumn("gpos", F.row_number().over(wc) - 1)
+    rsplit = (
+        res0.groupBy("rcell")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .select(
+            "rcell",
+            F.when(F.col("m") <= KNN_CELL_CAP, F.lit(1).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"(4 * m * m + {KNN_CELL_CAP} * {KNN_CELL_CAP} - 1)"
+                    f" DIV ({KNN_CELL_CAP} * {KNN_CELL_CAP})"
+                )
+            )
+            .alias("nsplit"),
+        )
+    )
+    base = rpos.join(F.broadcast(rsplit), "rcell")
+    res = base.select(
+        "vec_id",
+        "embedding",
+        "rcell",
+        (F.col("gpos") % F.col("nsplit")).alias("sub"),
+    ).unionByName(
+        base.filter(F.col("nsplit") > 1).select(
+            "vec_id",
+            "embedding",
+            "rcell",
+            ((F.col("gpos") % F.col("nsplit") + 1) % F.col("nsplit")).alias(
+                "sub"
+            ),
+        )
     )
     a, b = res.alias("a"), res.alias("b")
     pr = (
         a.join(
             b,
             (F.col("a.rcell") == F.col("b.rcell"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
@@ -525,14 +586,28 @@ def _knn_collapsed_oracle() -> str:
         f" {cells_on_reps},"
         f" res0 AS (SELECT vec_id, embedding, cent_id AS rcell"
         f"  FROM rkd WHERE crk <= {KNN_RESIDENCY}),"
-        f" res AS (SELECT vec_id, embedding, rcell FROM ("
-        f"  SELECT *, row_number() OVER (PARTITION BY rcell"
-        f"   ORDER BY vec_id) AS cpos FROM res0)"
-        f"  WHERE cpos <= {KNN_CELL_CAP}),"
+        # Same vertex-complete hot-cell sub-split as _knn_oracle.
+        f" rpos AS (SELECT vec_id, embedding, rcell,"
+        f"  row_number() OVER (PARTITION BY rcell ORDER BY vec_id) - 1"
+        f"   AS gpos FROM res0),"
+        f" rsplit AS (SELECT rcell, CASE WHEN m <= {KNN_CELL_CAP} THEN 1"
+        f"  ELSE (4 * m * m + {KNN_CELL_CAP} * {KNN_CELL_CAP} - 1) // ({KNN_CELL_CAP} * {KNN_CELL_CAP}) END"
+        f"   AS nsplit FROM ("
+        f"  SELECT rcell, CAST(count(*) AS BIGINT) AS m FROM res0"
+        f"  GROUP BY rcell)),"
+        f" res AS (SELECT r.vec_id, r.embedding, r.rcell,"
+        f"   r.gpos % s.nsplit AS sub"
+        f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
+        f"  UNION ALL"
+        f"  SELECT r.vec_id, r.embedding, r.rcell,"
+        f"   (r.gpos % s.nsplit + 1) % s.nsplit"
+        f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
+        f"  WHERE s.nsplit > 1),"
         f" pr AS (SELECT DISTINCT a.vec_id AS src_rep, b.vec_id AS dst_id,"
         f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS score"
         f"  FROM res a JOIN res b"
-        f"   ON a.rcell = b.rcell AND a.vec_id <> b.vec_id),"
+        f"   ON a.rcell = b.rcell AND a.sub = b.sub"
+        f"    AND a.vec_id <> b.vec_id),"
         f" g AS MATERIALIZED (SELECT src_rep, dst_id, score, rk FROM ("
         f"  SELECT *, row_number() OVER (PARTITION BY src_rep"
         f"   ORDER BY score DESC, dst_id) AS rk FROM pr)"
@@ -586,17 +661,46 @@ def q_knn_graph_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"transform(slice({ranked}, 1, {KNN_RESIDENCY}), x -> x.c)")
         ).alias("rcell"),
     )
+    # Same vertex-complete hot-cell sub-split as q_knn_graph.
     wc = Window.partitionBy("rcell").orderBy("vec_id")
-    res = (
-        res0.withColumn("cpos", F.row_number().over(wc))
-        .filter(F.col("cpos") <= KNN_CELL_CAP)
-        .drop("cpos")
+    rpos = res0.withColumn("gpos", F.row_number().over(wc) - 1)
+    rsplit = (
+        res0.groupBy("rcell")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .select(
+            "rcell",
+            F.when(F.col("m") <= KNN_CELL_CAP, F.lit(1).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"(4 * m * m + {KNN_CELL_CAP} * {KNN_CELL_CAP} - 1)"
+                    f" DIV ({KNN_CELL_CAP} * {KNN_CELL_CAP})"
+                )
+            )
+            .alias("nsplit"),
+        )
+    )
+    base = rpos.join(F.broadcast(rsplit), "rcell")
+    res = base.select(
+        "vec_id",
+        "embedding",
+        "rcell",
+        (F.col("gpos") % F.col("nsplit")).alias("sub"),
+    ).unionByName(
+        base.filter(F.col("nsplit") > 1).select(
+            "vec_id",
+            "embedding",
+            "rcell",
+            ((F.col("gpos") % F.col("nsplit") + 1) % F.col("nsplit")).alias(
+                "sub"
+            ),
+        )
     )
     a, b = res.alias("a"), res.alias("b")
     pr = (
         a.join(
             b,
             (F.col("a.rcell") == F.col("b.rcell"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(

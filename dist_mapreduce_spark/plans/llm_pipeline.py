@@ -2015,6 +2015,136 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ duplicated-span REMOVAL (rewrite)
+
+#: Shared CTE chain for span excision (Lee et al. 2022 exact substring
+#: deduplication, the operation pretrain pipelines actually run —
+#: dedup_substring above only AUDITS the duplicated fraction): every
+#: occurrence of a SPAN_WORDS-token shingle after the corpus-wide
+#: FIRST one (ordered by doc_id, then position — deterministic in both
+#: dialects) has its whole window excised; overlapping excisions merge
+#: into maximal duplicated runs because coverage is the UNION of
+#: removed windows. Duplication counts TOTAL occurrences (within- and
+#: cross-document), the suffix-array semantics.
+_SPAN_REWRITE_CTES = (
+    f" sh2 AS (SELECT doc_id, s,"
+    f"   md5(array_to_string(t[s:s+{SPAN_WORDS}-1], ' ')) AS h"
+    f"  FROM tk, unnest(range(1, len(t) - {SPAN_WORDS} + 2)) AS u(s)"
+    f"  WHERE len(t) >= {SPAN_WORDS}),"
+    f" occ AS (SELECT doc_id, s,"
+    f"   row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,"
+    f"   count(*) OVER (PARTITION BY h) AS cnt FROM sh2),"
+    f" cov AS (SELECT DISTINCT doc_id, s + o AS j"
+    f"  FROM occ, unnest(range(0, {SPAN_WORDS})) AS v(o)"
+    f"  WHERE cnt > 1 AND rn > 1),"
+    f" toks AS (SELECT doc_id, j, t[j] AS w"
+    f"  FROM tk, unnest(range(1, len(t) + 1)) AS u(j)),"
+    f" kept AS (SELECT tx.doc_id, tx.j, tx.w FROM toks tx"
+    f"  LEFT JOIN cov c ON c.doc_id = tx.doc_id AND c.j = tx.j"
+    f"  WHERE c.j IS NULL),"
+    f" rw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
+    f"   coalesce(string_agg(w, ' ' ORDER BY j), '') AS text_rewrite"
+    f"  FROM kept GROUP BY doc_id)"
+)
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=(
+        f"WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),"
+        f"{_SPAN_REWRITE_CTES}"
+        f" SELECT tk.doc_id,"
+        f"  CAST(coalesce(len(tk.t), 0) AS BIGINT) AS n_tokens,"
+        f"  CAST(coalesce(len(tk.t), 0) - coalesce(rw.n_kept, 0) AS BIGINT)"
+        f"   AS n_removed,"
+        f"  coalesce(rw.text_rewrite, '') AS text_rewrite"
+        f" FROM tk LEFT JOIN rw ON rw.doc_id = tk.doc_id"
+    ),
+)
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL exact-substring deduplication WITH REWRITE (Lee et
+    al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better'): dedup_substring only measures the duplicated fraction;
+    this operator removes it — every corpus-wide repeat of a
+    SPAN_WORDS-token shingle after its first occurrence (doc_id, then
+    position order) has its window excised, overlapping windows merge
+    into maximal duplicated runs, and each document is reassembled
+    from its surviving tokens IN ORDER. The document survives with its
+    unique content intact — the deduplicate-the-span, keep-the-document
+    semantics production pretrain pipelines run, vs document-level
+    gates that throw away a whole page for one boilerplate footer.
+    Returns (doc_id, n_tokens, n_removed, text_rewrite) for EVERY
+    document (empty/NULL text → 0/0/'').
+
+    Scale shape: one shuffle on shingle hash for the first-wins window
+    (hot boilerplate shingles cost O(occurrences), never pairs), one
+    narrow (doc_id, j) anti-join of covered positions against the
+    token stream, one doc_id rollup with order pinned by sorting the
+    collected (j, w) structs — the dedup_paragraph discipline at token
+    granularity. Nothing pairwise, no driver state; at 100 TB the
+    occurrence window is the same shape dedup_paragraph already
+    proved, ×SPAN_WORDS for the position explosion."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
+    sh = (
+        tok.filter(F.size("t") >= SPAN_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - SPAN_WORDS + 1)
+            ).alias("s"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.expr(f"md5(array_join(slice(t, s, {SPAN_WORDS}), ' '))").alias(
+                "h"
+            ),
+        )
+    )
+    wh = Window.partitionBy("h")
+    occ = sh.select(
+        "doc_id",
+        "s",
+        F.row_number().over(wh.orderBy("doc_id", "s")).alias("rn"),
+        F.count(F.lit(1)).over(wh).alias("cnt"),
+    )
+    cov = (
+        occ.filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + SPAN_WORDS - 1)
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    toks = tok.select(
+        "doc_id", F.posexplode("t").alias("j0", "w")
+    ).select("doc_id", (F.col("j0") + 1).alias("j"), "w")
+    kept = toks.join(cov, ["doc_id", "j"], "left_anti")
+    rw = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("text_rewrite"),
+    )
+    return tok.join(rw, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.size("t"), F.lit(0)).cast("long").alias("n_tokens"),
+        (
+            F.coalesce(F.size("t"), F.lit(0)).cast("long")
+            - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).alias("n_removed"),
+        F.coalesce("text_rewrite", F.lit("")).alias("text_rewrite"),
+    )
+
+
 # ------------------------------------------------------------ PII scrub
 
 # Regex-based PII redaction — the pass every training-data pipeline
@@ -2197,6 +2327,129 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
         F.coalesce("segs_total", F.lit(0)).alias("segs_total"),
         F.coalesce("segs_kept", F.lit(0)).alias("segs_kept"),
+        F.coalesce("tokens_out", F.lit(0)).alias("tokens_out"),
+    )
+
+
+@query(
+    "pipeline_pretrain_spans",
+    oracle=(
+        f"WITH scrub AS (SELECT doc_id, lang, {_SCRUB_DUCK} AS text"
+        f"  FROM documents),"
+        f" tk0 AS (SELECT doc_id, lang, {_D_TOKS} AS t FROM scrub),"
+        f" tk AS (SELECT doc_id, lang, t FROM tk0"
+        f"  WHERE len(t) >= 2 AND {_D_KEEP}),"
+        f"{_SPAN_REWRITE_CTES},"
+        f" perdoc AS (SELECT tk.doc_id, tk.lang,"
+        f"   CAST(len(tk.t) AS BIGINT) AS n_tokens,"
+        f"   CAST(coalesce(rw.n_kept, 0) AS BIGINT) AS n_kept"
+        f"  FROM tk LEFT JOIN rw ON rw.doc_id = tk.doc_id),"
+        f" pipe AS (SELECT lang,"
+        f"   CAST(count(*) AS BIGINT) AS docs_kept,"
+        f"   CAST(sum(n_tokens) AS BIGINT) AS tokens_in,"
+        f"   CAST(sum(n_tokens - n_kept) AS BIGINT) AS tokens_removed,"
+        f"   CAST(sum(n_kept) AS BIGINT) AS tokens_out"
+        f"  FROM perdoc GROUP BY lang),"
+        f" base AS (SELECT lang, CAST(count(*) AS BIGINT) AS docs_in"
+        f"  FROM documents GROUP BY lang)"
+        f" SELECT base.lang, docs_in,"
+        f"  coalesce(docs_kept, 0) AS docs_kept,"
+        f"  coalesce(tokens_in, 0) AS tokens_in,"
+        f"  coalesce(tokens_removed, 0) AS tokens_removed,"
+        f"  coalesce(tokens_out, 0) AS tokens_out"
+        f" FROM base LEFT JOIN pipe ON base.lang = pipe.lang"
+    ),
+)
+def q_pipeline_pretrain_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_pretrain with SPAN-LEVEL dedup as the dedup stage:
+    PII scrub → Gopher repetition gate → Lee-et-al exact-substring
+    span excision (dedup_substring_rewrite's first-wins windows over
+    the gated corpus) → per-language token accounting (tokens in /
+    removed / out). This is the composition a modern pretrain ingest
+    runs when it keeps documents and strips their duplicated runs,
+    instead of dropping whole duplicate segments (pipeline_pretrain's
+    paragraph-level stage).
+
+    Scale shape: scrub + tokenize + gate fuse into the document scan;
+    the span stage adds exactly its own shuffles (shingle-hash window,
+    position anti-join, doc rollup) over the GATED corpus; the rollup
+    is a |langs|-row aggregate."""
+    docs = _docs(spark, sf_dir)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    tk0 = docs.select("doc_id", "lang", ta.ws_tokens(scrub).alias("t"))
+    tk = (
+        with_repetition_metrics(tk0)
+        .filter((F.col("n_words") >= 2) & F.col("keep"))
+        .select("doc_id", "lang", "t")
+    )
+    sh = (
+        tk.filter(F.size("t") >= SPAN_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - SPAN_WORDS + 1)
+            ).alias("s"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.expr(f"md5(array_join(slice(t, s, {SPAN_WORDS}), ' '))").alias(
+                "h"
+            ),
+        )
+    )
+    wh = Window.partitionBy("h")
+    occ = sh.select(
+        "doc_id",
+        "s",
+        F.row_number().over(wh.orderBy("doc_id", "s")).alias("rn"),
+        F.count(F.lit(1)).over(wh).alias("cnt"),
+    )
+    cov = (
+        occ.filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + SPAN_WORDS - 1)
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    toks = tk.select("doc_id", F.posexplode("t").alias("j0", "w")).select(
+        "doc_id", (F.col("j0") + 1).alias("j")
+    )
+    n_kept = (
+        toks.join(cov, ["doc_id", "j"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    perdoc = tk.join(n_kept, "doc_id", "left").select(
+        "lang",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+    pipe = perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum(F.col("n_tokens") - F.col("n_kept")).alias("tokens_removed"),
+        F.sum("n_kept").alias("tokens_out"),
+    )
+    base = docs.groupBy("lang").agg(F.count("*").alias("docs_in"))
+    return base.join(pipe, "lang", "left").select(
+        "lang",
+        "docs_in",
+        F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+        F.coalesce("tokens_in", F.lit(0)).alias("tokens_in"),
+        F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
         F.coalesce("tokens_out", F.lit(0)).alias("tokens_out"),
     )
 

@@ -922,3 +922,67 @@ def test_minhash_collapsed_equals_plain_on_replicated_corpus(spark, tmp_path):
         (r["doc_a"] // 3, r["doc_b"] // 3, r["jaccard"]) for r in collapsed
     }
     assert got_pairs == base_pairs
+
+
+def test_substring_rewrite_keeps_each_duplicated_span_exactly_once(
+    spark, tmp_path
+):
+    """The Lee et al. contract for span excision: on a corpus with a
+    planted SPAN_WORDS-token span duplicated across (and within)
+    documents, the rewritten corpus contains that span EXACTLY ONCE
+    (the corpus-wide first occurrence survives, every other window is
+    excised), unique surrounding content survives in order, and a
+    document with no duplicated shingles comes back verbatim."""
+    import os
+
+    from dist_mapreduce_spark.plans.llm_pipeline import (
+        SPAN_WORDS,
+        q_dedup_substring_rewrite,
+    )
+
+    span = " ".join(f"spanword{i}" for i in range(SPAN_WORDS))
+    docs = [
+        # first occurrence, mid-document
+        (0, " ".join(f"alpha{i}" for i in range(10)) + " " + span + " "
+         + " ".join(f"beta{i}" for i in range(10))),
+        # cross-document repeat
+        (1, " ".join(f"gamma{i}" for i in range(10)) + " " + span + " "
+         + " ".join(f"delta{i}" for i in range(10))),
+        # repeat at end of document
+        (2, " ".join(f"eps{i}" for i in range(6)) + " " + span),
+        # WITHIN-document repeat (suffix-array semantics: also removed)
+        (3, span + " " + " ".join(f"zeta{i}" for i in range(9)) + " " + span),
+        # entirely unique document: must come back verbatim
+        (4, " ".join(f"uniq{i}" for i in range(25))),
+    ]
+    sfdir = str(tmp_path / "spans")
+    os.makedirs(sfdir, exist_ok=True)
+    spark.createDataFrame(
+        [(d, t, "en", "test") for d, t in docs],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(sfdir + "/documents.parquet")
+
+    out = {
+        r["doc_id"]: r for r in q_dedup_substring_rewrite(spark, sfdir).collect()
+    }
+    corpus_rewritten = " | ".join(out[d]["text_rewrite"] for d, _ in docs)
+    assert corpus_rewritten.count(span) == 1, corpus_rewritten
+    # the survivor is doc 0's (first by doc_id, position)
+    assert span in out[0]["text_rewrite"]
+    # unique content around excised spans survives in order
+    assert out[1]["text_rewrite"].startswith("gamma0")
+    assert out[1]["text_rewrite"].endswith("delta9")
+    assert "spanword" not in out[1]["text_rewrite"]
+    # doc 3: within-doc repeat — the planted span fully excised twice
+    # EXCEPT nothing: both its windows are non-first occurrences.
+    assert "spanword" not in out[3]["text_rewrite"]
+    assert out[3]["text_rewrite"] == " ".join(f"zeta{i}" for i in range(9))
+    # untouched unique document round-trips verbatim
+    assert out[4]["text_rewrite"] == docs[4][1]
+    assert out[4]["n_removed"] == 0
+    # accounting: removed = tokens minus kept, everywhere
+    for d, _ in docs:
+        r = out[d]
+        assert r["n_tokens"] - r["n_removed"] == len(
+            r["text_rewrite"].split()
+        ) if r["text_rewrite"] else True

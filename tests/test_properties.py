@@ -451,12 +451,12 @@ def test_epoch_shuffle_is_bijective_and_replayable(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))
 
 
-def test_knn_cell_cap_binds_only_above_cap(spark):
-    """KNN_CELL_CAP is a skew backstop, not a semantics change: on
-    every gate corpus the largest residency cell sits far below the
-    cap, so capped and uncapped builds are identical there (the gate's
-    oracle PASS proves cross-engine parity of the capped definition;
-    this pins that the cap had nothing to bite)."""
+def test_knn_cell_subsplit_is_inert_below_cap(spark):
+    """On every gate corpus the largest residency cell sits far below
+    KNN_CELL_CAP, so nsplit = 1 everywhere and the sub-split build is
+    byte-identical to the unsplit one (the gate's oracle PASS proves
+    cross-engine parity of that definition; this pins that the split
+    had nothing to bite)."""
     from pyspark.sql import functions as F
 
     from dist_mapreduce_spark.plans.knn_graph import (
@@ -482,6 +482,91 @@ def test_knn_cell_cap_binds_only_above_cap(spark):
         .collect()[0]["m"]
     )
     assert biggest < KNN_CELL_CAP, (biggest, KNN_CELL_CAP)
+
+
+def test_knn_cell_subsplit_vertex_complete_and_oracle_parity(
+    spark, tmp_path
+):
+    """The round-9 coverage contract for hot-cell handling: on a
+    corpus whose residency cells EXCEED KNN_CELL_CAP, (a) EVERY vector
+    still emits edges (round 8's cap silently dropped out-of-cap
+    vertices — 130k of 500k edges at the 100× stress), (b) no
+    (rcell, sub) block exceeds the cap (the hard pair-volume bound),
+    and (c) Spark and the DuckDB oracle agree value-for-value with the
+    split arm actually binding (the gate corpora never reach the cap,
+    so without this fixture the oracle's split branch would be
+    unexercised)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.knn_graph import (
+        KNN_CELL_CAP,
+        _knn_oracle,
+        q_knn_graph,
+    )
+
+    n = 1100  # > KNN_CELL_CAP so the hot cells force nsplit = 3
+    dim = 64
+
+    def vec(vid: int) -> list[float]:
+        if vid % 41 == 3:
+            k = vid // 41
+            if k == 0:      # centroid 3: the cluster direction
+                return [1.0] * dim
+            if k == 1:      # centroid 44: the universal second choice
+                return [1.0] * 32 + [0.0] * 32
+            # remaining centroids ~orthogonal to the cluster
+            return [
+                1.0 if ((j >> (k % 6)) & 1) == 0 else -1.0
+                for j in range(dim)
+            ]
+        # cluster members: near-parallel with tiny deterministic noise
+        return [
+            1.0 + ((vid * 31 + j * 7) % 101) * 1e-4 for j in range(dim)
+        ]
+
+    rows = [(vid, vec(vid), vid % 10) for vid in range(n)]
+    sf = tmp_path / "skew"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(v, [float(x) for x in e], lb) for v, e, lb in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = q_knn_graph(spark, str(sf)).collect()
+    # (a) vertex-complete: every vector has at least one edge.
+    assert {r["src_id"] for r in got} == set(range(n))
+    # (b) sub-cell hard bound: recompute the split and check ≤ CAP.
+    from dist_mapreduce_spark.plans.knn_graph import KNN_RESIDENCY, _emb
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_cent_rows,
+        ivf_ranked_cells_sql,
+    )
+
+    emb = _emb(spark, str(sf)).filter(F.col("embedding").isNotNull())
+    ranked = ivf_ranked_cells_sql(ivf_cent_rows(emb))
+    res0 = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(f"transform(slice({ranked}, 1, {KNN_RESIDENCY}), x -> x.c)")
+        ).alias("rcell"),
+    )
+    sizes = {
+        int(r["n"])
+        for r in res0.groupBy("rcell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(sizes) > KNN_CELL_CAP, "fixture failed to create a hot cell"
+    # (c) full value parity against the oracle with the split binding.
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(_knn_oracle()).fetchall()
+    got_t = sorted((r["src_id"], r["dst_id"], r["rk"], r["score"]) for r in got)
+    want_t = sorted((a, b, rk, s) for a, b, s, rk in want)
+    assert got_t == want_t
 
 
 def test_cms_never_underestimates(spark):

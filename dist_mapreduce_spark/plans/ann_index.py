@@ -1598,29 +1598,30 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_RERANK = 448
 
 
-def _pq_codes_ctes() -> str:
-    """The cw → cb → sub → asg → codes CTE chain deriving every
-    vector's PQ codes in SQL — shared by the IVF-PQ serving oracle and
-    the codes-augmented index audit (ONE definition of the encode)."""
-    from dist_mapreduce_spark.plans.similarity import (
-        PQ_CAP,
-        PQ_DSUB,
-        PQ_K,
-        PQ_M,
-        PQ_MOD,
-        PQ_REM,
-    )
-    from dist_mapreduce_spark.functions.vectors import l2sq_duckdb_sql
+def _pq_cw_cte() -> str:
+    """The deterministic-sample codeword rows (cid, cv)."""
+    from dist_mapreduce_spark.plans.similarity import PQ_CAP, PQ_K, PQ_MOD, PQ_REM
 
-    lo = f"(m*{PQ_DSUB}+1)"
-    hi = f"(m*{PQ_DSUB}+{PQ_DSUB})"
     return (
         f"cw AS (SELECT cid, cv FROM (SELECT row_number()"
         f"   OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv"
         f"  FROM embeddings WHERE vec_id % {PQ_MOD} = {PQ_REM}"
         f"   AND vec_id < {PQ_CAP} AND embedding IS NOT NULL)"
-        f"  WHERE cid < {PQ_K}),"
-        f" cb AS (SELECT cid, m, cv[{lo}:{hi}] AS cvec"
+        f"  WHERE cid < {PQ_K})"
+    )
+
+
+def _pq_codes_tail() -> str:
+    """cb → sub → asg → codes over an in-scope `cw (cid, cv)` — split
+    from _pq_codes_ctes so the auto-select composition can share one
+    cw between the raw and residual arms."""
+    from dist_mapreduce_spark.plans.similarity import PQ_DSUB, PQ_M
+    from dist_mapreduce_spark.functions.vectors import l2sq_duckdb_sql
+
+    lo = f"(m*{PQ_DSUB}+1)"
+    hi = f"(m*{PQ_DSUB}+{PQ_DSUB})"
+    return (
+        f"cb AS (SELECT cid, m, cv[{lo}:{hi}] AS cvec"
         f"  FROM cw, unnest(range(0, {PQ_M})) AS u(m)),"
         f" sub AS (SELECT vec_id, m, embedding[{lo}:{hi}] AS sv"
         f"  FROM embeddings, unnest(range(0, {PQ_M})) AS u(m)),"
@@ -1631,6 +1632,13 @@ def _pq_codes_ctes() -> str:
         f"   OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM asg)"
         f"  WHERE rk = 1)"
     )
+
+
+def _pq_codes_ctes() -> str:
+    """The cw → cb → sub → asg → codes CTE chain deriving every
+    vector's PQ codes in SQL — shared by the IVF-PQ serving oracle and
+    the codes-augmented index audit (ONE definition of the encode)."""
+    return f"{_pq_cw_cte()}, {_pq_codes_tail()}"
 
 
 def _ivfpq_oracle() -> str:
@@ -2530,36 +2538,35 @@ def _res_codebook(
     ]
 
 
-def _res_codes_ctes() -> str:
-    """The residual-codes CTE chain (cwr -> cw -> rcw -> rcb -> resv ->
-    rsub -> rasg -> rcodes): every vector's PQ codes over its residual
-    against its own cell centroid — ONE definition shared by the
-    serving oracle and the stored-codes index audit. Requires
-    the cells chain's cent/cells to be in scope."""
-    from dist_mapreduce_spark.functions.vectors import (
-        l2sq_duckdb_sql,
-        sub_duckdb_sql,
-    )
-    from dist_mapreduce_spark.plans.similarity import (
-        PQ_CAP,
-        PQ_DSUB,
-        PQ_K,
-        PQ_M,
-        PQ_MOD,
-        PQ_REM,
-    )
+def _res_cw_ctes() -> str:
+    """Deterministic sample codeword rows for the residual family:
+    cwr keeps each row's vec_id (svid) so its own cell — and thus its
+    residual — is derivable; cw is the PQ_K head (a superset of
+    _pq_cw_cte's columns, so the raw tail composes over it too)."""
+    from dist_mapreduce_spark.plans.similarity import PQ_CAP, PQ_K, PQ_MOD, PQ_REM
 
-    lo = f"(m*{PQ_DSUB}+1)"
-    hi = f"(m*{PQ_DSUB}+{PQ_DSUB})"
     return (
-        # Deterministic sample rows keep their vec_id so their own cell
-        # (and thus their residual) is derivable.
         f"cwr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
         f"   vec_id AS svid, embedding AS cv"
         f"  FROM embeddings WHERE vec_id % {PQ_MOD} = {PQ_REM}"
         f"   AND vec_id < {PQ_CAP} AND embedding IS NOT NULL),"
-        f" cw AS (SELECT * FROM cwr WHERE cid < {PQ_K}),"
-        f" rcw AS (SELECT cid, {sub_duckdb_sql('cw.cv', 'ct.cvec')} AS rv"
+        f" cw AS (SELECT * FROM cwr WHERE cid < {PQ_K})"
+    )
+
+
+def _res_codes_tail() -> str:
+    """rcw → rcb → resv → rsub → rasg → rcodes over in-scope cwr/cw
+    and the cells chain's cent/cells."""
+    from dist_mapreduce_spark.functions.vectors import (
+        l2sq_duckdb_sql,
+        sub_duckdb_sql,
+    )
+    from dist_mapreduce_spark.plans.similarity import PQ_DSUB, PQ_M
+
+    lo = f"(m*{PQ_DSUB}+1)"
+    hi = f"(m*{PQ_DSUB}+{PQ_DSUB})"
+    return (
+        f"rcw AS (SELECT cid, {sub_duckdb_sql('cw.cv', 'ct.cvec')} AS rv"
         f"  FROM cw JOIN cells cl ON cl.vec_id = cw.svid"
         f"  JOIN cent ct ON ct.cent_id = cl.cell),"
         f" rcb AS (SELECT cid, m, rv[{lo}:{hi}] AS rcvec"
@@ -2578,6 +2585,15 @@ def _res_codes_ctes() -> str:
         f"   OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM rasg)"
         f"  WHERE rk = 1)"
     )
+
+
+def _res_codes_ctes() -> str:
+    """The residual-codes CTE chain (cwr -> cw -> rcw -> rcb -> resv ->
+    rsub -> rasg -> rcodes): every vector's PQ codes over its residual
+    against its own cell centroid — ONE definition shared by the
+    serving oracle and the stored-codes index audit. Requires
+    the cells chain's cent/cells to be in scope."""
+    return f"{_res_cw_ctes()}, {_res_codes_tail()}"
 
 
 def _ivfpq_res_oracle() -> str:

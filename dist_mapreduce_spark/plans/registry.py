@@ -62,3 +62,4 @@ def load_all() -> None:
     import dist_mapreduce_spark.plans.trained_quantizer  # noqa: F401
     import dist_mapreduce_spark.plans.rag  # noqa: F401
     import dist_mapreduce_spark.plans.sketches  # noqa: F401
+    import dist_mapreduce_spark.plans.codebook_select  # noqa: F401

@@ -88,41 +88,56 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcount collisions; pinned by test alongside the e/W·N error
     ceiling's realized value over_frac).
 
-    Scale shape: the sketch build is ONE aggregate over (d, h_d(key))
-    — map-side combinable into ≤ D·W rows regardless of corpus size
-    (this 4×256 sketch summarizes any stream in 8 KB of longs). The
-    probe join touches only sketch rows. At 100 TB: one scan, 1 024
-    counters shuffled, done — the exact computation this replaces
-    (skew_hitters) shuffles every distinct key."""
+    Scale shape (fused in round 9 — was 4 passes: build, probe,
+    exact, total): ONE scan of the event stream feeds ONE aggregate.
+    Each event explodes into its D (d, h_d(key)) sketch cells plus —
+    for probe keys only — a tagged (d = −1, key) row, so a single
+    (d, w) group-by yields the counter table AND the exact probe
+    counts together; n_events is recovered from the sketch itself
+    (Σ_w of any one hash row — each event lands in every row exactly
+    once), and the min-over-rows estimate joins only aggregate rows.
+    The ≤ D·W + probes aggregate is eagerly localCheckpoint'ed (a few
+    KB), so the est/exact/total branches read it, not the stream.
+    At 100 TB: one scan, 1 024 counters + probe tallies shuffled,
+    done — the exact computation this replaces (skew_hitters)
+    shuffles every distinct key."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("user_id")
     )
-    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
-    cnt = (
-        ev.crossJoin(F.broadcast(ds))
-        .select("d", F.expr(_cms_hash_spark("d", "user_id")).alias("w"))
+    cells = ", ".join(
+        f"named_struct('d', {d}, 'w', {_cms_hash_spark(str(d), 'user_id')})"
+        for d in range(CMS_D)
+    )
+    rows = (
+        f"concat(array({cells}),"
+        f" CASE WHEN user_id < {CMS_PROBES}"
+        f"  THEN array(named_struct('d', -1, 'w', CAST(user_id AS BIGINT)))"
+        f"  ELSE array() END)"
+    )
+    agg = (
+        ev.select(F.explode(F.expr(rows)).alias("r"))
+        .select("r.d", "r.w")
         .groupBy("d", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    probes = (
-        ev.filter(F.col("user_id") < CMS_PROBES)
-        .select(F.col("user_id").alias("probe"))
-        .distinct()
+    cnt = agg.filter(F.col("d") >= 0)
+    ex = agg.filter(F.col("d") == -1).select(
+        F.col("w").alias("probe"), F.col("c").alias("exact_cnt")
     )
+    n = cnt.filter(F.col("d") == 0).agg(
+        F.sum("c").cast("long").alias("n_events")
+    )
+    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
     est = (
-        probes.crossJoin(F.broadcast(ds))
+        ex.select("probe")
+        .crossJoin(F.broadcast(ds))
         .withColumn("w", F.expr(_cms_hash_spark("d", "probe")))
         .join(cnt, ["d", "w"])
         .groupBy("probe")
         .agg(F.min("c").alias("cms_est"))
-    )
-    ex = (
-        ev.filter(F.col("user_id") < CMS_PROBES)
-        .groupBy(F.col("user_id").alias("probe"))
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
     )
     return (
         est.join(ex, "probe")

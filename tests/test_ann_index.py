@@ -885,3 +885,51 @@ def test_adaptive_over_probe_grid(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "PartitionFilters" in plan and "cell" in plan, plan[:2000]
     assert "label" in plan and "PushedFilters" in plan, plan[:2000]
+
+
+def test_codebook_auto_select_picks_residual_on_clustered(spark, tmp_path):
+    """The raw-vs-residual auto-selection under the CLUSTERED regime:
+    on the closed-form 16-cluster corpus the trained quantizer
+    explains ~99.7% of corpus variance, so sim_codebook_stats must
+    pick 'residual' (the driver-corpus gate rows pin the 'raw' side at
+    ~7%), and sim_topk_ivfpq_auto must serve through the residual arm
+    while matching the DuckDB oracle value-for-value — this is the
+    only fixture where the oracle's guarded residual branch executes."""
+    import duckdb
+
+    from dist_mapreduce_spark.plans.ann_index import _py_clust_vec
+    from dist_mapreduce_spark.plans.codebook_select import (
+        CODEBOOK_RES_PPM,
+        _auto_oracle,
+        q_sim_codebook_stats,
+        q_sim_topk_ivfpq_auto,
+    )
+
+    sf = tmp_path / "clustered"
+    sf.mkdir()
+    rows = [
+        (i, [float(v) for v in _py_clust_vec(i)], i % 10) for i in range(5000)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    stat = q_sim_codebook_stats(spark, str(sf)).collect()[0]
+    assert stat["explained_ppm"] >= CODEBOOK_RES_PPM, stat
+    assert stat["codebook"] == "residual", stat
+
+    got = q_sim_topk_ivfpq_auto(spark, str(sf)).collect()
+    assert got and all(r["codebook"] == "residual" for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(_auto_oracle()).fetchall()
+    got_t = sorted(
+        (r["query_id"], r["vec_id"], r["rk"], r["codebook"], r["score"])
+        for r in got
+    )
+    want_t = sorted((q, v, rk, cb, s) for q, v, s, rk, cb in want)
+    assert got_t == want_t

@@ -83,12 +83,16 @@ _CLAST = f"c{N_ITER}"
 #: embeddings cannot be indexed — same exclusion the materialized
 #: sampled index applies on write).
 _TRAINED_CELLS_CTES = (
-    f"af AS (SELECT vec_id, cid FROM ("
+    # MATERIALIZED like the training rounds (round 9): with the
+    # unrolled distance expression, letting DuckDB inline a
+    # multi-referenced CTE re-expands the 64-term chains and blows up
+    # planner memory.
+    f"af AS MATERIALIZED (SELECT vec_id, cid FROM ("
     f" SELECT e.vec_id, c.cid,"
     f" row_number() OVER (PARTITION BY e.vec_id"
     f"  ORDER BY {kmeans_dist_duck()}, c.cid) AS rn"
     f" FROM e CROSS JOIN {_CLAST} c) sub WHERE rn = 1),"
-    f" tcells AS (SELECT a.vec_id, em.embedding, a.cid AS cell"
+    f" tcells AS MATERIALIZED (SELECT a.vec_id, em.embedding, a.cid AS cell"
     f"  FROM af a JOIN embeddings em ON em.vec_id = a.vec_id"
     f"  WHERE em.embedding IS NOT NULL)"
 )
@@ -438,7 +442,10 @@ def q_sim_cand_stats_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id")
-        .cache()
+        # eager localCheckpoint, not cache(): reused by both hit joins,
+        # blocks released with the frame across long gate sweeps (the
+        # round-9 advice class).
+        .localCheckpoint(eager=True)
     )
 
     def cnt(df: DataFrame, col: str) -> DataFrame:

@@ -77,6 +77,13 @@ def main() -> int:
         # view DDLs cost ~ms; isolation also makes every oracle's
         # timing independent of sweep order.
         c = duckdb.connect()
+        # Bound the buffer manager and give it a spill directory
+        # (round 9): an in-memory connection defaults to 80% of RAM
+        # with NO temp spill, so a marginal materialized-CTE oracle
+        # under sweep-time memory pressure dies with a malloc failure
+        # instead of offloading; with a limit + temp dir it spills.
+        c.execute("SET memory_limit='24GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -59,6 +59,21 @@ def values_equal(a, b) -> tuple[bool, bool]:
     return exact, approx
 
 
+def _release_arenas() -> None:
+    """Return freed glibc arena pages to the OS after each oracle —
+    malloc_trim also UNMAPS, keeping the process's memory-mapping
+    count flat across a multi-hundred-connection sweep (see the
+    fresh_con comment on vm.max_map_count)."""
+    import ctypes
+    import gc
+
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -77,11 +92,20 @@ def main() -> int:
         # view DDLs cost ~ms; isolation also makes every oracle's
         # timing independent of sweep order.
         c = duckdb.connect()
-        # Bound the buffer manager and give it a spill directory
-        # (round 9): an in-memory connection defaults to 80% of RAM
-        # with NO temp spill, so a marginal materialized-CTE oracle
-        # under sweep-time memory pressure dies with a malloc failure
-        # instead of offloading; with a limit + temp dir it spills.
+        # Round-9 hardening, diagnosed from sweep-only OOMs on the
+        # materialized-CTE oracles ("Failed to allocate block of 2048
+        # bytes" with >100 GB system-free): the kernel caps a process
+        # at vm.max_map_count (65 530 here) memory MAPPINGS, and 32
+        # DuckDB worker threads × glibc arenas × per-block buffer
+        # allocations can spike past it mid-query — a failed mmap
+        # surfaces as bad_alloc however tiny the request. Fewer
+        # threads bound the arena spike; the bounded buffer pool +
+        # spill dir keep any genuinely large oracle off the allocator
+        # edge; and main() trims freed arenas back to the OS after
+        # every oracle (malloc_trim also unmaps, shrinking the map
+        # table). Verified: 18 back-to-back heavy-oracle connections
+        # hold a flat ~860-mapping profile.
+        c.execute("SET threads TO 8")
         c.execute("SET memory_limit='24GB'")
         c.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
         for t in TABLES:
@@ -113,6 +137,7 @@ def main() -> int:
                 ddf = con.execute(oracles[name]).fetchdf()
             finally:
                 con.close()
+                _release_arenas()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)

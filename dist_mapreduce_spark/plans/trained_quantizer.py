@@ -1,16 +1,24 @@
 """TRAINED coarse quantizer for the IVF index (round-8 frontier ask).
 
-Every IVF surface so far (sim_index_build, sim_topk_ivf, knn_graph,
-dedup_semantic) uses the DETERMINISTIC-SAMPLE quantizer — centroids are
-a fixed vec_id-predicate subset of the corpus, the honest stand-in that
-keeps cell assignment closed-form. Production FAISS/ScaNN indexes train
-the coarse quantizer with k-means first: trained centroids track the
-corpus density, cells come out balanced, and the probed fraction drops
-at equal recall. This module closes that loop with the repo's own
-fixed-point k-means (plans/iterative.py — exact int64 Lloyd's, so the
-"trained" centroids are bit-reproducible and the DuckDB oracle replays
-the ENTIRE training run as an unrolled CTE chain — an oracle-checkable
-trained index, which float k-means could never be):
+HISTORY NOTE (round 9): this module's k=8 / int-L2 trained family was
+the round-8 evidence that training the coarse quantizer beats the
+deterministic sample (candidate fraction 0.367 at recall 0.96 vs
+0.498 at 0.90). Round 9 promoted the idea to the DEFAULT — the whole
+index/serving family now trains via plans/similarity.py's
+trained_quantizer (rule-scaled K, rule-derived probe count, the same
+integer trainer dequantized into the float assignment machinery).
+These rows remain as the fixed-K=8, int64-L2-probing variant whose
+before/after comparison against the SAMPLED quantizer is the
+measured justification for the flip.
+
+Production FAISS/ScaNN indexes train the coarse quantizer with
+k-means first: trained centroids track the corpus density, cells come
+out balanced, and the probed fraction drops at equal recall. This
+module closes that loop with the repo's own fixed-point k-means
+(plans/iterative.py — exact int64 Lloyd's, so the "trained" centroids
+are bit-reproducible and the DuckDB oracle replays the ENTIRE
+training run as an unrolled CTE chain — an oracle-checkable trained
+index, which float k-means could never be):
 
 - ``sim_index_build_trained``: train → assign → materialize the corpus
   hive-partitioned by TRAINED cell → per-cell read-back audit (same

@@ -293,7 +293,16 @@ def run_point_trained(spark, scale: int, train_sample_mod: int = 1) -> dict:
         int(r["cell"]): int(r["cnt"])
         for r in back.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    probed_rows = sum(cell_rows.get(c, 0) for c in union_cells)
+    # PER-QUERY probed fraction (the serving cost metric): mean over
+    # the batch of the rows in THAT query's np probed cells / n — the
+    # union across the batch overstates what any one query scans.
+    per_q = probes.groupBy("query_id").agg(
+        F.collect_set("pcell").alias("cs")
+    ).collect()
+    pq_rows = [
+        sum(cell_rows.get(int(c), 0) for c in r["cs"]) for r in per_q
+    ]
+    probed_rows = sum(pq_rows) / max(len(pq_rows), 1)
     return {
         "path": "trained",
         "scale": scale,
@@ -303,7 +312,7 @@ def run_point_trained(spark, scale: int, train_sample_mod: int = 1) -> dict:
         "train_sample_mod": train_sample_mod,
         "train_s": round(train_s, 1),
         "union_cells": len(union_cells),
-        "probed_frac": round(probed_rows / n, 4),
+        "per_query_frac": round(probed_rows / n, 4),
         "probe_s": round(statistics.median(probe_times), 2),
         "full_s": round(statistics.median(full_times), 2),
         "speedup": round(

@@ -551,3 +551,155 @@ def q_sim_topk_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "rel", "embedding")
     )
     return _mmr_greedy(cand)
+
+
+# -------------------------------------- dense retrieval, end to end
+
+#: Dense-retrieval geometry: DENSE_QUERIES query documents (their
+#: first chunk is the query vector), top DENSE_TOPK documents per
+#: query by max-pooled chunk cosine.
+DENSE_QUERIES = 3
+DENSE_TOPK = 10
+DENSE_DIM = 64
+
+
+def _dense_embed_duck(text_col: str) -> str:
+    """The STUB ENCODER, DuckDB dialect: dim j of a chunk's vector is
+    (md5_prefix_long(chunk_text || '_j') % 2048 − 1024) / 1024 — a
+    deterministic hash feature in [−1, 1), exact in IEEE double
+    (integer numerator, power-of-two divisor). This is explicitly a
+    stand-in for a real text encoder (no model runtime ships in this
+    container); it exercises the REAL pipeline plumbing — chunk
+    geometry, vector schema, broadcast query batch, fold-twin cosine,
+    MaxP — with bit-exact cross-engine values."""
+    from dist_mapreduce_spark.functions.hashing import (
+        md5_prefix_long_duckdb_sql,
+    )
+
+    h = md5_prefix_long_duckdb_sql(
+        f"{text_col} || '_' || CAST(j AS VARCHAR)", 12
+    )
+    return (
+        f"list_transform(range(0, {DENSE_DIM}),"
+        f" j -> CAST(({h} % 2048) - 1024 AS DOUBLE) / 1024.0)"
+    )
+
+
+def _dense_embed_spark(text_col: str) -> str:
+    from dist_mapreduce_spark.functions.hashing import (
+        md5_prefix_long_spark_sql,
+    )
+
+    h = md5_prefix_long_spark_sql(
+        f"concat({text_col}, '_', CAST(j AS STRING))", 12
+    )
+    return (
+        f"transform(sequence(0, {DENSE_DIM - 1}),"
+        f" j -> CAST(({h} % 2048) - 1024 AS DOUBLE) / 1024.0)"
+    )
+
+
+def _dense_maxp_oracle() -> str:
+    ev = _dense_embed_duck("array_to_string(ch, ' ')")
+    return (
+        f"WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents"
+        f"  WHERE text IS NOT NULL),"
+        f" ck AS (SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT)"
+        f"   AS chunk_id,"
+        f"   toks[(s + 1):least(s + {CHUNK_SIZE}, len(toks))] AS ch"
+        f"  FROM t, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS u(s)),"
+        f" cv AS MATERIALIZED (SELECT doc_id, chunk_id, {ev} AS v"
+        f"  FROM ck WHERE len(ch) >= 1),"
+        f" qv AS (SELECT doc_id AS query_id, v AS q FROM cv"
+        f"  WHERE doc_id < {DENSE_QUERIES} AND chunk_id = 0),"
+        f" sc AS (SELECT q.query_id, c.doc_id, c.chunk_id,"
+        f"   {cosine_duckdb_sql('q.q', 'c.v')} AS score"
+        f"  FROM cv c JOIN qv q ON c.doc_id <> q.query_id),"
+        f" best AS (SELECT query_id, doc_id, chunk_id, score FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id"
+        f"   ORDER BY score DESC, chunk_id) AS crk FROM sc)"
+        f"  WHERE crk = 1)"
+        f" SELECT query_id, doc_id, chunk_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, doc_id) AS rk FROM best)"
+        f" WHERE rk <= {DENSE_TOPK}"
+    )
+
+
+@query("search_dense_maxp", oracle=_dense_maxp_oracle())
+def q_search_dense_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE passage retrieval END TO END — the DPR-style complement
+    of search_passage_maxp's lexical pipeline, and the composition a
+    RAG ingest actually runs from raw documents: sliding-window
+    chunking (chunk_documents' geometry) → per-chunk embedding → a
+    broadcast query batch scored by the fold-twin cosine over every
+    chunk → per-document MaxP (the best chunk represents the
+    document, and is RETURNED — the span a prompt builder wants) →
+    top-DENSE_TOPK documents per query.
+
+    The encoder is a DETERMINISTIC HASH STUB (_dense_embed_*): no
+    model runtime ships in this container, so dim j is a md5-derived
+    feature in [−1, 1), exact in IEEE double on both engines. The
+    integration point for a real encoder is exactly this column — at
+    100 TB the embed stage is the GPU fleet's mapInPandas and the
+    vectors land in sim_index_build's partitioned layout, after which
+    the scoring stage here swaps its full scan for the probed-cell
+    pruned scan (sim_topk_ivf_pruned's shape). Everything around the
+    stub — chunk explode (pure map), one broadcast join, one
+    (query, doc) max-pool, one top-k window — is the production plan.
+
+    Self-retrieval sanity is excluded by construction (a query
+    document never scores its own chunks); queries are the first
+    DENSE_QUERIES documents' first chunks."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = ta.ws_tokens(F.col("text"))
+    starts = F.when(
+        F.size(F.col("toks")) <= 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, (size(toks) - 1) DIV {CHUNK_STRIDE}),"
+            f" i -> i * {CHUNK_STRIDE})"
+        )
+    )
+    ck = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("s") + 1, F.lit(CHUNK_SIZE)).alias(
+                "ch"
+            ),
+        )
+        .filter(F.size("ch") >= 1)
+        .withColumn("ctext", F.array_join("ch", " "))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(_dense_embed_spark("ctext")).alias("v"),
+        )
+    )
+    qv = ck.filter(
+        (F.col("doc_id") < DENSE_QUERIES) & (F.col("chunk_id") == 0)
+    ).select(F.col("doc_id").alias("query_id"), F.col("v").alias("q"))
+    sc = (
+        ck.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
+        .withColumn("score", F.expr(cosine_spark_sql("q", "v")))
+        .select("query_id", "doc_id", "chunk_id", "score")
+    )
+    wd = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_id")
+    )
+    best = (
+        sc.withColumn("crk", F.row_number().over(wd))
+        .filter(F.col("crk") == 1)
+        .select("query_id", "doc_id", "chunk_id", "score")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= DENSE_TOPK)
+        .select("query_id", "doc_id", "chunk_id", "score", "rk")
+    )

@@ -134,6 +134,20 @@ DEFAULT_QUERIES = (
     "sim_topk_ivfpq_res",
     "tpch_q9",
     "tpch_q21",
+    # round-9 operators: the span-excision rewrite (shingle window +
+    # position anti-join — replication makes EVERY span corpus-
+    # duplicated, the worst case), its composed pipeline, the plain
+    # kNN build (now vertex-complete under the hot-cell sub-split —
+    # replication is exactly the skew that makes the split bind), the
+    # codebook decision statistic (two statistics scans), the
+    # auto-selected composed index, and dense end-to-end retrieval
+    # (chunk + embed are map-side; the query batch broadcasts).
+    "dedup_substring_rewrite",
+    "pipeline_pretrain_spans",
+    "knn_graph",
+    "sim_codebook_stats",
+    "sim_topk_ivfpq_auto",
+    "search_dense_maxp",
 )
 
 

@@ -80,6 +80,13 @@ DOC_QUERIES = [
     "data_mix_report",
     "quality_langid_confusion",
     "quality_dedup_report",
+    # round-9: span excision must survive empty/whitespace docs (zero
+    # tokens → nothing to excise, verbatim-empty rewrite), the span
+    # pipeline likewise, and dense e2e retrieval must yield an EMPTY
+    # result (no query chunks exist) rather than crash.
+    "dedup_substring_rewrite",
+    "pipeline_pretrain_spans",
+    "search_dense_maxp",
 ]
 
 

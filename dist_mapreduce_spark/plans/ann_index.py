@@ -10,7 +10,7 @@ a probe is partition pruning". This module executes it:
   write lossless with per-cell stats against the DuckDB cell oracle.
 - ``sim_topk_ivf_pruned`` serves the query batch FROM that index as
   ONE batched plan (round 6; round 5 looped per query): probes are
-  ranked in-plan, the union of probed cells — bounded by k ≤ 64
+  ranked in-plan, the union of probed cells — bounded by the trained k (K_MAX at most)
   regardless of batch size — lands as a literal ``cell IN (...)``
   partition filter, and a single pruned scan broadcast-joins the probe
   frame. EXPLAIN shows PartitionFilters; tests/test_ann_index.py pins
@@ -219,7 +219,7 @@ def serve_batched_from_index(
     Shape: the query batch ranks the literal centroids IN-PLAN
     (ivf_probes_df — the same pure-map expression sim_topk_ivf uses)
     and explodes to (query_id, qv, pcell); the only driver pull is the
-    DISTINCT probed-cell set, which is bounded by k ≤ 64 REGARDLESS of
+    DISTINCT probed-cell set, which is bounded by the trained k REGARDLESS of
     batch size, and becomes the literal ``cell IN (...)`` partition
     filter on the materialized index. One pruned scan of the union of
     probed cells, one broadcast equi-join on cell (the join discards
@@ -391,7 +391,7 @@ def q_sim_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/selectivity/candidate-fraction numbers that drive the
     strategy switch. Approximate like every IVF serve: a true neighbor
     outside the probed cells is missed — recall is certified, not
-    assumed. At gate scale the corpus has ≤13 cells so the over-probe
+    assumed. At gate scale the trained corpus has 8-14 cells so the over-probe
     covers all of them (recall 1.0, the textbook small-corpus
     degeneration); the strategy's value appears exactly when k is
     large, i.e. the 100 TB regime."""
@@ -1058,7 +1058,7 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. assign the tombstoned ids to cells with the frozen quantizer (a
        pure map over the 1% batch) and pull the DISTINCT affected cell
-       ids (bounded by k ≤ 64);
+       ids (bounded by the trained k);
     2. read exactly those cell directories from the index (partition-
        pruned scan — the same pin as serving), anti-join the tombstone
        ids, and write the survivors to a staging directory partitioned
@@ -1189,7 +1189,7 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. assign the batch's NEW embeddings with the frozen quantizer;
        affected cells = old cells of the batch ids ∪ new cells of the
-       re-embedded vectors (both driver pulls bounded by k ≤ 64);
+       re-embedded vectors (both driver pulls bounded by the trained k);
     2. pruned-scan exactly the affected directories, drop the batch's
        old rows (anti-join), union the batch's new rows — every new
        row lands in an affected cell by construction;
@@ -2413,7 +2413,7 @@ def q_sim_filtered_adaptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     certified unfiltered recall bar; on the RARE predicate it
     saturates toward all cells, pinning recall 1.0 where a fixed
     constant would under-scan the moment k_cells outgrows it (at gate
-    scale k ≤ 49 so the fixed rule happens to saturate too — the
+    scale k is 8-14 so the fixed rule happens to saturate too — the
     honest small-corpus degeneration, stated not hidden). Integer
     counts + one division per column keep both engines
     bit-identical."""

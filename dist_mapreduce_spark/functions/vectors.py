@@ -26,8 +26,20 @@ def _norm2_spark(a: str) -> str:
 
 
 def cosine_spark_sql(a: str, b: str) -> str:
-    """Spark SQL expression for cosine(a, b) with double accumulation."""
-    return f"({_dot_spark(a, b)} / (sqrt({_norm2_spark(a)}) * sqrt({_norm2_spark(b)})))"
+    """Spark SQL expression for cosine(a, b) with double accumulation.
+
+    try_divide, not `/` (round-10): a zero-norm vector (an empty
+    document's embedding — real corpora contain them) makes the
+    divisor 0.0, which under Spark 4's default ANSI mode ABORTS the
+    whole query, while the DuckDB twin's `/` yields NULL. try_divide
+    returns NULL on a zero divisor — bit-identical to `/` on every
+    nonzero divisor — so both engines score a zero-norm pair as NULL,
+    which sorts last under every DESC ranking window (NULLS LAST in
+    both dialects) instead of crashing one engine and not the other."""
+    return (
+        f"try_divide({_dot_spark(a, b)},"
+        f" (sqrt({_norm2_spark(a)}) * sqrt({_norm2_spark(b)})))"
+    )
 
 
 #: Embedding dimensionality of the driver's embeddings table — the

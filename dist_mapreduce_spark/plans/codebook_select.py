@@ -84,9 +84,13 @@ _CLAST = f"c{N_ITER}"
 #: integer floor mean (the k-means update construction); st sums the
 #: int64 per-vector distances in HUGEINT.
 _STAT_CTES = (
+    # count(q[j]), not count(*): out-of-range positions of a ragged /
+    # short vector are NULL here, while the Spark side posexplodes
+    # (emitting only in-range elements) — counting non-NULL keeps the
+    # per-dim n identical between engines on ragged corpora.
     f"gm AS (SELECT j, (s - (((s % n) + n) % n)) // n AS g FROM ("
     f"  SELECT j, CAST(sum(q[j]) AS BIGINT) AS s,"
-    f"   CAST(count(*) AS BIGINT) AS n"
+    f"   CAST(count(q[j]) AS BIGINT) AS n"
     f"  FROM e CROSS JOIN range(1, {DIM} + 1) t(j) GROUP BY j)),"
     f" gv AS (SELECT list(g ORDER BY j) AS g FROM gm),"
     f" st AS (SELECT CAST(count(*) AS HUGEINT) AS n_vecs,"
@@ -112,9 +116,13 @@ _STAT_CTES = (
     oracle=(
         f"WITH {TRAINED_CELLS_CTE},"
         f" {_STAT_CTES}"
+        # n_vecs > 0: on an empty / all-NULL-embedding corpus the
+        # driver returns zero rows (no trained centroids), while these
+        # global aggregates would emit one (0, NULL, NULL, ...) row —
+        # the guard keeps the degenerate row counts identical.
         f" SELECT d.n_vecs, d.tss_mean, d.wss_mean, d.explained_ppm,"
         f"  p.cb AS codebook"
-        f" FROM dec d CROSS JOIN pick p"
+        f" FROM dec d CROSS JOIN pick p WHERE d.n_vecs > 0"
     ),
 )
 def q_sim_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

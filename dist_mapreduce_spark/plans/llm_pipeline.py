@@ -2017,6 +2017,40 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------ duplicated-span REMOVAL (rewrite)
 
+
+def _span_first_wins_cov(sh: DataFrame) -> DataFrame:
+    """Covered positions (doc_id, j) of every NON-FIRST occurrence of a
+    duplicated shingle — the excision set for the span-rewrite family.
+
+    First-wins is a partial-aggregable min(struct(doc_id, s)) per
+    shingle hash, NOT a row_number window partitioned by h (round-10
+    skew fix): the aggregate combines map-side, so a corpus-wide
+    boilerplate shingle (license header, navigation chrome —
+    10^6-10^8 occurrences in a real crawl) never lands all its rows in
+    one task's sort, and the join back on h is AQE-skew-splittable
+    (windows are not). Lexicographic struct min == ORDER BY doc_id, s
+    first in both dialects; ONE definition shared by
+    dedup_substring_rewrite and pipeline_pretrain_spans."""
+    fw = sh.groupBy("h").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("s").alias("p"))
+        ).alias("f"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    return (
+        sh.join(fw.filter(F.col("cnt") > 1), "h")
+        .filter(
+            (F.col("doc_id") != F.col("f.d")) | (F.col("s") != F.col("f.p"))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + SPAN_WORDS - 1)
+            ).alias("j"),
+        )
+        .distinct()
+    )
+
 #: Shared CTE chain for span excision (Lee et al. 2022 exact substring
 #: deduplication, the operation pretrain pipelines actually run —
 #: dedup_substring above only AUDITS the duplicated fraction): every
@@ -2031,12 +2065,19 @@ _SPAN_REWRITE_CTES = (
     f"   md5(array_to_string(t[s:s+{SPAN_WORDS}-1], ' ')) AS h"
     f"  FROM tk, unnest(range(1, len(t) - {SPAN_WORDS} + 2)) AS u(s)"
     f"  WHERE len(t) >= {SPAN_WORDS}),"
-    f" occ AS (SELECT doc_id, s,"
-    f"   row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,"
-    f"   count(*) OVER (PARTITION BY h) AS cnt FROM sh2),"
-    f" cov AS (SELECT DISTINCT doc_id, s + o AS j"
-    f"  FROM occ, unnest(range(0, {SPAN_WORDS})) AS v(o)"
-    f"  WHERE cnt > 1 AND rn > 1),"
+    # First-wins as a map-side-combinable AGGREGATE, not a window
+    # (round-10 skew fix): "is this occurrence the corpus-wide first?"
+    # needs only min(struct(doc_id, s)) per shingle hash — partial-
+    # aggregable, so a boilerplate shingle occurring 10^6-10^8 times
+    # combines map-side instead of sorting in one task, and the join
+    # back is AQE-skew-splittable (windows are not).
+    f" fw AS (SELECT h, min({{'d': doc_id, 'p': s}}) AS f,"
+    f"   CAST(count(*) AS BIGINT) AS cnt FROM sh2 GROUP BY h),"
+    f" cov AS (SELECT DISTINCT sh2.doc_id, sh2.s + o AS j"
+    f"  FROM sh2 JOIN fw USING (h),"
+    f"   unnest(range(0, {SPAN_WORDS})) AS v(o)"
+    f"  WHERE fw.cnt > 1"
+    f"   AND NOT (sh2.doc_id = fw.f.d AND sh2.s = fw.f.p)),"
     f" toks AS (SELECT doc_id, j, t[j] AS w"
     f"  FROM tk, unnest(range(1, len(t) + 1)) AS u(j)),"
     f" kept AS (SELECT tx.doc_id, tx.j, tx.w FROM toks tx"
@@ -2076,13 +2117,16 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, n_tokens, n_removed, text_rewrite) for EVERY
     document (empty/NULL text → 0/0/'').
 
-    Scale shape: one shuffle on shingle hash for the first-wins window
-    (hot boilerplate shingles cost O(occurrences), never pairs), one
+    Scale shape: first-wins is a MAP-SIDE-COMBINABLE aggregate on the
+    shingle hash (min(struct(doc_id, s)) + count — hot boilerplate
+    shingles partial-aggregate in every task, and the join back on h
+    is AQE-skew-splittable; a row_number window here would sort every
+    occurrence of one hash in a single task, round-10 fix), one
     narrow (doc_id, j) anti-join of covered positions against the
     token stream, one doc_id rollup with order pinned by sorting the
     collected (j, w) structs — the dedup_paragraph discipline at token
     granularity. Nothing pairwise, no driver state; at 100 TB the
-    occurrence window is the same shape dedup_paragraph already
+    occurrence aggregate is the same shape dedup_paragraph already
     proved, ×SPAN_WORDS for the position explosion."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
@@ -2103,23 +2147,7 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wh = Window.partitionBy("h")
-    occ = sh.select(
-        "doc_id",
-        "s",
-        F.row_number().over(wh.orderBy("doc_id", "s")).alias("rn"),
-        F.count(F.lit(1)).over(wh).alias("cnt"),
-    )
-    cov = (
-        occ.filter((F.col("cnt") > 1) & (F.col("rn") > 1))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + SPAN_WORDS - 1)
-            ).alias("j"),
-        )
-        .distinct()
-    )
+    cov = _span_first_wins_cov(sh)
     toks = tok.select(
         "doc_id", F.posexplode("t").alias("j0", "w")
     ).select("doc_id", (F.col("j0") + 1).alias("j"), "w")
@@ -2371,7 +2399,8 @@ def q_pipeline_pretrain_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph-level stage).
 
     Scale shape: scrub + tokenize + gate fuse into the document scan;
-    the span stage adds exactly its own shuffles (shingle-hash window,
+    the span stage adds exactly its own shuffles (map-side-combinable
+    first-wins aggregate + skew-splittable join on shingle hash,
     position anti-join, doc rollup) over the GATED corpus; the rollup
     is a |langs|-row aggregate."""
     docs = _docs(spark, sf_dir)
@@ -2407,23 +2436,7 @@ def q_pipeline_pretrain_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wh = Window.partitionBy("h")
-    occ = sh.select(
-        "doc_id",
-        "s",
-        F.row_number().over(wh.orderBy("doc_id", "s")).alias("rn"),
-        F.count(F.lit(1)).over(wh).alias("cnt"),
-    )
-    cov = (
-        occ.filter((F.col("cnt") > 1) & (F.col("rn") > 1))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + SPAN_WORDS - 1)
-            ).alias("j"),
-        )
-        .distinct()
-    )
+    cov = _span_first_wins_cov(sh)
     toks = tk.select("doc_id", F.posexplode("t").alias("j0", "w")).select(
         "doc_id", (F.col("j0") + 1).alias("j")
     )

@@ -128,7 +128,11 @@ def _mmr_oracle() -> str:
         f"  FROM embeddings q, embeddings c"
         f"  WHERE q.vec_id < {MMR_QUERIES} AND c.vec_id <> q.vec_id"
         f"   AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL)"
-        f" WHERE rk <= {MMR_CAND})",
+        # rel IS NOT NULL: a zero-norm vector scores NULL (0/0) in both
+        # dialects and must not enter the pool even when it is underfull
+        # — NULLs rank after every non-NULL row under DESC NULLS LAST,
+        # so the surviving top-MMR_CAND set is unchanged otherwise.
+        f" WHERE rk <= {MMR_CAND} AND rel IS NOT NULL)",
         # Pairwise candidate-candidate sims inside each query's pool
         # (bounded: MMR_CAND^2 per query).
         f"pair AS MATERIALIZED (SELECT x.query_id, x.vec_id AS a_id, y.vec_id AS b_id,"
@@ -203,6 +207,10 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(qdf))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rel", F.expr(cosine_spark_sql("qv", "embedding")))
+        # zero-norm vectors score NULL (try_divide ↔ DuckDB /0 = NULL)
+        # and must not enter the pool — pre-filtering before the rank
+        # window selects the same top-MMR_CAND (NULLs rank last).
+        .filter(F.col("rel").isNotNull())
         .withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= MMR_CAND)
         .select("query_id", "vec_id", "rel", "embedding")
@@ -223,9 +231,20 @@ def _dot_seq(a, b) -> float:
 
 
 def _cos_seq(a, b) -> float:
+    """Cosine with a zero-norm guard (round-10 advice): Python float
+    0.0/0.0 raises where the engines never error (Spark try_divide and
+    DuckDB `/` both yield NULL). Pools exclude NULL-rel (zero-norm)
+    candidates in both dialects, so this guard is defense-in-depth —
+    if a zero-norm vector ever reaches the Arrow stage, return NaN
+    (mirroring ivf_py_probe_cells' zero-norm replay) rather than crash
+    one Python task and with it the whole serving batch."""
     import math
 
-    return _dot_seq(a, b) / (math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b)))
+    na = math.sqrt(_dot_seq(a, a))
+    nb = math.sqrt(_dot_seq(b, b))
+    if na == 0.0 or nb == 0.0:
+        return float("nan")
+    return _dot_seq(a, b) / (na * nb)
 
 
 def _desc_first(v: float, best: float) -> bool:
@@ -290,7 +309,14 @@ def _mmr_greedy(cand: DataFrame) -> DataFrame:
                 if step == 1:
                     mmr = 0.5 * rel
                 else:
-                    dmax = max(sims[(vid, s_id)] for s_id in selected)
+                    # NaN-is-greatest max (the engines' max() semantics
+                    # — builtin max() over a NaN-containing sequence is
+                    # order-dependent and diverges from both).
+                    dmax = None
+                    for s_id in selected:
+                        v = sims[(vid, s_id)]
+                        if dmax is None or _desc_first(v, dmax):
+                            dmax = v
                     mmr = 0.5 * rel - 0.5 * dmax
                 if best is None or _desc_first(mmr, best_mmr):
                     best, best_mmr = (vid, rel), mmr
@@ -460,7 +486,8 @@ def _mmr_ivf_oracle() -> str:
         f"  FROM cells cl JOIN probes p ON cl.cell = p.pcell"
         f"   AND cl.vec_id <> p.query_id"
         f"  WHERE cl.embedding IS NOT NULL)"
-        f" WHERE rk <= {MMR_CAND})",
+        # zero-norm exclusion — see _mmr_oracle's cand.
+        f" WHERE rk <= {MMR_CAND} AND rel IS NOT NULL)",
         f"pair AS MATERIALIZED (SELECT x.query_id, x.vec_id AS a_id,"
         f"  y.vec_id AS b_id, {cos_ab} AS s"
         f" FROM cand x JOIN cand y ON x.query_id = y.query_id"
@@ -546,6 +573,7 @@ def q_sim_topk_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn("rel", F.expr(cosine_spark_sql("qv", "embedding")))
+        .filter(F.col("rel").isNotNull())  # zero-norm exclusion
         .withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= MMR_CAND)
         .select("query_id", "vec_id", "rel", "embedding")

@@ -376,6 +376,10 @@ EMB_QUERIES = [
     "sim_topk_mmr",
     "sim_topk_mmr_pruned",
     "contamination_embedding",
+    # round-10 (advice): the codebook statistic's driver pulls and the
+    # auto-selected serving arm must both survive NULL vectors.
+    "sim_codebook_stats",
+    "sim_topk_ivfpq_auto",
 ]
 
 

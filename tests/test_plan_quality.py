@@ -377,3 +377,22 @@ def test_cms_counter_table_is_bounded(spark):
     zz = {r["part"]: r for r in rows}
     assert sum(r["mass"] for r in parts) == zz["zz_global"]["mass"]
     assert CMS_D * CMS_W == 1024  # the documented 8 KB bound
+
+
+def test_substring_rewrite_first_wins_is_aggregate_not_window(spark):
+    """Round-10 skew fix pinned: the span-rewrite's first-wins must be
+    a map-side-combinable min(struct)+count AGGREGATE on the shingle
+    hash, never a row_number/count window partitioned by h — a window
+    forces every occurrence of one hot boilerplate shingle into a
+    single task's sort (unsplittable), while the aggregate partial-
+    combines and the join back is AQE-skew-splittable."""
+    from dist_mapreduce_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["dedup_substring_rewrite"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in plan, plan[:3000]
+    # partial_min(struct) proves the map-side combine is really there.
+    assert "partial_min" in plan, plan[:3000]

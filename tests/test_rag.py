@@ -171,3 +171,35 @@ def test_ccnet_buckets_are_terciles(spark):
         # Score ranges must be ordered head <= middle <= tail.
         assert rs[0]["max_milli"] <= rs[1]["min_milli"] or sizes[0] == 0
         assert rs[1]["max_milli"] <= rs[2]["min_milli"] or sizes[1] == 0
+
+
+def test_mmr_survives_zero_norm_vector_in_pool(spark, tmp_path):
+    """Round-10 advice: a zero-norm embedding must neither crash the
+    query (Spark 4 ANSI `/` aborts on the 0.0 divisor — try_divide
+    yields NULL, matching DuckDB) nor enter the MMR pool (NULL rel is
+    excluded in both dialects); the Arrow greedy additionally guards
+    _cos_seq/dmax with engine NaN semantics as defense-in-depth."""
+    import os
+
+    base = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)], 1)
+        for i in range(30)
+    ]
+    zero = [(40, [0.0] * 8, 1)]
+    sfdir = str(tmp_path / "zn")
+    os.makedirs(sfdir, exist_ok=True)
+    spark.createDataFrame(
+        base + zero, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sfdir + "/embeddings.parquet")
+    rows = q_sim_topk_mmr(spark, sfdir).collect()
+    assert rows, "query must not crash and must emit picks"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["step"]] = r
+    for qid, steps in by_q.items():
+        # The zero vector scores NULL rel (try_divide ↔ DuckDB /0) and
+        # is excluded from every pool — never selected, never a crash.
+        assert all(s["vec_id"] != 40 for s in steps.values()), (qid, steps)
+        assert all(s["rel"] is not None and s["mmr"] is not None
+                   for s in steps.values()), (qid, steps)
+        assert len(steps) == MMR_K, steps

@@ -654,6 +654,38 @@ def _dense_maxp_oracle() -> str:
     )
 
 
+def _dense_maxp_tail(ck: DataFrame) -> DataFrame:
+    """The serving tail over an encoded chunk frame (doc_id, chunk_id,
+    v): broadcast query batch (first chunk of each query document) →
+    fold-twin cosine over every chunk → per-document MaxP → top-k.
+    ONE definition shared by the expression-stub and the mapInPandas
+    encoder variants — the encoder is the only thing that differs."""
+    qv = ck.filter(
+        (F.col("doc_id") < DENSE_QUERIES) & (F.col("chunk_id") == 0)
+    ).select(F.col("doc_id").alias("query_id"), F.col("v").alias("q"))
+    sc = (
+        ck.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
+        .withColumn("score", F.expr(cosine_spark_sql("q", "v")))
+        .select("query_id", "doc_id", "chunk_id", "score")
+    )
+    wd = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_id")
+    )
+    best = (
+        sc.withColumn("crk", F.row_number().over(wd))
+        .filter(F.col("crk") == 1)
+        .select("query_id", "doc_id", "chunk_id", "score")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        best.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= DENSE_TOPK)
+        .select("query_id", "doc_id", "chunk_id", "score", "rk")
+    )
+
+
 @query("search_dense_maxp", oracle=_dense_maxp_oracle())
 def q_search_dense_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DENSE passage retrieval END TO END — the DPR-style complement
@@ -709,25 +741,436 @@ def q_search_dense_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_dense_embed_spark("ctext")).alias("v"),
         )
     )
-    qv = ck.filter(
+    return _dense_maxp_tail(ck)
+
+
+# ----------------- dense retrieval FROM THE MATERIALIZED INDEX (r10)
+
+#: Scalar chunk id for the dense index: vec_id = doc_id * MOD +
+#: chunk_id. MOD = 2^20 bounds documents at ~16M tokens (chunk_id <
+#: 2^20) and doc_id at 2^43 before BIGINT overflow — both far beyond
+#: any real corpus' per-document limits; identical closed form in both
+#: dialects so the trainer's ORDER BY vec_id init is cross-engine
+#: deterministic.
+DENSE_VID_MOD = 1 << 20
+
+
+def _dense_chunk_ctes() -> str:
+    """The shared chunk-vector chain (t → ck → cemb): the stub-encoded
+    chunk corpus as a (vec_id, embedding) table the trained-quantizer
+    CTE machinery can run on unchanged. MATERIALIZED: the trainer
+    references cemb 2 + 5·2 times."""
+    ev = _dense_embed_duck("array_to_string(ch, ' ')")
+    return (
+        f"t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents"
+        f"  WHERE text IS NOT NULL),"
+        f" ck AS (SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT)"
+        f"   AS chunk_id,"
+        f"   toks[(s + 1):least(s + {CHUNK_SIZE}, len(toks))] AS ch"
+        f"  FROM t, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS u(s)),"
+        f" cemb AS MATERIALIZED (SELECT"
+        f"   doc_id * {DENSE_VID_MOD} + chunk_id AS vec_id, {ev} AS embedding"
+        f"  FROM ck WHERE len(ch) >= 1)"
+    )
+
+
+def _dense_trained_ctes() -> str:
+    """The ENTIRE trained-quantizer chain (statistics → K rule → 5
+    integer Lloyd's rounds → dequantized cent → sc/rkd/cells
+    assignment → probe rule), re-sourced from the chunk-vector corpus:
+    the similarity-module CTEs verbatim with their one table reference
+    swapped to cemb — the same .replace surgery the lifecycle oracles
+    use, so 'trained centroids' keeps its single cross-engine
+    definition."""
+    from dist_mapreduce_spark.plans.similarity import (
+        TRAINED_CELLS_CTE,
+        TRAINED_NPROBE_CTES,
+    )
+
+    return (TRAINED_CELLS_CTE + ", " + TRAINED_NPROBE_CTES).replace(
+        "FROM embeddings", "FROM cemb"
+    )
+
+
+def _dense_pruned_tail(probes: str) -> str:
+    """Scoring restricted to probed cells + per-doc MaxP + top-k —
+    shared by the pruned serving oracle and the recall row's pruned
+    arm. `probes` names the in-scope probes CTE."""
+    return (
+        f" dsc AS (SELECT p.query_id,"
+        f"   cl.vec_id // {DENSE_VID_MOD} AS doc_id,"
+        f"   cl.vec_id % {DENSE_VID_MOD} AS chunk_id,"
+        f"   {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+        f"  FROM cells cl JOIN {probes} p ON cl.cell = p.pcell"
+        f"   AND cl.vec_id // {DENSE_VID_MOD} <> p.query_id),"
+        f" dbest AS (SELECT query_id, doc_id, chunk_id, score FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id"
+        f"   ORDER BY score DESC, chunk_id) AS brk FROM dsc)"
+        f"  WHERE brk = 1),"
+        f" dtop AS (SELECT query_id, doc_id, chunk_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, doc_id) AS rk FROM dbest)"
+        f"  WHERE rk <= {DENSE_TOPK})"
+    )
+
+
+_DENSE_PROBES_CTE = (
+    f"dprobes AS (SELECT vec_id // {DENSE_VID_MOD} AS query_id,"
+    f"  embedding AS qv, cent_id AS pcell FROM rkd"
+    f" WHERE vec_id < {DENSE_QUERIES * DENSE_VID_MOD}"
+    f"  AND vec_id % {DENSE_VID_MOD} = 0"
+    f"  AND crk <= (SELECT np FROM npr))"
+)
+
+
+def _dense_pruned_oracle() -> str:
+    return (
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_trained_ctes()},"
+        f" {_DENSE_PROBES_CTE},"
+        f"{_dense_pruned_tail('dprobes')}"
+        f" SELECT query_id, doc_id, chunk_id, score, rk FROM dtop"
+    )
+
+
+#: Dense-index paths built by THIS process, keyed to the documents
+#: source fingerprint (build_ivf_index's convention — a rewritten
+#: corpus forces a rebuild instead of serving a stale index).
+_DENSE_BUILT: dict[str, str] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.md5()
+    if os.path.isfile(src):
+        st = os.stat(src)
+        h.update(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.isdir(src):
+        for droot, _, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                p = os.path.join(droot, f)
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def _dense_chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, doc_id, chunk_id, embedding): the stub-encoded chunk
+    corpus — search_dense_maxp's ck frame plus the scalar vec_id the
+    trainer orders on."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = ta.ws_tokens(F.col("text"))
+    starts = F.when(
+        F.size(F.col("toks")) <= 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, (size(toks) - 1) DIV {CHUNK_STRIDE}),"
+            f" i -> i * {CHUNK_STRIDE})"
+        )
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("s") + 1, F.lit(CHUNK_SIZE)).alias(
+                "ch"
+            ),
+        )
+        .filter(F.size("ch") >= 1)
+        .withColumn("ctext", F.array_join("ch", " "))
+        .select(
+            (F.col("doc_id") * DENSE_VID_MOD + F.col("chunk_id")).alias(
+                "vec_id"
+            ),
+            "doc_id",
+            "chunk_id",
+            F.expr(_dense_embed_spark("ctext")).alias("embedding"),
+        )
+    )
+
+
+def build_dense_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list, int]:
+    """Materialize the chunk-vector corpus as a hive-partitioned IVF
+    index (one directory per trained cell — build_ivf_index's layout
+    applied to the RAG ingest) and return (path, cent_rows,
+    n_chunks). This is the docstring'd production swap for
+    search_dense_maxp executed: at 100 TB the encoder fleet's output
+    lands partitioned by cell at ingest, and dense serving becomes
+    partition pruning instead of a corpus scan."""
+    from dist_mapreduce_spark.plans.ann_index import _index_dir
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_ranked_cells_sql,
+        trained_quantizer,
+    )
+
+    import os
+
+    cv = _dense_chunk_vectors(spark, sf_dir)
+    cent_rows, n_chunks = trained_quantizer(cv.select("vec_id", "embedding"))
+    path = _index_dir("dense_index", sf_dir)
+    if not cent_rows:
+        return path, cent_rows, n_chunks
+    fp = _docs_fingerprint(sf_dir)
+    if _DENSE_BUILT.get(path) == fp and os.path.isdir(path):
+        return path, cent_rows, n_chunks
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    (
+        cv.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", F.expr(f"{ranked}[0].c"))
+        .select("vec_id", "doc_id", "chunk_id", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    _DENSE_BUILT[path] = fp
+    return path, cent_rows, n_chunks
+
+
+@query("search_dense_maxp_pruned", oracle=_dense_pruned_oracle())
+def q_search_dense_maxp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense passage retrieval SERVED FROM THE MATERIALIZED TRAINED
+    INDEX — the production composition search_dense_maxp's docstring
+    promises: chunk vectors live hive-partitioned by their trained
+    IVF cell (build_dense_index, the ingest job), the query batch
+    ranks the literal trained centroids in-plan and probes its np
+    nearest cells, the union of probed cells lands as a literal
+    ``cell IN (...)`` PARTITION FILTER on the index scan
+    (sim_topk_ivf_pruned's exact serving shape), and per-document
+    MaxP + top-k run over only the probed candidates. The oracle
+    replays chunking, the stub encoder, the ENTIRE training run, and
+    the probed-cell restriction — approximate retrieval, exactly
+    specified.
+
+    Scale shape: serving cost is ∝ probed-cell rows (np/k of the
+    chunk corpus), independent of corpus size given the partition
+    layout; job count constant in batch size; the only driver pulls
+    are the trained centroids (≤ K_MAX×64 floats) and the ≤k distinct
+    probed cell ids. search_dense_recall publishes what the pruning
+    costs in recall against the full-scan truth."""
+    path, cent_rows, n_chunks = build_dense_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [],
+        "query_id bigint, doc_id bigint, chunk_id bigint, score double,"
+        " rk int",
+    )
+    if not cent_rows:
+        return empty
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_ranked_cells_sql,
+        trained_n_probe,
+    )
+
+    cv = _dense_chunk_vectors(spark, sf_dir)
+    qv = cv.filter(
         (F.col("doc_id") < DENSE_QUERIES) & (F.col("chunk_id") == 0)
-    ).select(F.col("doc_id").alias("query_id"), F.col("v").alias("q"))
+    ).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ranked_q = ivf_ranked_cells_sql(cent_rows, col="qv")
+    np = trained_n_probe(len(cent_rows), n_chunks)
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.expr(f"transform(slice({ranked_q}, 1, {np}), x -> x.c)")
+        ).alias("pcell"),
+    )
+    # Bounded driver pull: ≤ k cell ids, independent of batch size.
+    union_cells = sorted(
+        int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+    )
+    if not union_cells:
+        return empty
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
     sc = (
-        ck.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
-        .withColumn("score", F.expr(cosine_spark_sql("q", "v")))
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("doc_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
         .select("query_id", "doc_id", "chunk_id", "score")
     )
     wd = Window.partitionBy("query_id", "doc_id").orderBy(
         F.desc("score"), F.asc("chunk_id")
     )
     best = (
-        sc.withColumn("crk", F.row_number().over(wd))
-        .filter(F.col("crk") == 1)
+        sc.withColumn("brk", F.row_number().over(wd))
+        .filter(F.col("brk") == 1)
         .select("query_id", "doc_id", "chunk_id", "score")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return (
         best.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= DENSE_TOPK)
         .select("query_id", "doc_id", "chunk_id", "score", "rk")
     )
+
+
+def _dense_recall_oracle() -> str:
+    """Truth (full-scan MaxP) and pruned arms over ONE shared chunk +
+    trained chain (MATERIALIZED CTE names are query-global in DuckDB,
+    so the chain appears once), joined on retrieved documents."""
+    cos_tq = cosine_duckdb_sql("q.qv", "c.embedding")
+    return (
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_trained_ctes()},"
+        f" {_DENSE_PROBES_CTE},"
+        # truth arm: the SAME query rows scored against EVERY chunk.
+        f" qrows AS (SELECT vec_id // {DENSE_VID_MOD} AS query_id,"
+        f"   embedding AS qv FROM cemb"
+        f"  WHERE vec_id < {DENSE_QUERIES * DENSE_VID_MOD}"
+        f"   AND vec_id % {DENSE_VID_MOD} = 0),"
+        f" tsc AS (SELECT q.query_id,"
+        f"   c.vec_id // {DENSE_VID_MOD} AS doc_id, {cos_tq} AS score"
+        f"  FROM cemb c JOIN qrows q"
+        f"   ON c.vec_id // {DENSE_VID_MOD} <> q.query_id),"
+        f" tbest AS (SELECT query_id, doc_id, max(score) AS score"
+        f"  FROM tsc GROUP BY query_id, doc_id),"
+        f" ttop AS MATERIALIZED (SELECT query_id, doc_id FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, doc_id) AS rk FROM tbest)"
+        f"  WHERE rk <= {DENSE_TOPK}),"
+        f"{_dense_pruned_tail('dprobes')},"
+        f" nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ttop),"
+        f" nh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ttop t"
+        f"  JOIN dtop p ON t.query_id = p.query_id"
+        f"   AND t.doc_id = p.doc_id)"
+        f" SELECT 'dense_ivf' AS method, nt.n AS n_truth, nh.n AS n_hit,"
+        f"  CAST(nh.n AS DOUBLE) / CAST(nt.n AS DOUBLE) AS recall"
+        f" FROM nt, nh"
+    )
+
+
+@query("search_dense_recall", oracle=_dense_recall_oracle())
+def q_search_dense_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{DENSE_TOPK} of the index-served dense retrieval against
+    the full-scan truth — the metric that prices the partition-pruned
+    scan's approximation, published next to the serving row exactly as
+    sim_recall prices the vector family. Truth and candidates reuse
+    the two registered queries verbatim; the hit count joins on
+    (query, document) — document identity is what a RAG prompt
+    consumes.
+
+    Scale shape: both arms are the registered plans; the compare is a
+    DENSE_QUERIES·DENSE_TOPK-row join + one aggregate."""
+    tru = q_search_dense_maxp(spark, sf_dir).select("query_id", "doc_id")
+    pr = q_search_dense_maxp_pruned(spark, sf_dir).select(
+        "query_id", "doc_id"
+    )
+    nt = tru.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = tru.join(pr, ["query_id", "doc_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return nt.crossJoin(nh).select(
+        F.lit("dense_ivf").alias("method"),
+        "n_truth",
+        "n_hit",
+        F.expr(
+            "try_divide(CAST(n_hit AS DOUBLE), CAST(n_truth AS DOUBLE))"
+        ).alias("recall"),
+    )
+
+
+# --------------- the encoder fleet integration point, executed (r10)
+
+
+def _py_embed_text(text: str) -> list[float]:
+    """The stub encoder replayed in plain Python — dim j is
+    (md5_prefix_48bit(text || '_' || j) % 2048 − 1024) / 1024, the
+    IDENTICAL integer-numerator / power-of-two-divisor construction as
+    _dense_embed_spark/_dense_embed_duck, so a vector computed in an
+    Arrow batch is bit-equal to one computed by either engine."""
+    import hashlib
+
+    out = []
+    for j in range(DENSE_DIM):
+        h = int(
+            hashlib.md5(f"{text}_{j}".encode("utf-8")).hexdigest()[:12], 16
+        )
+        out.append(float((h % 2048) - 1024) / 1024.0)
+    return out
+
+
+def encode_chunks_mapinpandas(ck: DataFrame) -> DataFrame:
+    """The GPU-fleet integration point as a real executed stage: an
+    Arrow-batched ``mapInPandas`` over (doc_id, chunk_id, ctext) that
+    returns (doc_id, chunk_id, v array<double>) — exactly the schema
+    the downstream cosine/MaxP tail and sim_index_build's partitioned
+    layout consume. A production deployment swaps the loop body for a
+    batched model forward (tokenizer + ONNX/torch on the executor's
+    GPU); everything the fleet needs from Spark — batch iteration,
+    Arrow transfer, output schema, partition-preserving shape (no
+    shuffle) — is what this stage already exercises, and the gate
+    proves its values land bit-exactly where the expression stub's
+    do."""
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["doc_id", "chunk_id"]].copy()
+            out["v"] = [_py_embed_text(t) for t in pdf["ctext"]]
+            yield out
+
+    return ck.mapInPandas(enc, "doc_id long, chunk_id long, v array<double>")
+
+
+def _dense_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, ctext): the chunk frame BEFORE encoding —
+    the exact frame a real encoder fleet reads."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = ta.ws_tokens(F.col("text"))
+    starts = F.when(
+        F.size(F.col("toks")) <= 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, (size(toks) - 1) DIV {CHUNK_STRIDE}),"
+            f" i -> i * {CHUNK_STRIDE})"
+        )
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("s") + 1, F.lit(CHUNK_SIZE)).alias(
+                "ch"
+            ),
+        )
+        .filter(F.size("ch") >= 1)
+        .select("doc_id", "chunk_id", F.array_join("ch", " ").alias("ctext"))
+    )
+
+
+@query("search_dense_maxp_encoded", oracle=_dense_maxp_oracle())
+def q_search_dense_maxp_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_dense_maxp with the encoder RUN AS THE mapInPandas STAGE
+    a real model needs (round-10 verdict item #4): chunking (pure map)
+    → Arrow-batched Python encoder (encode_chunks_mapinpandas — the
+    documented GPU-fleet integration point, executed) → the SHARED
+    broadcast/cosine/MaxP/top-k tail. The oracle is search_dense_maxp's
+    VERBATIM — the stub encoder is bit-replayable in Python, so this
+    row value-proves that vectors crossing the Arrow boundary land
+    exactly where the in-plan expression's do: schema, batching, and
+    float identity of the fleet hand-off, all gate-checked.
+
+    Scale shape: identical to search_dense_maxp except the encode
+    stage is Python — partition-preserving (no shuffle added), Arrow-
+    batched (spark.sql.execution.arrow.maxRecordsPerBatch rows per
+    model call), and pipelined with the scan. This is the ONE place in
+    the dense family where Python belongs: the model forward itself."""
+    ck = encode_chunks_mapinpandas(_dense_chunk_texts(spark, sf_dir))
+    return _dense_maxp_tail(ck)

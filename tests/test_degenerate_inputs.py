@@ -87,6 +87,12 @@ DOC_QUERIES = [
     "dedup_substring_rewrite",
     "pipeline_pretrain_spans",
     "search_dense_maxp",
+    # round-10: the index-served/encoded dense family — NULL-text
+    # documents must flow through chunking, the mapInPandas encoder,
+    # the trained index build, and the recall compare.
+    "search_dense_maxp_encoded",
+    "search_dense_maxp_pruned",
+    "search_dense_recall",
 ]
 
 

@@ -203,3 +203,94 @@ def test_mmr_survives_zero_norm_vector_in_pool(spark, tmp_path):
         assert all(s["rel"] is not None and s["mmr"] is not None
                    for s in steps.values()), (qid, steps)
         assert len(steps) == MMR_K, steps
+
+
+def test_dense_pruned_scan_has_partition_filters(spark):
+    """Round-10: dense retrieval served from the materialized trained
+    index must be a partition-pruned read — the probed-cell IN-list
+    lands in PartitionFilters on the dense index scan (directory-level
+    pruning), and the executed plan contains exactly one scan of the
+    index (the chunk corpus is NOT re-scanned at serving time beyond
+    the query batch)."""
+    import os
+
+    from dist_mapreduce_spark.plans.rag import (
+        build_dense_index,
+        q_search_dense_maxp_pruned,
+    )
+
+    path, cent_rows, _n = build_dense_index(spark, SF_SMOKE)
+    assert cent_rows, "smoke corpus must train centroids"
+    assert os.path.isdir(path)
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    df = q_search_dense_maxp_pruned(spark, SF_SMOKE)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:3000]
+
+
+def test_dense_pruned_is_subset_and_recall_row_consistent(spark):
+    """The pruned serving's per-(query, doc) scores must agree with the
+    full scan wherever both retrieve the document (pruning can DROP
+    candidates, never rescore them), and the recall row must equal the
+    directly-computed hit fraction."""
+    from dist_mapreduce_spark.plans.rag import (
+        q_search_dense_maxp,
+        q_search_dense_maxp_pruned,
+        q_search_dense_recall,
+    )
+
+    full = {
+        (r["query_id"], r["doc_id"]): (r["chunk_id"], r["score"])
+        for r in q_search_dense_maxp(spark, SF_SMOKE).collect()
+    }
+    pruned = {
+        (r["query_id"], r["doc_id"]): (r["chunk_id"], r["score"])
+        for r in q_search_dense_maxp_pruned(spark, SF_SMOKE).collect()
+    }
+    hits = set(full) & set(pruned)
+    for k in hits:
+        # MaxP over a SUBSET of the doc's chunks can pick a different
+        # (lower-scoring) chunk, but never a higher score than truth.
+        assert pruned[k][1] <= full[k][1] + 1e-12, (k, full[k], pruned[k])
+    row = q_search_dense_recall(spark, SF_SMOKE).collect()[0]
+    assert row["n_truth"] == len(full)
+    assert row["n_hit"] == len(hits)
+    if row["n_truth"]:
+        assert abs(row["recall"] - len(hits) / len(full)) < 1e-12
+
+
+def test_mapinpandas_encoder_matches_expression_stub(spark):
+    """Round-10 verdict item #4 pinned: vectors produced by the Arrow-
+    batched mapInPandas encoder are BIT-EQUAL to the in-plan expression
+    stub's on every chunk — the schema/batching/float contract a real
+    model fleet inherits — and the plan actually contains the
+    MapInPandas stage (the integration point executed, not asserted)."""
+    from dist_mapreduce_spark.plans.rag import (
+        _dense_chunk_texts,
+        _dense_embed_spark,
+        encode_chunks_mapinpandas,
+    )
+
+    ck = _dense_chunk_texts(spark, SF_SMOKE)
+    via_py = encode_chunks_mapinpandas(ck)
+    assert "MapInPandas" in _plan(via_py)
+    got = {
+        (r["doc_id"], r["chunk_id"]): list(r["v"])
+        for r in via_py.collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): list(r["v"])
+        for r in ck.select(
+            "doc_id",
+            "chunk_id",
+            F.expr(_dense_embed_spark("ctext")).alias("v"),
+        ).collect()
+    }
+    assert got == want  # bit-exact, not approx
+    assert len(got) > 0

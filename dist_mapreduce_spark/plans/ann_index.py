@@ -1273,6 +1273,248 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- quantizer staleness monitor (r10)
+
+#: Retrain when a fresh training run would recover at least this
+#: fraction (ppm of total corpus variance) of within-cell scatter —
+#: i.e. the frozen centroids have drifted 5%+ away from what the
+#: CURRENT corpus would train. On an un-drifted corpus fresh == frozen
+#: training (same data, same deterministic trainer) so the statistic
+#: is exactly 0; the palindromic-upsert pytest pins that, and the
+#: shifted-batch pytest pins the statistic firing.
+RETRAIN_STALE_PPM = 50_000
+
+
+def _staleness_oracle() -> str:
+    """Frozen + fresh training chains side by side (the fresh chain is
+    kmeans_train_ctes with prefix='f' over the post-upsert corpus —
+    CTE names are query-global in DuckDB, hence the rename), then one
+    exact-integer scan: per-vector int64 L2 to the FROZEN-ASSIGNED
+    cell's integer centroid (the index's actual placement — the
+    serving dot/|c| assignment, sim_codebook_stats' wss construction)
+    vs the MIN distance over the FRESH centroids."""
+    from dist_mapreduce_spark.plans.iterative import (
+        DIM as KDIM,
+        N_ITER,
+        kmeans_dist_duck,
+        kmeans_train_ctes,
+    )
+
+    from dist_mapreduce_spark.functions.vectors import _dot_duckdb
+
+    clast = f"c{N_ITER}"
+    fresh = ", ".join(
+        kmeans_train_ctes(
+            k_sql="(SELECT k FROM krule)",
+            null_guard=True,
+            prefix="f",
+            source="ups",
+        )
+    )
+    d_frozen = kmeans_dist_duck("e.q", "c.cq")
+    d_gv = kmeans_dist_duck("e.q", "gv2.g")
+    d_fresh = kmeans_dist_duck("e.q", "fc.cq")
+    from dist_mapreduce_spark.plans.iterative import KMEANS_SCALE as KSC
+
+    return (
+        f"WITH ups AS MATERIALIZED (SELECT vec_id,"
+        f"  CASE WHEN {_UPSERT_PRED_SQL} THEN list_reverse(embedding)"
+        f"  ELSE embedding END AS embedding FROM embeddings),"
+        f" {_CELLS_CTE_AFTER_UPSERT},"
+        f" {fresh},"
+        # Fresh SERVING assignment — the same dot/|c| argmax the index
+        # runs, over the fresh centroids. Both arms use the serving
+        # metric, so identical frozen/fresh centroid sets (an upsert
+        # that preserves the distribution) give stale_ppm EXACTLY 0 —
+        # the deterministic-trainer control the pytest pins.
+        f" fcent AS MATERIALIZED (SELECT cid AS cent_id,"
+        f"  list_transform(cq, x -> CAST(x AS DOUBLE) / {float(KSC)})"
+        f"  AS cvec FROM f{clast}),"
+        f" fsc AS (SELECT e.vec_id, c.cent_id,"
+        f"  ({_dot_duckdb('e.embedding', 'c.cvec')}"
+        f"   / sqrt({_dot_duckdb('c.cvec', 'c.cvec')})) AS cscore"
+        f"  FROM ups e, fcent c),"
+        f" frkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        f"  ORDER BY cscore DESC, cent_id) AS crk FROM fsc),"
+        f" fcells AS (SELECT vec_id, cent_id AS cell"
+        f"  FROM frkd WHERE crk = 1),"
+        f" gm2 AS (SELECT j, (s - (((s % n) + n) % n)) // n AS g FROM ("
+        f"  SELECT j, CAST(sum(q[j]) AS BIGINT) AS s,"
+        f"   CAST(count(q[j]) AS BIGINT) AS n"
+        f"  FROM fe CROSS JOIN range(1, {KDIM} + 1) t(j) GROUP BY j)),"
+        f" gv2 AS (SELECT list(g ORDER BY j) AS g FROM gm2),"
+        f" st2 AS (SELECT CAST(count(*) AS HUGEINT) AS n_vecs,"
+        f"   CAST(sum(CAST({d_frozen} AS HUGEINT)) AS HUGEINT) AS wfro,"
+        f"   CAST(sum(CAST({d_fresh} AS HUGEINT)) AS HUGEINT) AS wfre,"
+        f"   CAST(sum(CAST({d_gv} AS HUGEINT)) AS HUGEINT) AS tss,"
+        f"   CAST(sum(CASE WHEN {d_fresh} < {d_frozen} THEN 1 ELSE 0 END)"
+        f"    AS HUGEINT) AS moved"
+        f"  FROM fe e JOIN cells cl ON cl.vec_id = e.vec_id"
+        f"  JOIN {clast} c ON c.cid = cl.cell"
+        f"  JOIN fcells fcl ON fcl.vec_id = e.vec_id"
+        f"  JOIN f{clast} fc ON fc.cid = fcl.cell CROSS JOIN gv2),"
+        f" outp AS (SELECT CAST(n_vecs AS BIGINT) AS n_vecs,"
+        f"   CAST(wfro // greatest(n_vecs, 1) AS BIGINT)"
+        f"    AS wss_frozen_mean,"
+        f"   CAST(wfre // greatest(n_vecs, 1) AS BIGINT) AS wss_fresh_mean,"
+        f"   CAST(((wfro - wfre) * 1000000) // greatest(tss, 1) AS BIGINT)"
+        f"    AS stale_ppm,"
+        f"   CAST((moved * 1000000) // greatest(n_vecs, 1) AS BIGINT)"
+        f"    AS moved_ppm"
+        f"  FROM st2)"
+        f" SELECT n_vecs, wss_frozen_mean, wss_fresh_mean, stale_ppm,"
+        f"  moved_ppm,"
+        f"  CASE WHEN stale_ppm >= {RETRAIN_STALE_PPM} THEN 'retrain'"
+        f"  ELSE 'keep' END AS decision"
+        f" FROM outp WHERE n_vecs > 0"
+    )
+
+
+@query("sim_index_staleness", oracle=_staleness_oracle())
+def q_sim_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER STALENESS after the upsert cycle — round-10 verdict
+    item #6: sim_index_upsert proves content parity under the FROZEN
+    quantizer, this row measures what freezing costs. Over the
+    post-upsert corpus, in the exact fixed-point integer frame
+    (sim_codebook_stats' machinery): wss_frozen sums each vector's
+    int64 squared-L2 to its frozen-ASSIGNED cell's integer centroid
+    (the placement the index actually serves), wss_fresh the distance
+    to the cell a FRESH training run on the current corpus would
+    assign under the SAME serving metric (dot/|c| argmax — both arms
+    measure real placements, so the serving-vs-L2 metric gap cancels);
+    stale_ppm = 10⁶·(wss_frozen − wss_fresh)//tss is the
+    variance a retrain would recover, moved_ppm the fraction of
+    vectors a fresh quantizer would place strictly better. Decision:
+    'retrain' at ≥ RETRAIN_STALE_PPM. The deterministic trainer gives
+    the clean control: an upsert that does not change the distribution
+    (palindromic batch → reverse is the identity) yields fresh ==
+    frozen training and stale_ppm EXACTLY 0 (pytest-pinned), while a
+    distribution-shifted batch fires the statistic (pytest-pinned on
+    the shifted fixture).
+
+    Scale shape: two training runs (each one scan + k×dim shuffles —
+    at 100 TB, on the trainer's sample), one statistics scan for the
+    three distance sums (frozen centroids ride the existing cells
+    frame; fresh centroids are ≤ K_MAX×64 int literals), one 64-row
+    mean pull. This is the monitoring query a deployment schedules
+    after every N upsert batches; the decision column is its alert."""
+    from dist_mapreduce_spark.plans.iterative import (
+        KMEANS_SCALE,
+        kmeans_quantize_col,
+        kmeans_sqdist,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent_frozen, _n = trained_quantizer(emb)
+    empty = spark.createDataFrame(
+        [],
+        "n_vecs bigint, wss_frozen_mean bigint, wss_fresh_mean bigint,"
+        " stale_ppm bigint, moved_ppm bigint, decision string",
+    )
+    if not cent_frozen:
+        return empty
+    is_ups = F.expr(_UPSERT_PRED_SQL)
+    ups = emb.select(
+        "vec_id",
+        F.when(is_ups, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    cent_fresh, _n2 = trained_quantizer(ups)
+    if not cent_fresh:
+        return empty
+    # Exact integer centroids (float = int / 2^20 is exact, so the
+    # product round-trips bit-perfectly — codebook_select's recovery).
+    fro_ints = {
+        cid: [int(x * KMEANS_SCALE) for x in fv] for cid, fv in cent_frozen
+    }
+    fre_ints = [
+        [int(x * KMEANS_SCALE) for x in fv] for _cid, fv in cent_fresh
+    ]
+    ranked = ivf_ranked_cells_sql(cent_frozen)
+    upsnn = ups.filter(F.col("embedding").isNotNull())
+    cells = ivf_cells_df(spark, upsnn, ranked)
+    q = cells.select("vec_id", "cell", kmeans_quantize_col().alias("q"))
+    fcells = ivf_cells_df(
+        spark, upsnn, ivf_ranked_cells_sql(cent_fresh)
+    ).select("vec_id", F.col("cell").alias("fcell"))
+    gvec = [
+        int(r["g"])
+        for r in (
+            q.select(F.posexplode("q").alias("j", "v"))
+            .groupBy("j")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("g", F.expr("(s - (((s % n) + n) % n)) DIV n"))
+            .orderBy("j")
+            .collect()
+        )
+    ]
+    cent_df = spark.createDataFrame(
+        [(int(cid), cq) for cid, cq in fro_ints.items()],
+        "cell long, cq array<long>",
+    )
+    fcent_df = spark.createDataFrame(
+        [(i, cq) for i, cq in enumerate(fre_ints)],
+        "fcell long, fcq array<long>",
+    )
+    wfro_col = F.expr(
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    wfre_col = F.expr(
+        "aggregate(zip_with(q, fcq, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    row = (
+        q.join(fcells, "vec_id")
+        .join(F.broadcast(cent_df), "cell")
+        .join(F.broadcast(fcent_df), "fcell")
+        .select(
+            wfro_col.alias("dfro"),
+            wfre_col.alias("dfre"),
+            kmeans_sqdist(F.col("q"), gvec).alias("dtss"),
+        )
+        .select(
+            F.col("dfro").cast("decimal(38,0)").alias("w"),
+            F.col("dfre").cast("decimal(38,0)").alias("f"),
+            F.col("dtss").cast("decimal(38,0)").alias("t"),
+            F.when(F.col("dfre") < F.col("dfro"), 1)
+            .otherwise(0)
+            .cast("decimal(38,0)")
+            .alias("mv"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_vecs"),
+            F.sum("w").alias("wfro"),
+            F.sum("f").alias("wfre"),
+            F.sum("t").alias("tss"),
+            F.sum("mv").alias("moved"),
+        )
+    )
+    stale = F.expr(
+        "((wfro - wfre) * 1000000)"
+        " DIV greatest(tss, CAST(1 AS DECIMAL(38,0)))"
+    ).cast("long")
+    return row.select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.expr("wfro DIV greatest(n_vecs, CAST(1 AS DECIMAL(38,0)))")
+        .cast("long")
+        .alias("wss_frozen_mean"),
+        F.expr("wfre DIV greatest(n_vecs, CAST(1 AS DECIMAL(38,0)))")
+        .cast("long")
+        .alias("wss_fresh_mean"),
+        stale.alias("stale_ppm"),
+        F.expr(
+            "(moved * 1000000) DIV greatest(n_vecs, CAST(1 AS DECIMAL(38,0)))"
+        )
+        .cast("long")
+        .alias("moved_ppm"),
+        F.when(stale >= RETRAIN_STALE_PPM, F.lit("retrain"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+    )
+
+
 # ------------------------------------------------------------ compaction
 
 #: Fragmented-ingest demo: the corpus lands as 1 + COMPACT_BATCHES

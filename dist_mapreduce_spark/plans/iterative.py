@@ -125,6 +125,8 @@ def kmeans_train_ctes(
     k_sql: str | None = None,
     null_guard: bool = False,
     materialized: bool = True,
+    prefix: str = "",
+    source: str = "embeddings",
 ) -> list[str]:
     """The unrolled Lloyd's-training CTE chain (e, c0, a1/u1/c1 …
     c{N_ITER}) — shared verbatim by the kmeans_embeddings oracle, the
@@ -140,36 +142,43 @@ def kmeans_train_ctes(
     the unrolled distance expression, letting DuckDB INLINE the chain
     re-expands c{r} (referenced twice per round) exponentially and
     the planner OOMs; materialization also means an oracle that
-    references the trained cells many times replays training once."""
+    references the trained cells many times replays training once.
+    ``prefix`` renames every CTE ({p}e, {p}c0, {p}a1, …) so an oracle
+    can replay TWO independent training runs in one query (DuckDB CTE
+    names are query-global — the staleness monitor needs frozen + fresh
+    chains side by side); ``source`` swaps the trained table (the
+    post-upsert corpus, a chunk-vector CTE, …). Inner aliases stay `e`
+    and `c`, so the distance expression is prefix-invariant."""
     dist = kmeans_dist_duck()
     limit = k_sql if k_sql is not None else str(K)
     guard = " WHERE embedding IS NOT NULL" if null_guard else ""
     mat = " MATERIALIZED" if materialized else ""
+    p = prefix
     parts = [
-        f"e AS{mat} (SELECT vec_id, list_transform(embedding,"
+        f"{p}e AS{mat} (SELECT vec_id, list_transform(embedding,"
         f" x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS q"
-        f" FROM embeddings{guard})",
-        f"c0 AS{mat} (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq"
-        f" FROM e ORDER BY vec_id LIMIT {limit})",
+        f" FROM {source}{guard})",
+        f"{p}c0 AS{mat} (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq"
+        f" FROM {p}e ORDER BY vec_id LIMIT {limit})",
     ]
     for r in range(1, N_ITER + 1):
-        prev = f"c{r - 1}"
+        prev = f"{p}c{r - 1}"
         parts.append(
-            f"a{r} AS{mat} (SELECT vec_id, q, cid FROM ("
+            f"{p}a{r} AS{mat} (SELECT vec_id, q, cid FROM ("
             f" SELECT e.vec_id, e.q, c.cid,"
             f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid)"
-            f" AS rn FROM e CROSS JOIN {prev} c) sub WHERE rn = 1)"
+            f" AS rn FROM {p}e e CROSS JOIN {prev} c) sub WHERE rn = 1)"
         )
         parts.append(
-            f"u{r} AS{mat} (SELECT cid, j AS dim,"
+            f"{p}u{r} AS{mat} (SELECT cid, j AS dim,"
             f" CAST(sum(q[j]) AS BIGINT) AS s, count(*) AS n"
-            f" FROM a{r} CROSS JOIN range(1, {DIM} + 1) t(j) GROUP BY cid, j)"
+            f" FROM {p}a{r} CROSS JOIN range(1, {DIM} + 1) t(j) GROUP BY cid, j)"
         )
         parts.append(
-            f"c{r} AS{mat} (SELECT p.cid, COALESCE(w.newq, p.cq) AS cq"
+            f"{p}c{r} AS{mat} (SELECT p.cid, COALESCE(w.newq, p.cq) AS cq"
             f" FROM {prev} p LEFT JOIN (SELECT cid,"
             f" list((s - (((s % n) + n) % n)) // n ORDER BY dim) AS newq"
-            f" FROM u{r} GROUP BY cid) w ON w.cid = p.cid)"
+            f" FROM {p}u{r} GROUP BY cid) w ON w.cid = p.cid)"
         )
     return parts
 

@@ -84,36 +84,101 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def knn_res_frame(
+    spark: SparkSession, emb: DataFrame, cent_rows: list
+) -> tuple[DataFrame, DataFrame]:
+    """(res, rsplit): the blocked-residency frame every build query
+    joins on — each conforming vector exploded to its KNN_RESIDENCY
+    cells, hot cells sub-split into ring-residency groups (see
+    KNN_CELL_CAP; the _KNN_RES_CTES twin). `emb` must already be
+    NULL-filtered.
+
+    Plan notes: the rank window shuffles on rcell — the same key the
+    candidate join hashes on; rsplit is ≤ k·R rows and broadcasts."""
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    res0 = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                f"transform(slice({ranked}, 1, {KNN_RESIDENCY}), x -> x.c)"
+            )
+        ).alias("rcell"),
+    )
+    wc = Window.partitionBy("rcell").orderBy("vec_id")
+    rpos = res0.withColumn("gpos", F.row_number().over(wc) - 1)
+    rsplit = (
+        res0.groupBy("rcell")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .select(
+            "rcell",
+            F.when(F.col("m") <= KNN_CELL_CAP, F.lit(1).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"(4 * m * m + {KNN_CELL_CAP} * {KNN_CELL_CAP} - 1)"
+                    f" DIV ({KNN_CELL_CAP} * {KNN_CELL_CAP})"
+                )
+            )
+            .alias("nsplit"),
+        )
+    )
+    base = rpos.join(F.broadcast(rsplit), "rcell")
+    res = base.select(
+        "vec_id",
+        "embedding",
+        "rcell",
+        (F.col("gpos") % F.col("nsplit")).alias("sub"),
+    ).unionByName(
+        base.filter(F.col("nsplit") > 1).select(
+            "vec_id",
+            "embedding",
+            "rcell",
+            ((F.col("gpos") % F.col("nsplit") + 1) % F.col("nsplit")).alias(
+                "sub"
+            ),
+        )
+    )
+    return res, rsplit
+
+
+#: The blocked-residency frame (res0 → rpos/rsplit → res) as a CTE
+#: fragment — shared by the graph-build oracle and the round-10
+#: candidate-distribution audit so the sub-split has ONE definition.
+_KNN_RES_CTES = (
+    f"res0 AS (SELECT vec_id, embedding, cent_id AS rcell"
+    f"  FROM rkd WHERE crk <= {KNN_RESIDENCY}"
+    f"   AND embedding IS NOT NULL),"
+    # Hot-cell sub-split (see KNN_CELL_CAP): nsplit round-robin
+    # groups by cell-local vec_id rank; ring residency (own group
+    # + next) keeps every vertex candidate-complete while each
+    # (rcell, sub) block stays ≤ CAP members.
+    f" rpos AS (SELECT vec_id, embedding, rcell,"
+    f"  row_number() OVER (PARTITION BY rcell ORDER BY vec_id) - 1"
+    f"   AS gpos FROM res0),"
+    f" rsplit AS (SELECT rcell, CASE WHEN m <= {KNN_CELL_CAP} THEN 1"
+    f"  ELSE (4 * m * m + {KNN_CELL_CAP} * {KNN_CELL_CAP} - 1)"
+    f"   // ({KNN_CELL_CAP} * {KNN_CELL_CAP}) END AS nsplit FROM ("
+    f"  SELECT rcell, CAST(count(*) AS BIGINT) AS m FROM res0"
+    f"  GROUP BY rcell)),"
+    f" res AS (SELECT r.vec_id, r.embedding, r.rcell,"
+    f"   r.gpos % s.nsplit AS sub"
+    f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
+    f"  UNION ALL"
+    f"  SELECT r.vec_id, r.embedding, r.rcell,"
+    f"   (r.gpos % s.nsplit + 1) % s.nsplit"
+    f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
+    f"  WHERE s.nsplit > 1)"
+)
+
+
 def _knn_oracle() -> str:
     # IVF_CELLS_CTE already defines cent/sc/rkd (the per-vector ranked
     # centroid list); residency is just crk <= KNN_RESIDENCY instead of
     # the cells CTE's crk = 1. embedding IS NOT NULL mirrors the Spark
     # side's explicit isNotNull filter before cell assignment.
-    cap = KNN_CELL_CAP
     return (
         f"WITH {IVF_CELLS_CTE},"
-        f" res0 AS (SELECT vec_id, embedding, cent_id AS rcell"
-        f"  FROM rkd WHERE crk <= {KNN_RESIDENCY}"
-        f"   AND embedding IS NOT NULL),"
-        # Hot-cell sub-split (see KNN_CELL_CAP): nsplit round-robin
-        # groups by cell-local vec_id rank; ring residency (own group
-        # + next) keeps every vertex candidate-complete while each
-        # (rcell, sub) block stays ≤ CAP members.
-        f" rpos AS (SELECT vec_id, embedding, rcell,"
-        f"  row_number() OVER (PARTITION BY rcell ORDER BY vec_id) - 1"
-        f"   AS gpos FROM res0),"
-        f" rsplit AS (SELECT rcell, CASE WHEN m <= {cap} THEN 1"
-        f"  ELSE (4 * m * m + {cap} * {cap} - 1) // ({cap} * {cap}) END AS nsplit FROM ("
-        f"  SELECT rcell, CAST(count(*) AS BIGINT) AS m FROM res0"
-        f"  GROUP BY rcell)),"
-        f" res AS (SELECT r.vec_id, r.embedding, r.rcell,"
-        f"   r.gpos % s.nsplit AS sub"
-        f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
-        f"  UNION ALL"
-        f"  SELECT r.vec_id, r.embedding, r.rcell,"
-        f"   (r.gpos % s.nsplit + 1) % s.nsplit"
-        f"  FROM rpos r JOIN rsplit s ON s.rcell = r.rcell"
-        f"  WHERE s.nsplit > 1),"
+        f" {_KNN_RES_CTES},"
         f" pr AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id,"
         f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS score"
         f"  FROM res a JOIN res b"
@@ -158,59 +223,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not cent_rows:
         return empty
-    ranked = ivf_ranked_cells_sql(cent_rows)
-    res0 = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            "embedding",
-            F.explode(
-                F.expr(
-                    f"transform(slice({ranked}, 1, {KNN_RESIDENCY}),"
-                    f" x -> x.c)"
-                )
-            ).alias("rcell"),
-        )
-    )
-    # Hot-cell sub-split (oracle-mirrored; see KNN_CELL_CAP): cells
-    # above the cap divide into round-robin groups by cell-local
-    # vec_id rank, with ring residency so every vertex keeps ~CAP
-    # candidates. The rank window shuffles on rcell — the same key the
-    # candidate join hashes on; the per-cell split table is ≤ k·R rows
-    # and broadcasts.
-    wc = Window.partitionBy("rcell").orderBy("vec_id")
-    rpos = res0.withColumn("gpos", F.row_number().over(wc) - 1)
-    rsplit = (
-        res0.groupBy("rcell")
-        .agg(F.count(F.lit(1)).cast("long").alias("m"))
-        .select(
-            "rcell",
-            F.when(F.col("m") <= KNN_CELL_CAP, F.lit(1).cast("long"))
-            .otherwise(
-                F.expr(
-                    f"(4 * m * m + {KNN_CELL_CAP} * {KNN_CELL_CAP} - 1)"
-                    f" DIV ({KNN_CELL_CAP} * {KNN_CELL_CAP})"
-                )
-            )
-            .alias("nsplit"),
-        )
-    )
-    base = rpos.join(F.broadcast(rsplit), "rcell")
-    res = base.select(
-        "vec_id",
-        "embedding",
-        "rcell",
-        (F.col("gpos") % F.col("nsplit")).alias("sub"),
-    ).unionByName(
-        base.filter(F.col("nsplit") > 1).select(
-            "vec_id",
-            "embedding",
-            "rcell",
-            ((F.col("gpos") % F.col("nsplit") + 1) % F.col("nsplit")).alias(
-                "sub"
-            ),
-        )
-    )
+    res, _rsplit = knn_res_frame(spark, emb, cent_rows)
     a, b = res.alias("a"), res.alias("b")
     pr = (
         a.join(
@@ -858,3 +871,131 @@ def q_knn_graph_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return g.select("src_id", "dst_id", "score", "rk")
+
+
+# --------------- per-vertex candidate-count distribution audit (r10)
+
+#: Alarm threshold: a sub-split block at or below 2·KNN_K members
+#: gives each of its vertices fewer than 2·KNN_K candidates from that
+#: block — the regime where "vertex-complete" stops implying
+#: "edge-quality-complete" (plans/knn_graph.py sub-split docs; the
+#: round-9 verdict's watch item, now observable instead of silent).
+KNN_SMALL_BLOCK = 2 * KNN_K
+
+
+def _cand_hist_oracle() -> str:
+    return (
+        f"WITH {IVF_CELLS_CTE},"
+        f" {_KNN_RES_CTES},"
+        f" bs AS (SELECT rcell, sub, CAST(count(*) AS BIGINT) AS mb"
+        f"  FROM res GROUP BY rcell, sub),"
+        f" cand AS (SELECT r.vec_id, CAST(sum(b.mb - 1) AS BIGINT) AS c"
+        f"  FROM res r JOIN bs b ON b.rcell = r.rcell AND b.sub = r.sub"
+        f"  GROUP BY r.vec_id),"
+        f" tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cand),"
+        f" bkt AS (SELECT CASE WHEN c = 0 THEN -1"
+        f"   ELSE length(bin(c)) - 1 END AS lb, c FROM cand),"
+        f" h AS (SELECT CAST(lb AS BIGINT) AS bucket,"
+        f"   CAST(CASE WHEN lb < 0 THEN 0 ELSE 1 << lb END AS BIGINT)"
+        f"    AS bucket_lo,"
+        f"   CAST(count(*) AS BIGINT) AS n,"
+        f"   CAST(count(*) * 1000000 // greatest(tot.n, 1) AS BIGINT)"
+        f"    AS share_ppm"
+        f"  FROM bkt, tot GROUP BY lb, tot.n),"
+        f" nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bs),"
+        f" alarm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bs"
+        f"  JOIN rsplit s ON s.rcell = bs.rcell"
+        f"  WHERE s.nsplit > 1 AND bs.mb <= {KNN_SMALL_BLOCK})"
+        f" SELECT 'cand_log2' AS metric, bucket, bucket_lo, n, share_ppm"
+        f" FROM h"
+        f" UNION ALL SELECT 'small_subcell', CAST(-1 AS BIGINT),"
+        f"  CAST(0 AS BIGINT), alarm.n,"
+        f"  CAST(alarm.n * 1000000 // greatest(nb.n, 1) AS BIGINT)"
+        f" FROM alarm, nb"
+    )
+
+
+@query("knn_cand_hist", oracle=_cand_hist_oracle())
+def q_knn_cand_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex candidate-count distribution of the kNN build —
+    round-10 verdict item #5, making the sub-split's honest skew trade
+    OBSERVABLE: each vertex's candidate slots = Σ over its residency
+    blocks of (block size − 1) (the pair volume the in-block join
+    generates for it, before DISTINCT), bucketed at floor(log2) with
+    exact ppm shares; bucket −1 counts vertices with ZERO cohabitants
+    (the ones that emit no edges). The `small_subcell` alarm row
+    counts sub-split blocks (nsplit > 1 — i.e. HOT cells only) at or
+    below {2·KNN_K} members: nonzero means ultra-hot cells have been
+    split so finely that per-vertex candidates approach K and edge
+    quality — not coverage — starts degrading (the documented
+    CAP²/2m shrink). Zero on every gate corpus; the 100× stress
+    prints the real distribution.
+
+    Scale shape: block sizes are one map-side-combinable aggregate
+    over the res frame, the per-vertex sum is a second (join against
+    the ≤ cells·splits-row bs table), the histogram a ≤64-row rollup —
+    strictly cheaper than the build that consumes the same frame."""
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    cent_rows = ivf_cent_rows(emb)
+    alarm_only = spark.createDataFrame(
+        [("small_subcell", -1, 0, 0, 0)],
+        "metric string, bucket bigint, bucket_lo bigint, n bigint,"
+        " share_ppm bigint",
+    )
+    if not cent_rows:
+        # No centroids → empty res chain; the oracle's global alarm
+        # aggregate still emits its one zero row.
+        return alarm_only
+    res, rsplit = knn_res_frame(spark, emb, cent_rows)
+    bs = res.groupBy("rcell", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("mb")
+    )
+    cand = (
+        res.join(bs, ["rcell", "sub"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("mb") - 1).cast("long").alias("c"))
+    )
+    tot = cand.agg(F.count(F.lit(1)).cast("long").alias("tn"))
+    bkt = cand.select(
+        F.when(F.col("c") == 0, F.lit(-1).cast("long"))
+        .otherwise((F.length(F.bin("c")) - 1).cast("long"))
+        .alias("bucket"),
+    )
+    h = (
+        bkt.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "tn")
+        .agg(
+            F.expr(
+                "CAST(CASE WHEN bucket < 0 THEN 0 ELSE"
+                " shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+                " END AS BIGINT)"
+            ).alias("bucket_lo"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "CAST(count(*) * 1000000 DIV greatest(tn, 1) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .select(
+            F.lit("cand_log2").alias("metric"),
+            "bucket",
+            "bucket_lo",
+            "n",
+            "share_ppm",
+        )
+    )
+    nb = bs.agg(F.count(F.lit(1)).cast("long").alias("nbn"))
+    alarm = (
+        bs.join(F.broadcast(rsplit), "rcell")
+        .filter((F.col("nsplit") > 1) & (F.col("mb") <= KNN_SMALL_BLOCK))
+        .agg(F.count(F.lit(1)).cast("long").alias("an"))
+    )
+    arow = alarm.crossJoin(nb).select(
+        F.lit("small_subcell").alias("metric"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(0).cast("long").alias("bucket_lo"),
+        F.col("an").alias("n"),
+        F.expr(
+            "CAST(an * 1000000 DIV greatest(nbn, 1) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    return h.unionByName(arow)

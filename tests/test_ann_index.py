@@ -933,3 +933,62 @@ def test_codebook_auto_select_picks_residual_on_clustered(spark, tmp_path):
     )
     want_t = sorted((q, v, rk, cb, s) for q, v, s, rk, cb in want)
     assert got_t == want_t
+
+
+def test_staleness_zero_on_distribution_preserving_upsert(spark, tmp_path):
+    """Round-10: the staleness monitor's exact control — a palindromic
+    corpus makes the upsert (reverse) an identity, so the fresh
+    training run sees the SAME corpus as the frozen one, the
+    deterministic trainer reproduces it bit-for-bit, and stale_ppm is
+    EXACTLY 0 with decision 'keep' (no tolerance: integer arithmetic
+    end to end)."""
+    import os
+
+    from dist_mapreduce_spark.plans.ann_index import q_sim_index_staleness
+
+    rows = []
+    for i in range(200):
+        half = [((i * 13 + j * 7) % 19 - 9) / 32.0 for j in range(32)]
+        rows.append((i, half + half[::-1], 1))  # v == reverse(v)
+    sfdir = str(tmp_path / "pal")
+    os.makedirs(sfdir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sfdir + "/embeddings.parquet")
+    out = q_sim_index_staleness(spark, sfdir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["stale_ppm"] == 0, r
+    assert r["moved_ppm"] == 0, r
+    assert r["decision"] == "keep", r
+    assert r["wss_frozen_mean"] == r["wss_fresh_mean"], r
+
+
+def test_staleness_fires_on_distribution_shifted_upsert(spark, tmp_path):
+    """The statistic must FIRE when the upsert batch moves mass to a
+    region the frozen centroids never saw: a tight cluster at
+    (0.9, …, 0) whose upserted rows (vec_id % 89 == 7) reverse into a
+    far cluster at (0, …, 0.9) — the frozen quantizer strands them on
+    distant centroids, a fresh run (whose first-k init includes
+    vec_id 7) allocates one there, and the recoverable variance
+    crosses RETRAIN_STALE_PPM."""
+    import os
+
+    from dist_mapreduce_spark.plans.ann_index import (
+        RETRAIN_STALE_PPM,
+        q_sim_index_staleness,
+    )
+
+    rows = []
+    for i in range(300):
+        v = [0.9] + [((i * 31 + j * 11) % 21 - 10) / 1000.0 for j in range(62)] + [0.0]
+        rows.append((i, v, 1))
+    sfdir = str(tmp_path / "shift")
+    os.makedirs(sfdir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sfdir + "/embeddings.parquet")
+    r = q_sim_index_staleness(spark, sfdir).collect()[0]
+    assert r["stale_ppm"] >= RETRAIN_STALE_PPM, r
+    assert r["decision"] == "retrain", r
+    assert r["moved_ppm"] > 0, r

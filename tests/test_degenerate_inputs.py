@@ -386,6 +386,12 @@ EMB_QUERIES = [
     # auto-selected serving arm must both survive NULL vectors.
     "sim_codebook_stats",
     "sim_topk_ivfpq_auto",
+    # round-10: the candidate-distribution audit shares the build's
+    # res frame — NULL vectors must not enter it.
+    "knn_cand_hist",
+    # round-10: the staleness monitor's two training runs and three
+    # distance scans must all skip NULL vectors.
+    "sim_index_staleness",
 ]
 
 

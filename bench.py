@@ -44,8 +44,61 @@ HEADLINE = [
 ]
 
 
+def _run_ab_snapshot(ref: str) -> dict | None:
+    """A/B control (round-9 verdict item #8, standing practice): bench
+    the UNMODIFIED snapshot `git archive <ref>` as a subprocess on the
+    SAME host state, so a round-over-round delta can be attributed to
+    code vs host regime (the box's whole-host regime moves ±25% within
+    a day — docs/BENCH_VARIANCE.md). Returns the snapshot's parsed
+    JSON result, or None if the snapshot could not be benched."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        tar = subprocess.run(
+            ["git", "archive", ref],
+            cwd=repo,
+            capture_output=True,
+            check=True,
+        )
+        subprocess.run(
+            ["tar", "-x", "-C", tmp], input=tar.stdout, check=True
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(tmp, "bench.py")],
+            cwd=tmp,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                parsed = json.loads(line)
+                parsed["ref"] = ref
+                return parsed
+        print(f"# ab: no JSON from snapshot {ref}", file=sys.stderr)
+        return None
+    except Exception as exc:  # noqa: BLE001 - control is best-effort
+        print(f"# ab snapshot {ref} failed: {exc}", file=sys.stderr)
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ab_ref = None
+    if "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        if i + 1 < len(sys.argv):
+            ab_ref = sys.argv[i + 1]
+    # Snapshot FIRST, then the working tree, on the same host minutes —
+    # the same-session control that settled round 9's regime question.
+    ab = _run_ab_snapshot(ab_ref) if ab_ref else None
     import __spark_entry__ as e
     from dist_mapreduce_spark.session import get_spark
 
@@ -86,17 +139,21 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if ab is not None:
+        # Same one-line contract; the control rides inside the object.
+        result["ab"] = {
+            "ref": ab.get("ref"),
+            "value": ab.get("value"),
+            "queries": ab.get("queries"),
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

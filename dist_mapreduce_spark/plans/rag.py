@@ -711,8 +711,12 @@ def q_search_dense_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-retrieval sanity is excluded by construction (a query
     document never scores its own chunks); queries are the first
     DENSE_QUERIES documents' first chunks."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    # Repartition before the CPU-bound stub encode (see
+    # _dense_chunk_vectors — one source split must not serialize it).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = ta.ws_tokens(F.col("text"))
     starts = F.when(
@@ -860,9 +864,15 @@ def _docs_fingerprint(sf_dir: str) -> str:
 def _dense_chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, doc_id, chunk_id, embedding): the stub-encoded chunk
     corpus — search_dense_maxp's ck frame plus the scalar vec_id the
-    trainer orders on."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    trainer orders on. Repartitioned BEFORE the encode: the md5 stub
+    (like a real model forward) is CPU-bound per chunk, and the
+    documents parquet arrives as few splits — without the spread, one
+    task encodes the whole corpus (observed pinning a single core for
+    minutes at the 20× stress; ivf_cells_df's discipline)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = ta.ws_tokens(F.col("text"))
     starts = F.when(
@@ -1127,9 +1137,13 @@ def encode_chunks_mapinpandas(ck: DataFrame) -> DataFrame:
 
 def _dense_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, chunk_id, ctext): the chunk frame BEFORE encoding —
-    the exact frame a real encoder fleet reads."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    the exact frame a real encoder fleet reads. Repartitioned so the
+    downstream Arrow encoder stage gets parallel batches regardless of
+    how few splits the source parquet arrives as."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = ta.ws_tokens(F.col("text"))
     starts = F.when(

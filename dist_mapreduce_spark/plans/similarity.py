@@ -736,6 +736,14 @@ def trained_quantizer(
     q = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", kmeans_quantize_col().alias("q")
     )
+    # Materialize the quantized frame ONCE before the Lloyd's loop:
+    # every training round is its own action, and without this each
+    # round re-evaluates the source lineage — harmless on a raw
+    # parquet scan, catastrophic when the frame is derived (the dense
+    # chunk corpus re-runs its md5 stub encoder per round: observed
+    # single-core minutes per pass at the 20× stress). At 100 TB this
+    # is the trainer's sample materialization, a few GB.
+    q = q.localCheckpoint()
     ints = train_kmeans_centroids_df(q, k)
     cent_rows = [
         (cid, [c / float(KMEANS_SCALE) for c in cq])

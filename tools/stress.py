@@ -148,7 +148,33 @@ DEFAULT_QUERIES = (
     "sim_codebook_stats",
     "sim_topk_ivfpq_auto",
     "search_dense_maxp",
+    # round-10 operators: dense serving from the materialized index
+    # (must be ~flat — the pruned scan reads np/k of the chunk corpus),
+    # the mapInPandas encoder (Arrow throughput — the fleet shape),
+    # the kNN candidate-distribution audit (two aggregates over the
+    # res frame — must be cheaper than the build), the staleness
+    # monitor (two training runs + one statistics scan), and the
+    # relational side the round-9 verdict flagged as never stressed:
+    # the three headline TPC-H shapes (scan-agg, selective-join top-k,
+    # semi-join + having — replication grows fact volume rep× while
+    # dims stay fixed, so AQE's broadcast/skew decisions are what is
+    # being measured) plus the salted skew aggregate.
+    "search_dense_maxp_pruned",
+    "search_dense_maxp_encoded",
+    "knn_cand_hist",
+    "sim_index_staleness",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q18",
+    "join_skew_salted",
 )
+
+#: Queries whose OUTPUT COLUMN is the expensive work: a bare .count()
+#: lets Catalyst prune the payload out of the plan (observed: the
+#: reconstructed-text collect_list vanishing from a counted
+#: dedup_substring_rewrite), so these are timed with a per-column
+#: count aggregate that forces full evaluation.
+FULL_EVAL = {"dedup_substring_rewrite", "search_dense_maxp_encoded"}
 
 
 def _replicate(spark, sf_dir: str, stress_dir: str, rep: int) -> None:
@@ -208,7 +234,22 @@ def main() -> int:
         _replicate(spark, sf_dir, stress_dir, rep)
         for name in names:
             t0 = time.time()
-            rows = qs[name](spark, stress_dir).count()
+            df = qs[name](spark, stress_dir)
+            if name in FULL_EVAL:
+                from pyspark.sql import functions as F
+
+                # md5-of-row forces every output column to materialize
+                # (count(col) folds to count(1) on a non-nullable
+                # column and the payload gets pruned right back out).
+                agg = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(
+                        F.md5(F.to_json(F.struct(*df.columns)))
+                    ).alias("h"),
+                ).collect()[0]
+                rows = int(agg["n"])
+            else:
+                rows = df.count()
             print(
                 f"x{rep:<3d} {name:20s} {rows:>10} rows  {time.time() - t0:7.2f}s",
                 flush=True,

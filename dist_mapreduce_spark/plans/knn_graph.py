@@ -950,8 +950,10 @@ def q_knn_cand_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs = res.groupBy("rcell", "sub").agg(
         F.count(F.lit(1)).cast("long").alias("mb")
     )
+    # bs is ≤ cells·splits rows (k·R·nsplit) — broadcast it so the
+    # join back to the corpus-sized res frame adds no exchange.
     cand = (
-        res.join(bs, ["rcell", "sub"])
+        res.join(F.broadcast(bs), ["rcell", "sub"])
         .groupBy("vec_id")
         .agg(F.sum(F.col("mb") - 1).cast("long").alias("c"))
     )

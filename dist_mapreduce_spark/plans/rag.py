@@ -112,35 +112,16 @@ MMR_K = 5
 MMR_QUERIES = 5  # vec_id < 5, the family's standard query batch
 
 
-def _mmr_oracle() -> str:
-    """Unrolled greedy-MMR CTE chain: sel1 is the relevance argmax;
-    each later step scores the remainder by 0.5*rel − 0.5*max(sim to
-    the selected set) and takes the argmax with a vec_id tiebreak.
-    MMR_K is small by definition (it is the final prompt budget), so
-    unrolling is bounded and keeps every step a plain window."""
-    cos_qc = cosine_duckdb_sql("q.embedding", "c.embedding")
-    cos_ab = cosine_duckdb_sql("ea.embedding", "eb.embedding")
+def _mmr_greedy_chain() -> tuple[list[str], str]:
+    """The unrolled greedy selection as (CTE parts, final SELECT) —
+    assumes `cand (query_id, vec_id, rel)` and `pair (query_id, a_id,
+    b_id, s)` are already in scope. sel1 is the relevance argmax; each
+    later step scores the remainder by 0.5*rel − 0.5*max(sim to the
+    selected set) with a vec_id tiebreak. ONE definition shared by the
+    brute-force, IVF-pruned, and dense-index MMR oracles (the Arrow
+    twin is _mmr_greedy). MMR_K is small by definition (the final
+    prompt budget), so unrolling is bounded."""
     parts = [
-        f"cand AS MATERIALIZED (SELECT query_id, vec_id, rel FROM ("
-        f"  SELECT q.vec_id AS query_id, c.vec_id, {cos_qc} AS rel,"
-        f"   row_number() OVER (PARTITION BY q.vec_id"
-        f"    ORDER BY {cos_qc} DESC, c.vec_id) AS rk"
-        f"  FROM embeddings q, embeddings c"
-        f"  WHERE q.vec_id < {MMR_QUERIES} AND c.vec_id <> q.vec_id"
-        f"   AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL)"
-        # rel IS NOT NULL: a zero-norm vector scores NULL (0/0) in both
-        # dialects and must not enter the pool even when it is underfull
-        # — NULLs rank after every non-NULL row under DESC NULLS LAST,
-        # so the surviving top-MMR_CAND set is unchanged otherwise.
-        f" WHERE rk <= {MMR_CAND} AND rel IS NOT NULL)",
-        # Pairwise candidate-candidate sims inside each query's pool
-        # (bounded: MMR_CAND^2 per query).
-        f"pair AS MATERIALIZED (SELECT x.query_id, x.vec_id AS a_id, y.vec_id AS b_id,"
-        f"  {cos_ab} AS s"
-        f" FROM cand x JOIN cand y ON x.query_id = y.query_id"
-        f"  AND x.vec_id <> y.vec_id"
-        f" JOIN embeddings ea ON ea.vec_id = x.vec_id"
-        f" JOIN embeddings eb ON eb.vec_id = y.vec_id)",
         f"sel1 AS (SELECT query_id, vec_id, rel,"
         f"  CAST(1 AS BIGINT) AS step, 0.5 * rel AS mmr FROM ("
         f"  SELECT *, row_number() OVER (PARTITION BY query_id"
@@ -169,11 +150,42 @@ def _mmr_oracle() -> str:
             f"  GROUP BY r.query_id, r.vec_id, r.rel) WHERE rk = 1)"
         )
         union.append(f"SELECT * FROM sel{t}")
-    return (
-        "WITH " + ", ".join(parts)
-        + " SELECT query_id, step, vec_id, rel, mmr FROM ("
+    final = (
+        " SELECT query_id, step, vec_id, rel, mmr FROM ("
         + " UNION ALL ".join(union) + ") u"
     )
+    return parts, final
+
+
+def _mmr_oracle() -> str:
+    """Brute-force MMR oracle: corpus-scan candidate pool + the shared
+    greedy chain."""
+    cos_qc = cosine_duckdb_sql("q.embedding", "c.embedding")
+    cos_ab = cosine_duckdb_sql("ea.embedding", "eb.embedding")
+    parts = [
+        f"cand AS MATERIALIZED (SELECT query_id, vec_id, rel FROM ("
+        f"  SELECT q.vec_id AS query_id, c.vec_id, {cos_qc} AS rel,"
+        f"   row_number() OVER (PARTITION BY q.vec_id"
+        f"    ORDER BY {cos_qc} DESC, c.vec_id) AS rk"
+        f"  FROM embeddings q, embeddings c"
+        f"  WHERE q.vec_id < {MMR_QUERIES} AND c.vec_id <> q.vec_id"
+        f"   AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL)"
+        # rel IS NOT NULL: a zero-norm vector scores NULL (0/0) in both
+        # dialects and must not enter the pool even when it is underfull
+        # — NULLs rank after every non-NULL row under DESC NULLS LAST,
+        # so the surviving top-MMR_CAND set is unchanged otherwise.
+        f" WHERE rk <= {MMR_CAND} AND rel IS NOT NULL)",
+        # Pairwise candidate-candidate sims inside each query's pool
+        # (bounded: MMR_CAND^2 per query).
+        f"pair AS MATERIALIZED (SELECT x.query_id, x.vec_id AS a_id, y.vec_id AS b_id,"
+        f"  {cos_ab} AS s"
+        f" FROM cand x JOIN cand y ON x.query_id = y.query_id"
+        f"  AND x.vec_id <> y.vec_id"
+        f" JOIN embeddings ea ON ea.vec_id = x.vec_id"
+        f" JOIN embeddings eb ON eb.vec_id = y.vec_id)",
+    ]
+    chain, final = _mmr_greedy_chain()
+    return "WITH " + ", ".join(parts + chain) + final
 
 
 @query("sim_topk_mmr", oracle=_mmr_oracle())
@@ -494,37 +506,9 @@ def _mmr_ivf_oracle() -> str:
         f"  AND x.vec_id <> y.vec_id"
         f" JOIN embeddings ea ON ea.vec_id = x.vec_id"
         f" JOIN embeddings eb ON eb.vec_id = y.vec_id)",
-        f"sel1 AS (SELECT query_id, vec_id, rel,"
-        f"  CAST(1 AS BIGINT) AS step, 0.5 * rel AS mmr FROM ("
-        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
-        f"   ORDER BY rel DESC, vec_id) AS rk FROM cand) WHERE rk = 1)",
     ]
-    union = ["SELECT * FROM sel1"]
-    for t in range(2, MMR_K + 1):
-        prev_all = f"all{t - 1}"
-        parts.append(f"{prev_all} AS MATERIALIZED ({' UNION ALL '.join(union)})")
-        parts.append(
-            f"sel{t} AS (SELECT query_id, vec_id, rel,"
-            f"  CAST({t} AS BIGINT) AS step, mmr FROM ("
-            f"  SELECT r.query_id, r.vec_id, r.rel,"
-            f"   0.5 * r.rel - 0.5 * max(p.s) AS mmr,"
-            f"   row_number() OVER (PARTITION BY r.query_id"
-            f"    ORDER BY 0.5 * r.rel - 0.5 * max(p.s) DESC, r.vec_id)"
-            f"    AS rk"
-            f"  FROM cand r"
-            f"  JOIN {prev_all} d ON d.query_id = r.query_id"
-            f"  JOIN pair p ON p.query_id = r.query_id"
-            f"   AND p.a_id = r.vec_id AND p.b_id = d.vec_id"
-            f"  WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev_all} z"
-            f"   WHERE z.query_id = r.query_id)"
-            f"  GROUP BY r.query_id, r.vec_id, r.rel) WHERE rk = 1)"
-        )
-        union.append(f"SELECT * FROM sel{t}")
-    return (
-        "WITH " + ", ".join(parts)
-        + " SELECT query_id, step, vec_id, rel, mmr FROM ("
-        + " UNION ALL ".join(union) + ") u"
-    )
+    chain, final = _mmr_greedy_chain()
+    return "WITH " + ", ".join(parts + chain) + final
 
 
 @query("sim_topk_mmr_pruned", oracle=_mmr_ivf_oracle())
@@ -1188,3 +1172,139 @@ def q_search_dense_maxp_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dense family where Python belongs: the model forward itself."""
     ck = encode_chunks_mapinpandas(_dense_chunk_texts(spark, sf_dir))
     return _dense_maxp_tail(ck)
+
+
+# ------------- the full RAG serving stack: index → MaxP → MMR (r10)
+
+
+def _dense_mmr_oracle() -> str:
+    """Dense-index candidate chain (chunking → stub encode → trained
+    quantizer → probed-cell scoring → per-doc MaxP) feeding the SHARED
+    greedy-MMR chain: cand is the top-MMR_CAND documents per query by
+    best-chunk score (vec_id := doc_id), pair the cosines BETWEEN THE
+    BEST CHUNKS of each candidate pair — diversity over the spans a
+    prompt would actually receive."""
+    cos_ab = cosine_duckdb_sql("a.v", "b.v")
+    parts = [
+        _dense_chunk_ctes(),
+        _dense_trained_ctes(),
+        _DENSE_PROBES_CTE,
+        # dsc with the chunk vector carried through to the pool.
+        f"dscv AS (SELECT p.query_id,"
+        f"  cl.vec_id // {DENSE_VID_MOD} AS doc_id,"
+        f"  cl.vec_id % {DENSE_VID_MOD} AS chunk_id, cl.embedding AS v,"
+        f"  {cosine_duckdb_sql('p.qv', 'cl.embedding')} AS score"
+        f" FROM cells cl JOIN dprobes p ON cl.cell = p.pcell"
+        f"  AND cl.vec_id // {DENSE_VID_MOD} <> p.query_id)",
+        f"dbestv AS (SELECT query_id, doc_id, chunk_id, v, score FROM ("
+        f" SELECT *, row_number() OVER (PARTITION BY query_id, doc_id"
+        f"  ORDER BY score DESC, chunk_id) AS brk FROM dscv)"
+        f" WHERE brk = 1)",
+        f"cand AS MATERIALIZED (SELECT query_id, doc_id AS vec_id,"
+        f"  score AS rel FROM ("
+        f" SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"  ORDER BY score DESC, doc_id) AS rk FROM dbestv)"
+        f" WHERE rk <= {MMR_CAND} AND score IS NOT NULL)",
+        f"pair AS MATERIALIZED (SELECT a.query_id, a.doc_id AS a_id,"
+        f"  b.doc_id AS b_id, {cos_ab} AS s"
+        f" FROM dbestv a JOIN dbestv b ON a.query_id = b.query_id"
+        f"  AND a.doc_id <> b.doc_id"
+        f" JOIN cand ca ON ca.query_id = a.query_id"
+        f"  AND ca.vec_id = a.doc_id"
+        f" JOIN cand cb ON cb.query_id = b.query_id"
+        f"  AND cb.vec_id = b.doc_id)",
+    ]
+    chain, final = _mmr_greedy_chain()
+    sql = "WITH " + ", ".join(parts + chain) + final
+    # Publish the pool id under its real name.
+    return (
+        f"SELECT query_id, step, vec_id AS doc_id, rel, mmr"
+        f" FROM ({sql}) z"
+    )
+
+
+@query("search_dense_mmr_pruned", oracle=_dense_mmr_oracle())
+def q_search_dense_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production RAG serving stack in one gated row:
+    chunk → encode → trained partition-pruned index retrieval →
+    per-document MaxP → MMR diversification of the final prompt set.
+    Candidates are search_dense_maxp_pruned's top-MMR_CAND documents
+    per query (each represented by its best chunk — the span the
+    prompt receives); diversity is computed between those best-chunk
+    vectors by the SHARED greedy (one Arrow grouped-map stage, job
+    count constant in K). This is what a deployed retrieval service
+    actually executes end to end; every stage's values are pinned by
+    the composed oracle, which replays chunking, encoding, training,
+    probed-cell restriction, MaxP, and all MMR_K greedy steps.
+
+    Scale shape: the only corpus-sized work is the pruned index scan
+    (np/k of the chunk corpus via PartitionFilters); MaxP and the
+    document top-MMR_CAND are windows over probed candidates;
+    everything after is ≤ MMR_CAND rows per query through one
+    applyInPandas. No full scan anywhere."""
+    path, cent_rows, n_chunks = build_dense_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [],
+        "query_id bigint, step bigint, doc_id bigint, rel double,"
+        " mmr double",
+    )
+    if not cent_rows:
+        return empty
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_ranked_cells_sql,
+        trained_n_probe,
+    )
+
+    cv = _dense_chunk_vectors(spark, sf_dir)
+    qv = cv.filter(
+        (F.col("doc_id") < DENSE_QUERIES) & (F.col("chunk_id") == 0)
+    ).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ranked_q = ivf_ranked_cells_sql(cent_rows, col="qv")
+    np = trained_n_probe(len(cent_rows), n_chunks)
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.expr(f"transform(slice({ranked_q}, 1, {np}), x -> x.c)")
+        ).alias("pcell"),
+    )
+    union_cells = sorted(
+        int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+    )
+    if not union_cells:
+        return empty
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    sc = (
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("doc_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "doc_id", "chunk_id", "embedding", "score")
+    )
+    wd = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_id")
+    )
+    best = (
+        sc.withColumn("brk", F.row_number().over(wd))
+        .filter(F.col("brk") == 1)
+        .select("query_id", "doc_id", "embedding", "score")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    pool = (
+        best.filter(F.col("score").isNotNull())
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MMR_CAND)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("vec_id"),
+            F.col("score").alias("rel"),
+            "embedding",
+        )
+    )
+    return _mmr_greedy(pool).select(
+        "query_id", "step", F.col("vec_id").alias("doc_id"), "rel", "mmr"
+    )

@@ -93,6 +93,7 @@ DOC_QUERIES = [
     "search_dense_maxp_encoded",
     "search_dense_maxp_pruned",
     "search_dense_recall",
+    "search_dense_mmr_pruned",
 ]
 
 

@@ -294,3 +294,30 @@ def test_mapinpandas_encoder_matches_expression_stub(spark):
     }
     assert got == want  # bit-exact, not approx
     assert len(got) > 0
+
+
+def test_dense_mmr_first_pick_is_pruned_top1(spark):
+    """The full-stack row's step 1 must be exactly the pruned
+    retrieval's rank-1 document per query (MMR's first pick is the
+    relevance argmax), later steps distinct documents from the pruned
+    pool, and the Arrow greedy stage present in the plan."""
+    from dist_mapreduce_spark.plans.rag import (
+        q_search_dense_maxp_pruned,
+        q_search_dense_mmr_pruned,
+    )
+
+    df = q_search_dense_mmr_pruned(spark, SF_SMOKE)
+    assert "FlatMapGroupsInPandas" in _plan(df)
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["step"]] = r
+    top1 = {
+        r["query_id"]: r["doc_id"]
+        for r in q_search_dense_maxp_pruned(spark, SF_SMOKE).collect()
+        if r["rk"] == 1
+    }
+    for qid, steps in by_q.items():
+        assert steps[1]["doc_id"] == top1[qid], (qid, steps[1])
+        ids = [s["doc_id"] for s in steps.values()]
+        assert len(set(ids)) == len(ids), ids

@@ -1005,13 +1005,17 @@ def _duck_quality() -> str:
         f"  {_D_FP} AS fp"
         f"  FROM documents),"
         f" kept AS (SELECT * FROM scored WHERE quality >= {QUALITY_GATE}),"
-        f" winners AS (SELECT *, row_number() OVER (PARTITION BY fp"
-        f"   ORDER BY doc_id) AS rn FROM kept)"
+        # First-wins per fingerprint as a map-side-combinable min
+        # aggregate + join, not a window (round-10 skew
+        # generalization — a mass-duplicated document is one hot fp).
+        f" winners AS (SELECT k.* FROM kept k"
+        f"  JOIN (SELECT fp, min(doc_id) AS mind FROM kept GROUP BY fp) f"
+        f"   ON f.fp = k.fp AND k.doc_id = f.mind)"
         # CAST AS BIGINT: DuckDB sum() widens to HUGEINT → float export.
         f" SELECT lang, count(*) AS n_docs,"
         f" CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
         f"  min(quality) AS min_quality, max(quality) AS max_quality"
-        f" FROM winners WHERE rn = 1 GROUP BY lang"
+        f" FROM winners GROUP BY lang"
     ),
 )
 def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,10 +1039,12 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.normalized_fingerprint(F.col("text")).alias("fp"),
     )
     kept = scored.filter(F.col("quality") >= QUALITY_GATE)
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    winners = kept.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
+    # First-wins per fingerprint via min(doc_id) + join — map-side
+    # combinable where a row_number window over fp would sort every
+    # copy of one mass-duplicated document in a single task (round-10
+    # skew generalization; the join on fp is AQE-skew-splittable).
+    fw = kept.groupBy("fp").agg(F.min("doc_id").alias("mind"))
+    winners = kept.join(fw, "fp").filter(F.col("doc_id") == F.col("mind"))
     return winners.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1885,6 +1891,46 @@ def _explode_segments(tok: DataFrame, with_nw: bool = False) -> DataFrame:
     return with_s.select(*out)
 
 
+def _with_seg_first(seg: DataFrame) -> DataFrame:
+    """seg + is_first: is this row the corpus-wide FIRST occurrence of
+    its segment (by doc_id, then position)? Computed as a map-side-
+    combinable min(struct(doc_id, s)) aggregate per segment hash
+    joined back — NOT a row_number window partitioned by md5(seg)
+    (round-10 skew generalization of the span-rewrite fix: a
+    boilerplate paragraph occurring 10^6+ times in a real crawl would
+    sort every copy in ONE task under the window; the aggregate
+    partial-combines and the join is AQE-skew-splittable). Shared by
+    dedup_paragraph and pipeline_pretrain — the oracle twin is the
+    fw/rk CTE pair."""
+    sh = seg.withColumn("h", F.md5(F.col("seg")))
+    fw = sh.groupBy("h").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("s").alias("p"))
+        ).alias("f")
+    )
+    return (
+        sh.join(fw, "h")
+        .withColumn(
+            "is_first",
+            (F.col("doc_id") == F.col("f.d")) & (F.col("s") == F.col("f.p")),
+        )
+        .drop("h", "f")
+    )
+
+
+#: First-wins fw/rk CTE pair over an in-scope `seg` frame (the oracle
+#: twin of _with_seg_first; rn = 1 marks the corpus-wide first).
+def _seg_first_ctes(seg_cols: str) -> str:
+    return (
+        f" fw AS (SELECT md5(seg) AS h,"
+        f"  min({{'d': doc_id, 'p': s}}) AS f FROM seg GROUP BY md5(seg)),"
+        f" rk AS (SELECT {seg_cols},"
+        f"  CASE WHEN seg.doc_id = fw.f.d AND seg.s = fw.f.p"
+        f"   THEN 1 ELSE 0 END AS rn"
+        f"  FROM seg JOIN fw ON fw.h = md5(seg.seg))"
+    )
+
+
 @query(
     "dedup_paragraph",
     oracle=(
@@ -1893,8 +1939,7 @@ def _explode_segments(tok: DataFrame, with_nw: bool = False) -> DataFrame:
         f"   array_to_string({_D_SEG_SLICE}, ' ') AS seg"
         f"  FROM tk, {_D_SEG_RANGE}"
         f"  WHERE len(t) >= 1),"
-        f" rk AS (SELECT doc_id, s, seg, row_number()"
-        f"   OVER (PARTITION BY md5(seg) ORDER BY doc_id, s) AS rn FROM seg)"
+        f"{_seg_first_ctes('seg.doc_id, seg.s, seg.seg')}"
         f" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,"
         f"  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,"
         f"  coalesce(string_agg(seg, ' ' ORDER BY s) FILTER (WHERE rn = 1), '')"
@@ -1911,10 +1956,12 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully-duplicated document comes back as an empty string, partial
     boilerplate is stripped in place.
 
-    Scale shape: segments shuffle once on md5(seg) for the first-wins
-    window (the same key-partitioned rank used by dedup_latest), then
-    once on doc_id for reconstruction — two narrow shuffles, no
-    all-pairs, no driver state. Order inside the rebuilt text is pinned
+    Scale shape: first-wins is a map-side-combinable min(struct)
+    aggregate on the segment hash + a skew-splittable join back
+    (round 10 — a window here would sort every copy of one hot
+    boilerplate paragraph in a single task), then one doc_id shuffle
+    for reconstruction — three narrow exchanges, no all-pairs, no
+    driver state. Order inside the rebuilt text is pinned
     by sorting the collected (s, seg) structs, not by collect order,
     so the result is deterministic under any task scheduling. At
     100 TB the segment table is ~corpus-sized (each token appears in
@@ -1924,14 +1971,13 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= 1
     )
     seg = _explode_segments(tok)
-    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "s")
-    ranked = seg.withColumn("rn", F.row_number().over(w))
+    ranked = _with_seg_first(seg)
     kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("s"), F.col("seg"))
+        F.col("is_first"), F.struct(F.col("s"), F.col("seg"))
     )  # no otherwise → NULL, and collect_list drops NULLs
     return ranked.groupBy("doc_id").agg(
         F.count("*").alias("n_segs"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
@@ -2286,8 +2332,7 @@ _SCRUB_DUCK = (
         f"   array_to_string({_D_SEG_SLICE}, ' ') AS seg,"
         f"   len({_D_SEG_SLICE}) AS nw"
         f"  FROM kept, {_D_SEG_RANGE}),"
-        f" rk AS (SELECT *, row_number()"
-        f"   OVER (PARTITION BY md5(seg) ORDER BY doc_id, s) AS rn FROM seg),"
+        f"{_seg_first_ctes('seg.doc_id, seg.lang, seg.s, seg.seg, seg.nw')},"
         f" pipe AS (SELECT lang,"
         f"   CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_kept,"
         f"   CAST(count(*) AS BIGINT) AS segs_total,"
@@ -2315,8 +2360,10 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: scrub + tokenize + gate are all fused into the single
     document scan (no extra pass for composing three 'operators');
-    the only shuffles are the segment-hash window and the per-language
-    rollup. docs_in comes from a second, column-pruned scan that reads
+    the only shuffles are the segment-hash first-wins aggregate + its
+    skew-splittable join (round-10 skew generalization) and the
+    per-language rollup. docs_in comes from a second, column-pruned
+    scan that reads
     only `lang`. This is the plan a 100 TB pretraining ingest actually
     runs nightly — the per-stage queries above exist so each rule is
     independently verifiable, this one proves they compose without a
@@ -2338,13 +2385,12 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "t")
     )
     seg = _explode_segments(kept, with_nw=True)
-    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "s")
-    ranked = seg.withColumn("rn", F.row_number().over(w))
+    ranked = _with_seg_first(seg)
     pipe = ranked.groupBy("lang").agg(
         F.count_distinct("doc_id").alias("docs_kept"),
         F.count("*").alias("segs_total"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("segs_kept"),
-        F.sum(F.when(F.col("rn") == 1, F.col("nw")).otherwise(0)).alias(
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("segs_kept"),
+        F.sum(F.when(F.col("is_first"), F.col("nw")).otherwise(0)).alias(
             "tokens_out"
         ),
     )

@@ -99,14 +99,24 @@ def test_pii_scrub_is_pure_map(spark):
     assert info["python_stages"] == 0, info
 
 
-def test_dedup_paragraph_two_narrow_shuffles(spark):
-    """Segment-hash window + doc reconstruction: exactly two exchanges
-    (AQE may not fold either — both change the partitioning key), no
-    Python, one pruned scan."""
+def test_dedup_paragraph_narrow_shuffles_no_window(spark):
+    """First-wins must be the map-side-combinable min(struct) aggregate
+    + join (round-10 skew generalization — a hot boilerplate paragraph
+    must never sort in one task), then the doc reconstruction: at most
+    three narrow exchanges, no Window operator, no Python, partial_min
+    present (the map-side combine is real)."""
+    from dist_mapreduce_spark.plans import registry
+
     info = _audit(spark, "dedup_paragraph")
-    assert info["shuffles"] <= 2, info
+    assert info["shuffles"] <= 3, info
     assert info["python_stages"] == 0, info
-    assert info["sortmerge_joins"] == 0, info
+    registry.load_all()
+    df = registry.QUERIES["dedup_paragraph"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_min" in plan, plan[:3000]
 
 
 def test_dedup_substring_joins_counts_not_positions(spark):

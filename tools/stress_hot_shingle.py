@@ -1,22 +1,24 @@
-"""Hot-shingle skew stress for the span-rewrite family (round-10
-verdict item #1's DONE criterion): the uniform replication stress makes
-every shingle occur exactly rep times — it can never produce ONE
-corpus-wide hot key, which is precisely the shape that broke the old
-row_number-window first-wins (all occurrences of one hash sorted in a
-single task). This probe builds two corpora of IDENTICAL size:
+"""Hot-key skew stress for the first-wins dedup family (round-10):
+uniform replication makes every content key occur exactly rep times —
+it can never produce ONE corpus-wide hot key, which is precisely the
+shape that broke row_number-window first-wins (all occurrences of one
+hash sorted in a single task). This probe measures the three
+aggregate-rewritten operators under a planted hot key at 10^5
+occurrences, against same-size controls:
 
-  control: the documents table replicated REP× (every shingle occurs
-           REP times — the standard stress shape);
-  hot:     the same corpus with ONE fixed 8-token boilerplate span
-           appended to EVERY document — that span's shingle occurs
-           n_docs·REP times (10^5 at the default 20× of sf0.1), the
-           license-header/navigation-chrome shape of a real crawl.
+  dedup_substring_rewrite : one fixed 8-token span APPENDED to every
+                            document (hot SHINGLE, n_docs·rep occs);
+  dedup_paragraph         : one fixed SEG_WORDS-token header PREPENDED
+                            to every document — segment 0 of every doc
+                            is identical (hot SEGMENT hash);
+  pipeline_corpus         : a corpus that is 10^5 copies of ONE
+                            document (hot normalized FINGERPRINT) vs
+                            10^5 distinct documents.
 
-dedup_substring_rewrite is timed on both with a full-evaluation
-aggregate (a bare count lets Catalyst prune the reconstructed text out
-of the plan). FLAT time (hot ≈ control) is the evidence that
-first-wins is a map-side-combinable aggregate: the hot key partial-
-aggregates in every task instead of sorting 10^5 rows in one.
+FLAT time (hot ≈ control) is the evidence first-wins partial-
+aggregates map-side instead of sorting the hot key in one task.
+Payload queries are timed with an md5-of-row full-evaluation aggregate
+(a bare count lets Catalyst prune the reconstructed text).
 
 Usage: python tools/stress_hot_shingle.py [rep] [sf_dir]
 """
@@ -53,11 +55,13 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as e
+    from dist_mapreduce_spark.plans.llm_pipeline import SEG_WORDS
     from dist_mapreduce_spark.session import get_spark
 
     spark = get_spark("stress_hot_shingle")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     qs = e.queries()
+    hot_header = " ".join(f"hotheadword{i}" for i in range(SEG_WORDS))
 
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
     repd = (
@@ -65,19 +69,26 @@ def main() -> int:
         .withColumn("doc_id", F.col("doc_id") * rep + F.col("rep"))
         .drop("rep")
     )
+    hot_text = F.when(
+        F.col("text").isNotNull(),
+        F.concat(
+            F.lit(hot_header + " "), F.col("text"), F.lit(" " + HOT_SPAN)
+        ),
+    ).otherwise(F.col("text"))
+    # Hot-fp pair: 10^5 distinct docs vs 10^5 copies of doc 0.
+    n_hot = repd.count()
+    one = src.filter(F.col("doc_id") == 0).drop("doc_id")
+    clones = (
+        spark.range(n_hot)
+        .withColumnRenamed("id", "doc_id")
+        .crossJoin(F.broadcast(one))
+        .select(*repd.columns)
+    )
     dirs = {}
     for tag, frame in (
         ("control", repd),
-        (
-            "hot",
-            repd.withColumn(
-                "text",
-                F.when(
-                    F.col("text").isNotNull(),
-                    F.concat(F.col("text"), F.lit(" " + HOT_SPAN)),
-                ).otherwise(F.col("text")),
-            ),
-        ),
+        ("hot", repd.withColumn("text", hot_text)),
+        ("hotfp", clones),
     ):
         d = os.path.join(repo, ".scratch", f"hotshingle_{tag}_x{rep}")
         frame.write.mode("overwrite").parquet(f"{d}/documents.parquet")
@@ -85,16 +96,22 @@ def main() -> int:
         print(f"# {tag}: {n} docs", flush=True)
         dirs[tag] = d
 
-    times = {}
-    for tag in ("control", "hot"):
-        rows, sec = _full_eval(qs["dedup_substring_rewrite"](spark, dirs[tag]))
-        times[tag] = sec
-        print(
-            f"{tag:8s} dedup_substring_rewrite {rows:>9} rows {sec:7.2f}s",
-            flush=True,
-        )
-    ratio = times["hot"] / max(times["control"], 1e-9)
-    print(f"hot/control ratio: {ratio:.2f} (flat ≈ 1.0)", flush=True)
+    probes = (
+        ("dedup_substring_rewrite", "control", "hot"),
+        ("dedup_paragraph", "control", "hot"),
+        ("pipeline_corpus", "control", "hotfp"),
+    )
+    for name, base_tag, hot_tag in probes:
+        times = {}
+        for tag in (base_tag, hot_tag):
+            rows, sec = _full_eval(qs[name](spark, dirs[tag]))
+            times[tag] = sec
+            print(
+                f"{tag:8s} {name:26s} {rows:>9} rows {sec:7.2f}s",
+                flush=True,
+            )
+        ratio = times[hot_tag] / max(times[base_tag], 1e-9)
+        print(f"{name}: hot/control ratio {ratio:.2f} (flat ≈ 1.0)", flush=True)
     return 0
 
 

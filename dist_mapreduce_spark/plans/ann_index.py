@@ -1303,12 +1303,17 @@ def _staleness_oracle() -> str:
     from dist_mapreduce_spark.functions.vectors import _dot_duckdb
 
     clast = f"c{N_ITER}"
+    from dist_mapreduce_spark.plans.similarity import (
+        _train_sample_pred_duck,
+    )
+
     fresh = ", ".join(
         kmeans_train_ctes(
             k_sql="(SELECT k FROM krule)",
             null_guard=True,
             prefix="f",
             source="ups",
+            extra_where=_train_sample_pred_duck(),
         )
     )
     d_frozen = kmeans_dist_duck("e.q", "c.cq")
@@ -1431,10 +1436,19 @@ def q_sim_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     fre_ints = [
         [int(x * KMEANS_SCALE) for x in fv] for _cid, fv in cent_fresh
     ]
+    from dist_mapreduce_spark.plans.similarity import (
+        train_sample_pred_spark,
+        train_sample_stride,
+    )
+
     ranked = ivf_ranked_cells_sql(cent_frozen)
     upsnn = ups.filter(F.col("embedding").isNotNull())
     cells = ivf_cells_df(spark, upsnn, ranked)
-    q = cells.select("vec_id", "cell", kmeans_quantize_col().alias("q"))
+    # The statistic runs on the fresh TRAINER'S SAMPLE (the oracle's
+    # fe frame — stride 1 = everything at gate scales; round 10).
+    q = cells.filter(
+        F.expr(train_sample_pred_spark(train_sample_stride(_n2)))
+    ).select("vec_id", "cell", kmeans_quantize_col().alias("q"))
     fcells = ivf_cells_df(
         spark, upsnn, ivf_ranked_cells_sql(cent_fresh)
     ).select("vec_id", F.col("cell").alias("fcell"))

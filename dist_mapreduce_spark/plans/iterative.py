@@ -127,6 +127,7 @@ def kmeans_train_ctes(
     materialized: bool = True,
     prefix: str = "",
     source: str = "embeddings",
+    extra_where: str = "",
 ) -> list[str]:
     """The unrolled Lloyd's-training CTE chain (e, c0, a1/u1/c1 …
     c{N_ITER}) — shared verbatim by the kmeans_embeddings oracle, the
@@ -148,10 +149,20 @@ def kmeans_train_ctes(
     names are query-global — the staleness monitor needs frozen + fresh
     chains side by side); ``source`` swaps the trained table (the
     post-upsert corpus, a chunk-vector CTE, …). Inner aliases stay `e`
-    and `c`, so the distance expression is prefix-invariant."""
+    and `c`, so the distance expression is prefix-invariant.
+    ``extra_where`` appends a predicate to the e CTE — the round-10
+    TRAINING SAMPLE (the trainer needs ~k·10³ points, not N; the
+    default serving chain passes the deterministic md5-stride rule so
+    training cost is capped at any corpus size)."""
     dist = kmeans_dist_duck()
     limit = k_sql if k_sql is not None else str(K)
     guard = " WHERE embedding IS NOT NULL" if null_guard else ""
+    if extra_where:
+        guard = (
+            f"{guard} AND {extra_where}"
+            if guard
+            else f" WHERE {extra_where}"
+        )
     mat = " MATERIALIZED" if materialized else ""
     p = prefix
     parts = [

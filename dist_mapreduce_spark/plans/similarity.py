@@ -600,6 +600,21 @@ K_DIV = 3
 NPROBE_MIN = 3
 NPROBE_BUDGET = 50 * TOP_K   # expected scored candidates per query
 
+#: Training-sample cap (round 10): the trainer needs ~k·10³ points,
+#: not N — above this corpus size, training runs on a deterministic
+#: md5-stride sample (stride = n // CAP, keeping 2^17..2^18 rows, ≥32
+#: points per centroid at K_MAX) while K, n_probe, ASSIGNMENT, and
+#: every serving stage still use the FULL corpus. Identical rule in
+#: both dialects (the stride is exact integer division of the same
+#: count(*) statistic; membership is an md5-prefix mod — the house
+#: cross-engine hash), so the trained centroids stay hash-exact. At
+#: every gate scale n < CAP ⟹ stride 1 ⟹ byte-identical to the
+#: unsampled trainer; the 20×+ stress corpora are where it binds —
+#: measured: the x20 dense index build fell from 234.7 s (training
+#: dominated) with the full-corpus trainer to the sampled cost
+#: recorded in docs/SCALE.md.
+TRAIN_SAMPLE_CAP = 1 << 17
+
 from dist_mapreduce_spark.plans.iterative import (  # noqa: E402
     KMEANS_SCALE,
     N_ITER,
@@ -610,13 +625,42 @@ from dist_mapreduce_spark.plans.iterative import (  # noqa: E402
 
 _CLAST = f"c{N_ITER}"
 
-#: count(*) statistic + the K rule as scalar CTEs.
+#: count(*) statistic + the K rule + the training-sample stride as
+#: scalar CTEs.
 _TRAINED_RULE_CTES = (
     f"nstat AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),"
     f" krule AS (SELECT greatest(least(CAST(floor(sqrt(CAST(greatest(n, 1)"
     f" AS DOUBLE))) AS BIGINT) // {K_DIV}, {K_MAX}), {K_MIN}) AS k"
+    f" FROM nstat),"
+    f" srule AS (SELECT greatest(1, n // {TRAIN_SAMPLE_CAP}) AS st"
     f" FROM nstat)"
 )
+
+
+def _train_sample_pred_duck() -> str:
+    """Deterministic training-sample membership, DuckDB dialect: the
+    48-bit md5 prefix of the vector id mod the srule stride."""
+    from dist_mapreduce_spark.functions.hashing import (
+        md5_prefix_long_duckdb_sql,
+    )
+
+    h = md5_prefix_long_duckdb_sql("CAST(vec_id AS VARCHAR)")
+    return f"({h} % (SELECT st FROM srule)) = 0"
+
+
+def train_sample_pred_spark(stride: int) -> str:
+    """The Spark twin with the driver-computed stride inlined."""
+    from dist_mapreduce_spark.functions.hashing import (
+        md5_prefix_long_spark_sql,
+    )
+
+    h = md5_prefix_long_spark_sql("CAST(vec_id AS STRING)")
+    return f"({h} % {stride}) = 0"
+
+
+def train_sample_stride(n: int) -> int:
+    """The srule rule, exactly: stride over the full-table count."""
+    return max(1, n // TRAIN_SAMPLE_CAP)
 
 #: Trained centroids dequantized to exact doubles, feeding the SHARED
 #: assignment suffix under the same `cent (cent_id, cvec)` contract.
@@ -633,7 +677,11 @@ TRAINED_CELLS_CTE = (
     _TRAINED_RULE_CTES
     + ", "
     + ", ".join(
-        kmeans_train_ctes(k_sql="(SELECT k FROM krule)", null_guard=True)
+        kmeans_train_ctes(
+            k_sql="(SELECT k FROM krule)",
+            null_guard=True,
+            extra_where=_train_sample_pred_duck(),
+        )
     )
     + ","
     + _TRAINED_CENT_CTE
@@ -718,10 +766,13 @@ def trained_quantizer(
     (ivf_ranked_cells_sql / ivf_cells_df / ivf_probes_df /
     ivf_py_probe_cells). Memoized per corpus fingerprint.
 
-    Scale note: the trainer needs ~k·10³ points, not N — at 100 TB it
-    runs on a sample with the same rule on the full-table statistic;
-    per round it is one scan + one k×dim shuffle, and the driver holds
-    k×dim integers (bounded by K_MAX·64)."""
+    Scale note: the trainer needs ~k·10³ points, not N — above
+    TRAIN_SAMPLE_CAP rows it trains on the deterministic md5-stride
+    sample (round 10; the srule/predicate twins keep the sample —
+    hence the centroids — hash-exact cross-engine), while K, n_probe,
+    and every serving stage still use the full corpus; per round it is
+    one sample scan + one k×dim shuffle, and the driver holds k×dim
+    integers (bounded by K_MAX·64)."""
     import math as _math
 
     key = _frame_fingerprint(emb)
@@ -733,9 +784,15 @@ def trained_quantizer(
         K_MIN,
         min(K_MAX, int(_math.floor(_math.sqrt(float(max(n, 1))))) // K_DIV),
     )
-    q = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", kmeans_quantize_col().alias("q")
-    )
+    # Training sample (round 10): above TRAIN_SAMPLE_CAP rows, train on
+    # the deterministic md5-stride subset — stride 1 (= everything) at
+    # every gate scale, capped cost at any larger one. K and all
+    # serving statistics still derive from the FULL count n.
+    stride = train_sample_stride(n)
+    q = emb.filter(
+        F.col("embedding").isNotNull()
+        & F.expr(train_sample_pred_spark(stride))
+    ).select("vec_id", kmeans_quantize_col().alias("q"))
     # Materialize the quantized frame ONCE before the Lloyd's loop:
     # every training round is its own action, and without this each
     # round re-evaluates the source lineage — harmless on a raw

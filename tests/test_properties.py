@@ -625,3 +625,47 @@ def test_quantile_merged_equals_global(spark):
     }
     m, g = rows["zz_merged"], rows["zz_global"]
     assert m["mass"] == g["mass"] and m["checksum"] == g["checksum"]
+
+
+def test_train_sample_predicate_cross_engine_parity(spark):
+    """Round-10 training sample: the md5-stride membership predicate
+    must select the IDENTICAL id set in both dialects at a stride > 1
+    (hash-prefix parity is what keeps the trained centroids hash-exact
+    once the sample binds), and the stride rule must be the exact
+    integer division of the same count."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.functions.hashing import (
+        md5_prefix_long_duckdb_sql,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        TRAIN_SAMPLE_CAP,
+        train_sample_pred_spark,
+        train_sample_stride,
+    )
+
+    ids = list(range(0, 5000))
+    got_spark = {
+        r["vec_id"]
+        for r in spark.createDataFrame([(i,) for i in ids], "vec_id long")
+        .filter(F.expr(train_sample_pred_spark(7)))
+        .collect()
+    }
+    h = md5_prefix_long_duckdb_sql("CAST(vec_id AS VARCHAR)")
+    got_duck = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT vec_id FROM (SELECT unnest(range(0, 5000)) AS vec_id)"
+            f" WHERE ({h} % 7) = 0"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    # ~1/7 of ids selected (deterministic, not a tolerance check —
+    # just guards against a degenerate always/never predicate).
+    assert 500 < len(got_spark) < 1000, len(got_spark)
+    # The stride rule: exact integer division, floor at 1.
+    assert train_sample_stride(TRAIN_SAMPLE_CAP - 1) == 1
+    assert train_sample_stride(2 * TRAIN_SAMPLE_CAP) == 2
+    assert train_sample_stride(0) == 1

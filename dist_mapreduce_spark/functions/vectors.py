@@ -97,10 +97,20 @@ def _dot_duckdb(a: str, b: str, dim: int = DIM) -> str:
 
 
 def cosine_duckdb_sql(a: str, b: str, dim: int = DIM) -> str:
-    """DuckDB twin of :func:`cosine_spark_sql` — identical fold order."""
+    """DuckDB twin of :func:`cosine_spark_sql` — identical fold order.
+
+    NULLIF on the divisor (round-11): the Spark side's try_divide
+    returns NULL on a 0.0 divisor, and DuckDB `/` matched that only
+    under duckdb < 1.1 (1.1+ defaults to IEEE float division, where
+    0.0/0.0 is NaN — which is NOT NULL and ranks FIRST under DESC,
+    silently admitting zero-norm vectors into every top-k). NULLIF
+    makes the zero-divisor → NULL contract explicit in the SQL itself,
+    independent of the DuckDB version or its ieee_floating_point_ops
+    setting; on every nonzero divisor NULLIF is the identity, so all
+    existing oracle hashes are unchanged."""
     return (
-        f"({_dot_duckdb(a, b, dim)} / (sqrt({_dot_duckdb(a, a, dim)})"
-        f" * sqrt({_dot_duckdb(b, b, dim)})))"
+        f"({_dot_duckdb(a, b, dim)} / NULLIF(sqrt({_dot_duckdb(a, a, dim)})"
+        f" * sqrt({_dot_duckdb(b, b, dim)}), 0.0))"
     )
 
 

@@ -775,9 +775,18 @@ def _dense_trained_ctes() -> str:
         TRAINED_NPROBE_CTES,
     )
 
-    return (TRAINED_CELLS_CTE + ", " + TRAINED_NPROBE_CTES).replace(
-        "FROM embeddings", "FROM cemb"
+    src = TRAINED_CELLS_CTE + ", " + TRAINED_NPROBE_CTES
+    out = src.replace("FROM embeddings", "FROM cemb")
+    # Guard the surgery like _CELLS_CTE_AFTER_UPSERT (ann_index.py): a
+    # rename upstream must fail loudly here, not produce an oracle that
+    # silently trains on the wrong table; and no reference to the
+    # embeddings TABLE may survive (the `embedding` COLUMN does).
+    assert out != src, "trained-quantizer CTEs no longer scan embeddings"
+    assert "FROM embeddings" not in out and " embeddings " not in out, (
+        "a trained-quantizer CTE still references the embeddings table"
+        " through a form the blanket replace does not cover"
     )
+    return out
 
 
 def _dense_pruned_tail(probes: str) -> str:
@@ -880,9 +889,21 @@ def _dense_chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ch") >= 1)
         .withColumn("ctext", F.array_join("ch", " "))
         .select(
-            (F.col("doc_id") * DENSE_VID_MOD + F.col("chunk_id")).alias(
-                "vec_id"
-            ),
+            # Loud overflow guard on the vec_id packing: a document
+            # with >= 2^20 chunks (~16M tokens) would otherwise alias
+            # its chunk ids into other documents' id space — silently
+            # corrupting training order, probes, and doc_id recovery.
+            # The CASE keeps raise_error off the hot path (lazy branch)
+            # and the guard inside the vec_id expression itself, where
+            # column pruning can never drop it while vec_id is alive.
+            F.expr(
+                f"CASE WHEN chunk_id < {DENSE_VID_MOD}"
+                f" THEN doc_id * {DENSE_VID_MOD} + chunk_id"
+                f" ELSE raise_error(concat('dense vec_id packing"
+                f" overflow: chunk_id ', CAST(chunk_id AS STRING),"
+                f" ' >= 2^20 — document too long for DENSE_VID_MOD'))"
+                f" END"
+            ).alias("vec_id"),
             "doc_id",
             "chunk_id",
             F.expr(_dense_embed_spark("ctext")).alias("embedding"),
@@ -1169,8 +1190,19 @@ def q_search_dense_maxp_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is Python — partition-preserving (no shuffle added), Arrow-
     batched (spark.sql.execution.arrow.maxRecordsPerBatch rows per
     model call), and pipelined with the scan. This is the ONE place in
-    the dense family where Python belongs: the model forward itself."""
-    ck = encode_chunks_mapinpandas(_dense_chunk_texts(spark, sf_dir))
+    the dense family where Python belongs: the model forward itself.
+
+    localCheckpoint (round-11, from ADVICE): _dense_maxp_tail
+    references the encoded frame twice (query branch + scoring
+    branch), and the query branch's doc_id filter cannot push through
+    the opaque MapInPandas stage — without the checkpoint the Python
+    encoder runs over the FULL chunk corpus TWICE. Materializing once
+    makes the encode cost single-pass, which is what 'identical scale
+    shape to search_dense_maxp' requires (there, Catalyst pushes the
+    query-branch filter into the expression chain instead)."""
+    ck = encode_chunks_mapinpandas(
+        _dense_chunk_texts(spark, sf_dir)
+    ).localCheckpoint()
     return _dense_maxp_tail(ck)
 
 

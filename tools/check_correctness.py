@@ -108,6 +108,16 @@ def main() -> int:
         c.execute("SET threads TO 8")
         c.execute("SET memory_limit='24GB'")
         c.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
+        # duckdb 1.1+ defaults to IEEE float division (0.0/0.0 = NaN);
+        # the oracles' NULL-on-zero-divisor contract (matching Spark
+        # try_divide) predates that. Hot divisors are NULLIF-guarded in
+        # the SQL itself; this setting restores the legacy behavior for
+        # any residual /0 site if this tool ever runs on duckdb >= 1.1
+        # (the setting does not exist in 1.0 — hence the guard).
+        try:
+            c.execute("SET ieee_floating_point_ops = false")
+        except duckdb.Error:
+            pass
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -57,6 +57,8 @@ from dist_mapreduce_spark.plans.similarity import (
     TOP_K,
     TRAINED_CELLS_CTE,
     TRAINED_NPROBE_CTES,
+    assign_cells,
+    gemm_assign_cells,
     ivf_cells_df,
     ivf_probes_df,
     ivf_py_probe_cells,
@@ -144,15 +146,14 @@ def build_ivf_index(
     fp = _corpus_fingerprint(sf_dir)
     if _BUILT_THIS_SESSION.get(path) == fp and os.path.isdir(path):
         return path, cent_rows, n_corpus
-    ranked = ivf_ranked_cells_sql(cent_rows)
     # Same assignment as ivf_cells_df, with `label` riding along so
     # metadata-filtered serving (sim_topk_filtered_ivf) can push its
     # predicate into the pruned scan (PushedFilters) instead of
-    # joining attributes back at query time.
-    cells = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("cell", F.expr(f"{ranked}[0].c"))
-        .select("vec_id", "embedding", "label", "cell")
+    # joining attributes back at query time. Routed through the
+    # assignment dispatcher: literal expression by default, numpy GEMM
+    # under SPARK_GRAFT_ASSIGN=gemm (the stress-scale path).
+    cells = assign_cells(spark, emb, cent_rows).select(
+        "vec_id", "embedding", "label", "cell"
     )
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
     _BUILT_THIS_SESSION[path] = fp
@@ -196,6 +197,65 @@ def q_sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return (
         back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )
+
+
+@query(
+    "sim_index_build_gemm",
+    oracle=(
+        f"WITH {TRAINED_CELLS_CTE}"
+        f" SELECT CAST(cell AS BIGINT) AS cell,"
+        f"  CAST(count(*) AS BIGINT) AS n_vecs,"
+        f"  CAST(sum(CAST(vec_id AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        f"   AS id_sum,"
+        f"  min(vec_id) AS min_id, max(vec_id) AS max_id,"
+        f"  CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS dim_sum"
+        f" FROM cells GROUP BY cell"
+    ),
+)
+def q_sim_index_build_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_index_build's per-cell audit with the assignment stage run
+    as the numpy GEMM (round-11 verdict item #1, mode FORCED — not the
+    env default): scores computed as one batch×k×dim BLAS multiply per
+    Arrow batch inside mapInPandas instead of the O(N·k·dim) literal
+    generated expression. The oracle is sim_index_build's VERBATIM —
+    DuckDB replays the sequential-fold literal semantics — so a PASS
+    value-proves the GEMM argmax lands every vector in the same cell
+    the expression path does, on the full gate corpus including its
+    degenerate rows. This is the production assignment for stress-
+    scale k·dim (SCALE.md names the literal assignment as the dominant
+    trained-index cost at 20×+); the literal path stays the default.
+
+    Scale shape: one corpus scan, no shuffle (mapInPandas is
+    partition-preserving after the dispatcher's repartition); driver
+    state is the k×dim centroid matrix (≤ K_MAX·64 doubles), shipped
+    once per executor via the closure."""
+    emb = _emb(spark, sf_dir)
+    cent_rows, _n = trained_quantizer(emb)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    # Project BEFORE the Arrow stage: mapInPandas is opaque to column
+    # pruning, so an un-projected input would drag `label` through the
+    # scan and the Python transfer for nothing.
+    cells = assign_cells(
+        spark, emb.select("vec_id", "embedding"), cent_rows, mode="gemm"
+    )
+    return (
+        cells.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.expr(
@@ -622,7 +682,7 @@ def q_sim_cand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cent_rows:
         ranked = ivf_ranked_cells_sql(cent_rows)
         ivf_c = (
-            ivf_cells_df(spark, emb, ranked)
+            ivf_cells_df(spark, emb, ranked, cent_rows)
             .join(
                 F.broadcast(
                     ivf_probes_df(
@@ -993,11 +1053,11 @@ def q_sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ranked = ivf_ranked_cells_sql(cent_rows)
     is_new = F.col("vec_id") % APPEND_MOD == APPEND_REM
-    base = ivf_cells_df(spark, emb.filter(~is_new), ranked)
+    base = ivf_cells_df(spark, emb.filter(~is_new), ranked, cent_rows)
     # Overwrite clears any previous run's directory, so the append
     # below is idempotent run-to-run.
     base.write.mode("overwrite").partitionBy("cell").parquet(path)
-    batch = ivf_cells_df(spark, emb.filter(is_new), ranked)
+    batch = ivf_cells_df(spark, emb.filter(is_new), ranked, cent_rows)
     batch.write.mode("append").partitionBy("cell").parquet(path)
     back = spark.read.parquet(path)
     return (
@@ -1099,7 +1159,7 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ivf_ranked_cells_sql(cent_rows)
     # Fresh full build each run (the demo needs a pre-delete index; a
     # production deployment starts from the live one).
-    ivf_cells_df(spark, emb, ranked).write.mode("overwrite").partitionBy(
+    ivf_cells_df(spark, emb, ranked, cent_rows).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
     is_del = F.expr(_DELETE_PRED_SQL)
@@ -1108,7 +1168,7 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1% of rows), pull the distinct cell ids — bounded by k.
     del_cells = sorted(
         int(r["cell"])
-        for r in ivf_cells_df(spark, emb.filter(is_del), ranked)
+        for r in ivf_cells_df(spark, emb.filter(is_del), ranked, cent_rows)
         .select("cell")
         .distinct()
         .collect()
@@ -1219,7 +1279,7 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ranked = ivf_ranked_cells_sql(cent_rows)
     # Fresh full build each run (pre-upsert state).
-    ivf_cells_df(spark, emb, ranked).write.mode("overwrite").partitionBy(
+    ivf_cells_df(spark, emb, ranked, cent_rows).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
     is_ups = F.expr(_UPSERT_PRED_SQL)
@@ -1229,12 +1289,12 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_cells = {
         int(r["cell"])
-        for r in ivf_cells_df(spark, emb.filter(is_ups), ranked)
+        for r in ivf_cells_df(spark, emb.filter(is_ups), ranked, cent_rows)
         .select("cell")
         .distinct()
         .collect()
     }
-    new_assigned = ivf_cells_df(spark, new_batch, ranked)
+    new_assigned = ivf_cells_df(spark, new_batch, ranked, cent_rows)
     new_cells = {
         int(r["cell"])
         for r in new_assigned.select("cell").distinct().collect()
@@ -1443,14 +1503,14 @@ def q_sim_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = ivf_ranked_cells_sql(cent_frozen)
     upsnn = ups.filter(F.col("embedding").isNotNull())
-    cells = ivf_cells_df(spark, upsnn, ranked)
+    cells = ivf_cells_df(spark, upsnn, ranked, cent_frozen)
     # The statistic runs on the fresh TRAINER'S SAMPLE (the oracle's
     # fe frame — stride 1 = everything at gate scales; round 10).
     q = cells.filter(
         F.expr(train_sample_pred_spark(train_sample_stride(_n2)))
     ).select("vec_id", "cell", kmeans_quantize_col().alias("q"))
     fcells = ivf_cells_df(
-        spark, upsnn, ivf_ranked_cells_sql(cent_fresh)
+        spark, upsnn, ivf_ranked_cells_sql(cent_fresh), cent_fresh
     ).select("vec_id", F.col("cell").alias("fcell"))
     gvec = [
         int(r["g"])
@@ -1629,7 +1689,7 @@ def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet, never the index path this query rewrites) — the 7
     # micro-batch writes then filter the cached assignment instead of
     # re-evaluating the centroid expression per batch.
-    cells_all = ivf_cells_df(spark, emb, ranked).withColumn(
+    cells_all = ivf_cells_df(spark, emb, ranked, cent_rows).withColumn(
         "b", F.col("vec_id") % mod
     )
     cells_all.cache()
@@ -1714,7 +1774,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("canonical_id"),
             F.lit(False).alias("is_dup"),
         )
-    cells = ivf_cells_df(spark, emb, ivf_ranked_cells_sql(cent_rows))
+    cells = ivf_cells_df(spark, emb, ivf_ranked_cells_sql(cent_rows), cent_rows)
     a, b = cells.alias("a"), cells.alias("b")
     dup = (
         a.join(
@@ -1792,7 +1852,7 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("vec_id") % APPEND_MOD == APPEND_REM
     # Bulk backfill: base index, overwrite (clears prior runs), staged
     # as ingest_batch=-1 under each cell directory.
-    ivf_cells_df(spark, emb.filter(~is_new), ranked).withColumn(
+    ivf_cells_df(spark, emb.filter(~is_new), ranked, cent_rows).withColumn(
         "ingest_batch", F.lit(-1)
     ).write.mode("overwrite").partitionBy("cell", "ingest_batch").parquet(path)
     # Stage the streaming tail as 3 files -> 3 micro-batches.
@@ -3144,7 +3204,7 @@ def q_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ranked = ivf_ranked_cells_sql(cent_rows)
     is_eval = F.col("vec_id") % CONTAM_MOD == CONTAM_REM
-    tr = ivf_cells_df(spark, emb.filter(~is_eval), ranked)
+    tr = ivf_cells_df(spark, emb.filter(~is_eval), ranked, cent_rows)
     ev = (
         emb.filter(is_eval & F.col("embedding").isNotNull())
         .select(

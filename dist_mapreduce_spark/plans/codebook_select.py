@@ -161,7 +161,8 @@ def q_sim_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     ranked = ivf_ranked_cells_sql(cent_rows)
     cells = ivf_cells_df(
-        spark, emb.filter(F.col("embedding").isNotNull()), ranked
+        spark, emb.filter(F.col("embedding").isNotNull()), ranked,
+        cent_rows,
     )
     # The statistic runs on the TRAINER'S SAMPLE (round 10 — the
     # oracle's gm/st read the e frame, which is the sampled trainer

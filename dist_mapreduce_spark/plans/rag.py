@@ -541,7 +541,8 @@ def q_sim_topk_mmr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ranked = ivf_ranked_cells_sql(cent_rows)
     cells = ivf_cells_df(
-        spark, emb.filter(F.col("embedding").isNotNull()), ranked
+        spark, emb.filter(F.col("embedding").isNotNull()), ranked,
+        cent_rows,
     )
     probes = ivf_probes_df(
         emb.filter(F.col("embedding").isNotNull()),
@@ -937,10 +938,14 @@ def build_dense_index(
     fp = _docs_fingerprint(sf_dir)
     if _DENSE_BUILT.get(path) == fp and os.path.isdir(path):
         return path, cent_rows, n_chunks
-    ranked = ivf_ranked_cells_sql(cent_rows)
+    from dist_mapreduce_spark.plans.similarity import assign_cells
+
+    # Assignment dispatcher: literal expression by default, numpy GEMM
+    # under SPARK_GRAFT_ASSIGN=gemm — at stress scale the full-corpus
+    # assignment is THE dominant build cost (SCALE.md), and the GEMM
+    # stage removes the O(N·k·dim) generated expression.
     (
-        cv.repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("cell", F.expr(f"{ranked}[0].c"))
+        assign_cells(spark, cv, cent_rows)
         .select("vec_id", "doc_id", "chunk_id", "embedding", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")

@@ -416,7 +416,7 @@ def q_sim_cand_stats_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = ivf_cent_rows(emb)
     ranked = ivf_ranked_cells_sql(cent_rows)
     scand = (
-        ivf_cells_df(spark, emb, ranked)
+        ivf_cells_df(spark, emb, ranked, cent_rows)
         .join(
             F.broadcast(ivf_probes_df(emb, ranked).select("query_id", "pcell")),
             (F.col("cell") == F.col("pcell"))

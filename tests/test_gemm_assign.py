@@ -1,0 +1,151 @@
+"""GEMM assignment path (round 11): the numpy/BLAS centroid
+assignment must land every vector in the same cell as the
+oracle-gated literal-expression path — on the real gate corpus, on
+the dense chunk corpus, and on every degenerate row shape the literal
+path tolerates (the contract gemm_assign_cells documents)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _cells_map(df):
+    return {int(r["vec_id"]): int(r["cell"]) for r in df.collect()}
+
+
+def test_gemm_matches_literal_on_gate_corpus(spark):
+    """Argmax-cell set-equality on the sf0.001 embeddings table under
+    the trained quantizer — the pin the round-10 verdict asks for."""
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent_rows, _n = trained_quantizer(emb)
+    assert cent_rows
+    lit = _cells_map(
+        assign_cells(spark, emb, cent_rows, mode="literal").select(
+            "vec_id", "cell"
+        )
+    )
+    gem = _cells_map(
+        assign_cells(spark, emb, cent_rows, mode="gemm").select(
+            "vec_id", "cell"
+        )
+    )
+    assert lit == gem
+    assert len(lit) == emb.count()
+
+
+def test_gemm_matches_literal_on_dense_chunks(spark):
+    """Same pin over the DERIVED corpus the dense index assigns — the
+    stress-scale case the GEMM path exists for."""
+    from dist_mapreduce_spark.plans.rag import _dense_chunk_vectors
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+
+    cv = _dense_chunk_vectors(spark, SF_SMOKE).localCheckpoint()
+    cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    assert cent_rows
+    lit = _cells_map(
+        assign_cells(spark, cv, cent_rows, mode="literal").select(
+            "vec_id", "cell"
+        )
+    )
+    gem = _cells_map(
+        assign_cells(spark, cv, cent_rows, mode="gemm").select(
+            "vec_id", "cell"
+        )
+    )
+    assert lit == gem
+
+
+def test_gemm_degenerate_rows_match_literal(spark):
+    """NULL vector, ragged length, zero vector, NaN element: the
+    literal path folds every score to NULL (or −0.0 ties) and the
+    min-cent_id tiebreak wins — the GEMM path must replicate each."""
+    from dist_mapreduce_spark.plans.similarity import assign_cells
+
+    cents = [(3, [1.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0]), (9, [0.5, 0.5, 0.5])]
+    rows = [
+        (1, [0.9, 0.1, 0.0]),        # normal → cid 3
+        (2, None),                   # NULL vector
+        (3, [0.5]),                  # ragged
+        (4, [0.0, 0.0, 0.0]),        # zero vector: all scores −0.0
+        (5, [float("nan"), 1.0, 1.0]),  # NaN element
+        (6, [0.0, 0.0, 1.0]),        # → cid 9
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = _cells_map(
+        assign_cells(spark, df, cents, mode="literal").select(
+            "vec_id", "cell"
+        )
+    )
+    gem = _cells_map(
+        assign_cells(spark, df, cents, mode="gemm").select("vec_id", "cell")
+    )
+    assert lit == gem
+    # The degenerate rows all land in the smallest cent_id.
+    for vid in (2, 3, 4, 5):
+        assert lit[vid] == 3
+    assert lit[1] == 3 and lit[6] == 9
+
+
+def test_gemm_zero_norm_centroid_raises(spark):
+    """The literal path aborts (ANSI DIVIDE_BY_ZERO) on a zero-norm
+    centroid; the GEMM path must refuse up front, not invent a cell."""
+    from dist_mapreduce_spark.plans.similarity import gemm_assign_cells
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        gemm_assign_cells(df, [(0, [0.0, 0.0]), (1, [1.0, 0.0])])
+
+
+def test_gemm_tiebreak_is_min_cent_id(spark):
+    """Duplicate centroids score exactly equal under BOTH paths (the
+    GEMM computes identical columns identically), so the tie must fall
+    to the smaller cent_id in both."""
+    from dist_mapreduce_spark.plans.similarity import assign_cells
+
+    cents = [(2, [0.6, 0.8]), (5, [0.6, 0.8])]
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [-1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    lit = _cells_map(
+        assign_cells(spark, df, cents, mode="literal").select(
+            "vec_id", "cell"
+        )
+    )
+    gem = _cells_map(
+        assign_cells(spark, df, cents, mode="gemm").select("vec_id", "cell")
+    )
+    assert lit == gem == {1: 2, 2: 2}
+
+
+def test_gemm_preserves_extra_columns(spark):
+    """gemm_assign_cells must carry every input column through the
+    Arrow stage — the dense build rides doc_id/chunk_id alongside."""
+    from dist_mapreduce_spark.plans.similarity import gemm_assign_cells
+
+    df = spark.createDataFrame(
+        [(1, 10, [1.0, 0.0]), (2, 20, [0.0, 1.0])],
+        "vec_id long, extra long, embedding array<double>",
+    )
+    out = gemm_assign_cells(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    got = {
+        (int(r["vec_id"]), int(r["extra"]), int(r["cell"]))
+        for r in out.collect()
+    }
+    assert got == {(1, 10, 0), (2, 20, 1)}

@@ -72,10 +72,7 @@ from dist_mapreduce_spark.plans.similarity import (
 )
 from dist_mapreduce_spark.sources.tables import load_table
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
+from dist_mapreduce_spark.scratch import scratch_root
 
 #: Mersenne fold for exact-int checksums (same constant as
 #: plans/formats.py table_checksum).
@@ -86,7 +83,9 @@ def _index_dir(kind: str, sf_dir: str) -> str:
     """Per-(kind, sf_dir) index directory — gate runs at three scale
     factors plus stress dirs must never read each other's index."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(_SCRATCH, f"{kind}_{tag}")
+    # Per-process scratch root: concurrent gate + pytest runs must
+    # never race on the same index directory (round-11 item #4).
+    return os.path.join(scratch_root(), f"{kind}_{tag}")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

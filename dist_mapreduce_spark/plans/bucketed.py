@@ -21,10 +21,7 @@ from pyspark.sql import functions as F
 from dist_mapreduce_spark.plans.registry import query
 from dist_mapreduce_spark.sources.tables import load_table
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
+from dist_mapreduce_spark.scratch import scratch_root
 
 N_BUCKETS = 8
 
@@ -37,7 +34,7 @@ def write_bucketed(
     .scratch; overwrite keeps runs idempotent."""
     (
         df.write.mode("overwrite")
-        .option("path", os.path.join(_SCRATCH, f"bucketed_{table}"))
+        .option("path", os.path.join(scratch_root(), f"bucketed_{table}"))
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .saveAsTable(table)

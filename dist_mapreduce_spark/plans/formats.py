@@ -32,14 +32,13 @@ from pyspark.sql import functions as F
 from dist_mapreduce_spark.plans.registry import query
 from dist_mapreduce_spark.sources.tables import load_table
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
+from dist_mapreduce_spark.scratch import scratch_root
 
 
 def _sink_dir(name: str) -> str:
-    return os.path.join(_SCRATCH, name)
+    # Per-process root: two processes running the same sink query
+    # (gate + pytest) raced on this directory before round 11.
+    return os.path.join(scratch_root(), name)
 
 
 _ORDERS_AGG_ORACLE = (

@@ -2984,10 +2984,9 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib as _hl
     import shutil
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    scratch = scratch_root()
     tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     stage = os.path.join(scratch, f"dedup_stream_stage_{tag}")
     ckpt = os.path.join(scratch, f"dedup_stream_ckpt_{tag}")

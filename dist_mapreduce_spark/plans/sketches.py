@@ -461,10 +461,9 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LN_SPARK,
     )
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    scratch = scratch_root()
     tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     stage = os.path.join(scratch, f"hll_stream_stage_{tag}")
     ckpt = os.path.join(scratch, f"hll_stream_ckpt_{tag}")
@@ -686,10 +685,9 @@ def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    scratch = scratch_root()
     tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     stage = os.path.join(scratch, f"cms_stream_stage_{tag}")
     ckpt = os.path.join(scratch, f"cms_stream_ckpt_{tag}")

@@ -992,3 +992,91 @@ def test_staleness_fires_on_distribution_shifted_upsert(spark, tmp_path):
     assert r["stale_ppm"] >= RETRAIN_STALE_PPM, r
     assert r["decision"] == "retrain", r
     assert r["moved_ppm"] > 0, r
+
+
+def test_retrain_walk_monitor_fires_then_staleness_rezeroes(spark, tmp_path):
+    """Round-11 item #2, the full lifecycle walk on the shifted
+    fixture: (1) the monitor fires 'retrain'; (2) sim_index_retrain
+    rewrites the index under centroids trained on the CURRENT
+    (post-upsert) corpus, and the read-back per-cell stats equal an
+    independently computed fresh assignment of that corpus — retrain
+    == from-scratch rebuild; (3) re-measuring against the retrained
+    quantizer finds NOTHING left to recover: a fresh training run on
+    the same corpus reproduces the retrained centroids bit-for-bit
+    (deterministic trainer), every vector keeps its cell, so
+    stale_ppm re-measures to exactly 0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.ann_index import (
+        _UPSERT_PRED_SQL,
+        q_sim_index_retrain,
+        q_sim_index_staleness,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+
+    rows = []
+    for i in range(300):
+        v = [0.9] + [((i * 31 + j * 11) % 21 - 10) / 1000.0 for j in range(62)] + [0.0]
+        rows.append((i, v, 1))
+    sfdir = str(tmp_path / "walk")
+    os.makedirs(sfdir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sfdir + "/embeddings.parquet")
+
+    # (1) monitor fires.
+    assert (
+        q_sim_index_staleness(spark, sfdir).collect()[0]["decision"]
+        == "retrain"
+    )
+
+    # (2) retrain == fresh rebuild on the current corpus.
+    got = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"]))
+        for r in q_sim_index_retrain(spark, sfdir).collect()
+    }
+    emb = spark.read.parquet(sfdir + "/embeddings.parquet")
+    ups = emb.select(
+        "vec_id",
+        F.when(F.expr(_UPSERT_PRED_SQL), F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    cent_fresh, _n = trained_quantizer(ups)
+    want_cells = assign_cells(spark, ups, cent_fresh, mode="literal")
+    want = {
+        int(r["cell"]): (int(r["n"]), int(r["s"]))
+        for r in want_cells.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CAST(vec_id AS DECIMAL(38,0)))"
+                " % 2305843009213693951 AS BIGINT)"
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # (3) nothing left to recover: a SECOND training run on the same
+    # corpus reproduces the retrained quantizer exactly, so frozen
+    # (retrained) and fresh placements coincide for every vector —
+    # the wss terms cancel and stale_ppm is identically 0.
+    cent_again, _n2 = trained_quantizer(ups)
+    assert cent_again == cent_fresh
+    re_cells = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in assign_cells(spark, ups, cent_again, mode="literal")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    first_cells = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in want_cells.select("vec_id", "cell").collect()
+    }
+    assert re_cells == first_cells  # moved = 0 ⇒ stale_ppm = 0

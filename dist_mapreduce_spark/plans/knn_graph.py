@@ -84,6 +84,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: One materialization of the blocked-residency frame per (corpus,
+#: quantizer) epoch (round-11 verdict item #6): the build, the
+#: NN-Descent refine, and the candidate monitor all consume `res`, and
+#: before this memo the monitor RE-DERIVED the whole chain (explode +
+#: rank window + sub-split union — the heaviest audit row in
+#: EXPLAIN.md at 31 shuffles). localCheckpoint truncates the lineage
+#: so every consumer reads the one checkpointed frame instead.
+_RES_MEMO: dict = {}
+
+
 def knn_res_frame(
     spark: SparkSession, emb: DataFrame, cent_rows: list
 ) -> tuple[DataFrame, DataFrame]:
@@ -94,7 +104,19 @@ def knn_res_frame(
     NULL-filtered.
 
     Plan notes: the rank window shuffles on rcell — the same key the
-    candidate join hashes on; rsplit is ≤ k·R rows and broadcasts."""
+    candidate join hashes on; rsplit is ≤ k·R rows and broadcasts.
+    Memoized + localCheckpoint'd per (corpus fingerprint, centroid
+    set): build, refine, and monitor share ONE materialization — at
+    100 TB this is the residency table an ingest job writes once."""
+    from dist_mapreduce_spark.plans.similarity import _frame_fingerprint
+
+    key = (
+        _frame_fingerprint(emb),
+        tuple((cid, tuple(cv)) for cid, cv in cent_rows),
+    )
+    hit = _RES_MEMO.get(key)
+    if hit is not None:
+        return hit
     ranked = ivf_ranked_cells_sql(cent_rows)
     res0 = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
@@ -138,7 +160,15 @@ def knn_res_frame(
             ),
         )
     )
-    return res, rsplit
+    # Lazy checkpoint: materialized by the first consumer's action,
+    # reused by every later one (the monitor drops from 31 shuffles to
+    # reading this frame + two aggregates).
+    out = (
+        res.localCheckpoint(eager=False),
+        rsplit.localCheckpoint(eager=False),
+    )
+    _RES_MEMO[key] = out
+    return out
 
 
 #: The blocked-residency frame (res0 → rpos/rsplit → res) as a CTE

@@ -89,8 +89,72 @@ def _run_ab_snapshot(ref: str) -> dict | None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: The stress-scale headline subset (round-10 verdict item #8): the
+#: queries whose 20× behavior each round records in
+#: docs/BENCH_VARIANCE.md — two TPC-H join shapes, the two heaviest
+#: dedup rows, and dense index-pruned serving (listed twice: the first
+#: run pays the index build, the second is serve-only off the
+#: memoized index).
+STRESS20 = [
+    "tpch_q3",
+    "tpch_q18",
+    "dedup_minhash",
+    "dedup_cluster",
+    "search_dense_maxp_pruned",
+    "search_dense_maxp_pruned",
+]
+
+
+def _run_stress20() -> list | None:
+    """`bench.py --stress20`: run the stress subset at 20× of sf0.1
+    through tools/stress.py (its replication + timing protocol) and
+    return [(label, rows, sec), ...] in run order."""
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cmd = [
+        sys.executable,
+        os.path.join(repo, "tools", "stress.py"),
+        "20",
+        "/root/testdata/sf0.1",
+        *STRESS20,
+    ]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600, cwd=repo
+        ).stdout
+    except Exception as exc:  # noqa: BLE001
+        print(f"# stress20 failed: {exc}", file=sys.stderr)
+        return None
+    rows = re.findall(r"^x20\s+(\S+)\s+(\d+) rows\s+([\d.]+)s", out, re.M)
+    seen: dict[str, int] = {}
+    labeled = []
+    for name, n, sec in rows:
+        k = seen.get(name, 0)
+        seen[name] = k + 1
+        label = f"{name}:serve_only" if k else name
+        labeled.append((label, int(n), float(sec)))
+    return labeled
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--stress20" in sys.argv:
+        rows = _run_stress20() or []
+        for label, n, sec in rows:
+            print(f"# x20 {label}: {n} rows in {sec}s", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "stress20",
+                    "unit": "sec",
+                    "value": round(sum(s for _l, _n, s in rows), 3),
+                    "queries": {l: s for l, _n, s in rows},
+                }
+            )
+        )
+        return
     ab_ref = None
     if "--ab" in sys.argv:
         i = sys.argv.index("--ab")

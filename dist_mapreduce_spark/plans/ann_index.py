@@ -1973,6 +1973,11 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_stream_plan,
+        )
+
+        capture_stream_plan(q, "stream_index_append")
     finally:
         q.stop()
     back = spark.read.parquet(path)
@@ -2528,6 +2533,14 @@ def q_stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("serve_batch")
             .parquet(out)
         )
+        # Round-11 audit: record what THIS batch's serving plan does
+        # (the streaming wrapper's explain stops at the foreachBatch
+        # boundary) — the pytest pin reads PartitionFilters off it.
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_batch_plan,
+        )
+
+        capture_batch_plan(topk, f"stream_serve_topk:batch{batch_id}")
 
     q = (
         spark.readStream.schema(queries_df.schema)
@@ -2540,6 +2553,11 @@ def q_stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_stream_plan,
+        )
+
+        capture_stream_plan(q, "stream_serve_topk")
     finally:
         q.stop()
     if not os.path.isdir(out) or not os.listdir(out):

@@ -3031,6 +3031,11 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_stream_plan,
+        )
+
+        capture_stream_plan(q, "stream_dedup_incremental")
     finally:
         q.stop()
 

@@ -518,6 +518,11 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_stream_plan,
+        )
+
+        capture_stream_plan(q, "stream_sketch_hll")
     finally:
         q.stop()
 
@@ -727,6 +732,11 @@ def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_stream_plan,
+        )
+
+        capture_stream_plan(q, "stream_sketch_cms")
     finally:
         q.stop()
 

@@ -22,6 +22,40 @@ from pyspark.sql import functions as F
 from ..sources.tables import normalize_events_ts
 
 
+#: Per-process log of micro-batch EXECUTED plans from completed
+#: streaming queries (round-11 verdict item #5 — before this, the 16
+#: stream_* rows were excluded from docs/EXPLAIN.md because "plans
+#: exist only inside an active StreamingQuery"). Every stream driver
+#: appends here after processAllAvailable(), so an audit harness can
+#: run a registered stream query and read what its last micro-batch
+#: actually executed. Entries are (label, plan_string).
+STREAM_PLAN_LOG: list[tuple[str, str]] = []
+
+
+def capture_stream_plan(q, label: str = "stream") -> None:
+    """Record the physical plan of a (finished) StreamingQuery's last
+    incremental execution — explainInternal is the same string
+    StreamingQuery.explain() prints, but returned instead of dumped to
+    the JVM's stdout. Capture must never fail the query it audits."""
+    try:
+        STREAM_PLAN_LOG.append((label, q._jsq.explainInternal(False)))
+    except Exception:
+        pass
+
+
+def capture_batch_plan(batch_df: DataFrame, label: str) -> None:
+    """Record the executed plan of a BATCH frame evaluated inside a
+    foreachBatch sink (the serving scan of stream_serve_topk, the
+    merge of stream_index_append) — the per-batch plans the streaming
+    wrapper's own explain does not show."""
+    try:
+        STREAM_PLAN_LOG.append(
+            (label, batch_df._jdf.queryExecution().executedPlan().toString())
+        )
+    except Exception:
+        pass
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the static events parquet — the standard
     local harness for exercising a streaming plan to completion. In
@@ -94,6 +128,7 @@ def run_stream_to_table(
     )
     try:
         q.processAllAvailable()
+        capture_stream_plan(q, name)
     finally:
         q.stop()
     spark = df.sparkSession
@@ -138,6 +173,7 @@ def run_stream_foreach_batch(df: DataFrame, sink_path: str) -> int:
     q = df.writeStream.outputMode("update").foreachBatch(sink).start()
     try:
         q.processAllAvailable()
+        capture_stream_plan(q, "foreach_batch")
     finally:
         q.stop()
     return n_batches["n"]

@@ -652,3 +652,43 @@ def test_stream_cms_kill_and_resume_no_double_count(spark, tmp_path):
     }
     batch = {(r["d"], r["w"]): r["c"] for r in counters(ev).collect()}
     assert drained == batch
+
+
+def test_stream_enrich_plan_broadcast_and_stateless_join(spark):
+    """Round-11 plan pin: the stream-static enrichment's micro-batch
+    executed plan must broadcast the dimension (BroadcastHashJoin) and
+    hold ZERO join state — a StreamingSymmetricHashJoin appearing here
+    would mean the static side got planned as a stream-stream join and
+    the state store now grows with the dimension."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.streaming.windows import STREAM_PLAN_LOG
+
+    registry.load_all()
+    STREAM_PLAN_LOG.clear()
+    registry.QUERIES["stream_enrich"](spark, SF).collect()
+    plans = [p for _lab, p in STREAM_PLAN_LOG]
+    assert plans, "stream driver captured no plan"
+    joined = "\n".join(plans)
+    assert "BroadcastHashJoin" in joined
+    assert "StreamingSymmetricHashJoin" not in joined
+
+
+def test_stream_serve_topk_plan_partition_filters_per_batch(spark):
+    """Round-11 plan pin: EVERY serving micro-batch's executed plan
+    must prune the materialized index by the batch's probed cells —
+    a literal `cell IN (...)` PartitionFilter on the index scan, per
+    batch, never a full-index scan."""
+    from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.streaming.windows import STREAM_PLAN_LOG
+
+    registry.load_all()
+    STREAM_PLAN_LOG.clear()
+    registry.QUERIES["stream_serve_topk"](spark, SF).collect()
+    batch_plans = [
+        p for lab, p in STREAM_PLAN_LOG if ":batch" in lab
+    ]
+    assert len(batch_plans) >= 2, "expected one plan per micro-batch"
+    for p in batch_plans:
+        assert "PartitionFilters" in p and "cell" in p.split(
+            "PartitionFilters"
+        )[1][:200], p[:500]

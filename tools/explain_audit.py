@@ -16,14 +16,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def audit(name: str, fn, spark, sf_dir: str) -> dict:
-    df = fn(spark, sf_dir)
-    # Execute THIS DataFrame first (collect, not count — count spawns a
-    # different query execution): AQE's pre-execution plan hides
-    # codegen spans (isFinalPlan=false prints no *(n) markers) and
-    # shows FileScans that a materialized cache will replace.
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def parse_plan(name: str, plan: str) -> dict:
+    """Extract the 100 TB-relevant metrics from one physical-plan
+    string — shared by the batch audit below and the streaming audit
+    (tools/stream_explain.py parses micro-batch executed plans with
+    the SAME extraction so the EXPLAIN.md columns mean one thing)."""
     # The finalized adaptive plan prints "+- == Initial Plan ==" after
     # the real one — drop it or every count doubles.
     plan = plan.split("== Initial Plan ==")[0]
@@ -47,6 +44,17 @@ def audit(name: str, fn, spark, sf_dir: str) -> dict:
         "scan_cols": [s[:80] for s in scans],
         "pushed_filters": [p for p in pushed if p],
     }
+
+
+def audit(name: str, fn, spark, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    # Execute THIS DataFrame first (collect, not count — count spawns a
+    # different query execution): AQE's pre-execution plan hides
+    # codegen spans (isFinalPlan=false prints no *(n) markers) and
+    # shows FileScans that a materialized cache will replace.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return parse_plan(name, plan)
 
 
 def main() -> int:

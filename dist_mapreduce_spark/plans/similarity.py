@@ -624,11 +624,18 @@ def gemm_assign_cells(
                 rows.append(a)
             if idx:
                 vmat = _np.stack(rows)          # b×dim
-                scores = vmat @ cmat.T          # the GEMM: b×k
-                scores /= norms                 # dot/|c|, one divide
-                cells[_np.asarray(idx)] = cid_arr[
-                    _np.argmax(scores, axis=1)
-                ]
+                # Block the GEMM so the score matrix stays ~32 MB
+                # regardless of Arrow batch size × k (at K_MAX=4096 a
+                # 10k-row batch would otherwise allocate 327 MB per
+                # task). Same argmax, bounded memory.
+                blk = max(1, (4 << 20) // max(len(cent_rows), 1))
+                out_idx = _np.asarray(idx)
+                for lo in range(0, vmat.shape[0], blk):
+                    scores = vmat[lo:lo + blk] @ cmat.T   # the GEMM
+                    scores /= norms                       # dot/|c|
+                    cells[out_idx[lo:lo + blk]] = cid_arr[
+                        _np.argmax(scores, axis=1)
+                    ]
             out = pdf.copy()
             out["cell"] = cells
             yield out

@@ -276,6 +276,78 @@ def kmeans_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return df.select("vec_id", "q", F.array_min(dists)["cid"].alias("cluster"))
 
 
+def kmeans_assign_gemm(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """kmeans_assign as one int64 numpy GEMM per Arrow batch — and
+    unlike the FLOAT serving assignment (similarity.gemm_assign_cells,
+    which matches the literal path only set-equal because BLAS reorders
+    IEEE additions), this twin is BIT-IDENTICAL BY CONSTRUCTION: the
+    quantized frame and centroids are int64, ||x−c||² expands to
+    ||x||² − 2x·c + ||c||² in exact integer arithmetic (|x·c| ≤
+    64·2^21·2^21 = 2^48, no overflow), the per-row constant ||x||²
+    drops out of the argmin, and numpy int64 matmul has no rounding to
+    reorder. Tie-break: np.argmin's first index = the literal path's
+    lexicographic (d, cid) minimum, centroid index being the cid.
+    Degenerate rows (q NULL / ragged length / NULL element) make EVERY
+    literal distance NULL, so the struct minimum falls to cid 0 —
+    replicated here. Pinned bit-equal by tests/test_gemm_assign.py."""
+    import numpy as _np
+
+    cmat = _np.asarray(centroids, dtype=_np.int64)      # k×dim
+    c2 = (cmat * cmat).sum(axis=1)                       # ||c||², exact
+    dim = cmat.shape[1]
+    # Fresh StructType — StructType.add mutates the frame's cached
+    # schema instance (see similarity.gemm_assign_cells).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("cluster", IntegerType())]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            clusters = _np.zeros(len(pdf), dtype=_np.int32)
+            idx, rows = [], []
+            for i, v in enumerate(pdf["q"]):
+                if v is None:
+                    continue
+                a = _np.asarray(v)
+                if a.shape != (dim,) or a.dtype.kind not in "iu":
+                    # object dtype = a None element rode along; ragged
+                    # lengths NULL every literal distance — both fall
+                    # to cluster 0 like the literal path.
+                    continue
+                idx.append(i)
+                rows.append(a.astype(_np.int64, copy=False))
+            if idx:
+                vmat = _np.stack(rows)                       # b×dim
+                scores = (-2) * (vmat @ cmat.T) + c2          # exact int64
+                clusters[_np.asarray(idx)] = _np.argmin(
+                    scores, axis=1
+                ).astype(_np.int32)
+            out = pdf.copy()
+            out["cluster"] = clusters
+            yield out
+
+    return df.mapInPandas(_assign, out_schema).select(
+        "vec_id", "q", "cluster"
+    )
+
+
+def _assign_dispatch(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """The trainer's assignment stage under the global assignment-mode
+    switch (SPARK_GRAFT_ASSIGN): literal generated expression by
+    default, the bit-identical int64 GEMM under 'gemm' — per Lloyd's
+    round this is the O(S·k·dim) term, the trainer's dominant cost at
+    stress-scale k."""
+    from dist_mapreduce_spark.plans.similarity import assign_mode
+
+    if assign_mode() == "gemm":
+        return kmeans_assign_gemm(df, centroids)
+    return kmeans_assign(df, centroids)
+
+
 def train_kmeans_centroids(
     spark: SparkSession, sf_dir: str
 ) -> list[list[int]]:
@@ -304,7 +376,7 @@ def train_kmeans_centroids_df(emb, k: int) -> list[list[int]]:
     if k_eff == 0:
         return []
     for _ in range(N_ITER):
-        assigned = kmeans_assign(emb, centroids)
+        assigned = _assign_dispatch(emb, centroids)
         new_rows = (
             assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
             .groupBy("cluster", "dim")
@@ -362,7 +434,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster int, n_vectors bigint, centroid_sum bigint,"
             " centroid_norm2 bigint",
         )
-    final = kmeans_assign(emb, centroids)
+    final = _assign_dispatch(emb, centroids)
     sizes = final.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
     sum_lit = F.array(*[F.lit(sum(c)).cast("long") for c in centroids])
     norm2_lit = F.array(

@@ -58,7 +58,7 @@ from dist_mapreduce_spark.plans.ann_index import (
 from dist_mapreduce_spark.plans.iterative import (
     KMEANS_SCALE,
     N_ITER,
-    kmeans_assign,
+    _assign_dispatch,
     kmeans_dist_duck,
     kmeans_quantized,
     kmeans_train_ctes,
@@ -133,7 +133,7 @@ def build_trained_index(
     key = _corpus_fingerprint(sf_dir)
     if _BUILT.get(path) == key and os.path.isdir(path):
         return path, centroids
-    cells = kmeans_assign(kmeans_quantized(spark, sf_dir), centroids).select(
+    cells = _assign_dispatch(kmeans_quantized(spark, sf_dir), centroids).select(
         "vec_id", F.col("cluster").alias("cell")
     )
     emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())

@@ -149,3 +149,72 @@ def test_gemm_preserves_extra_columns(spark):
         for r in out.collect()
     }
     assert got == {(1, 10, 0), (2, 20, 1)}
+
+
+def test_kmeans_gemm_assignment_bit_identical(spark):
+    """The trainer's int64 GEMM twin is BIT-IDENTICAL (not merely
+    set-equal): exact integer arithmetic has no accumulation order to
+    disagree about. Pin (a) per-row cluster equality of one assignment
+    pass including degenerate rows, and (b) the trained centroids of a
+    full 5-round run being list-equal under both modes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.iterative import (
+        kmeans_assign,
+        kmeans_assign_gemm,
+        train_kmeans_centroids_df,
+    )
+    from dist_mapreduce_spark.plans.similarity import ASSIGN_MODE_ENV
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * (1 << 20)).cast("long"),
+            ).alias("q"),
+        )
+    )
+    cents = [
+        [int(x) for x in r["q"]]
+        for r in emb.orderBy("vec_id").limit(13).collect()
+    ]
+    lit = {
+        int(r["vec_id"]): int(r["cluster"])
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    gem = {
+        int(r["vec_id"]): int(r["cluster"])
+        for r in kmeans_assign_gemm(emb, cents).collect()
+    }
+    assert lit == gem
+
+    # Degenerate rows: NULL q, ragged, NULL element -> cluster 0 both.
+    dg = spark.createDataFrame(
+        [(1, None), (2, [1, 2]), (3, [None] + [0] * 63)],
+        "vec_id long, q array<long>",
+    )
+    c2 = [[5] * 64, [0] * 64]
+    lit2 = {
+        int(r["vec_id"]): int(r["cluster"])
+        for r in kmeans_assign(dg, c2).collect()
+    }
+    gem2 = {
+        int(r["vec_id"]): int(r["cluster"])
+        for r in kmeans_assign_gemm(dg, c2).collect()
+    }
+    assert lit2 == gem2 == {1: 0, 2: 0, 3: 0}
+
+    # Full training run: centroids list-equal under both modes.
+    want = train_kmeans_centroids_df(emb, 13)
+    os.environ[ASSIGN_MODE_ENV] = "gemm"
+    try:
+        got = train_kmeans_centroids_df(emb, 13)
+    finally:
+        os.environ.pop(ASSIGN_MODE_ENV, None)
+    assert got == want

@@ -1162,6 +1162,62 @@ def q_dense_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dense_index_compact",
+    oracle=(
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_trained_ctes()}"
+        f" SELECT CAST(cell AS BIGINT) AS cell,"
+        f"  CAST(count(*) AS BIGINT) AS n_vecs,"
+        f"  CAST(sum(CAST(vec_id AS HUGEINT)) % {_DENSE_CHECKSUM_MOD}"
+        f"   AS BIGINT) AS id_sum,"
+        f"  min(vec_id) AS min_id, max(vec_id) AS max_id,"
+        f"  CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS dim_sum"
+        f" FROM cells GROUP BY cell"
+    ),
+)
+def q_dense_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-index lifecycle: COMPACTION — completes the dense index's
+    build/append/serve set with the maintenance op an append-heavy RAG
+    ingest needs (round-11; sim_index_compact's machinery applied to
+    the chunk index). The incremental layout is naturally fragmented —
+    the base write emits one file per (task, cell) and every append
+    batch adds more — so this row compacts every cell directory above
+    the fragment threshold to ONE file (staged write + per-directory
+    swap, cool cells untouched) and audits the result from the
+    READ-BACK files against the FULL-REBUILD oracle: compaction must
+    change bytes-on-disk layout and nothing else.
+
+    Scale shape: fragment census is an os.listdir sweep (no data
+    read); the rewrite reads only hot-cell rows, hash-repartitioned on
+    cell so each emits exactly one file; the audit is one narrow
+    aggregate."""
+    from dist_mapreduce_spark.plans.ann_index import compact_index_cells
+
+    path, cent_rows, _n = build_dense_index_incr(spark, sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    compact_index_cells(spark, path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0)))"
+                f" % {_DENSE_CHECKSUM_MOD} AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )
+
+
 @query("search_dense_maxp_appended", oracle=_dense_pruned_oracle())
 def q_search_dense_maxp_appended(
     spark: SparkSession, sf_dir: str

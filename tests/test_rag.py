@@ -321,3 +321,35 @@ def test_dense_mmr_first_pick_is_pruned_top1(spark):
         assert steps[1]["doc_id"] == top1[qid], (qid, steps[1])
         ids = [s["doc_id"] for s in steps.values()]
         assert len(set(ids)) == len(ids), ids
+
+
+def test_dense_compact_reduces_fragments_and_preserves_content(spark):
+    """Round-11 dense compaction: after dense_index_compact every cell
+    directory sits at or under the fragment threshold (hot cells
+    rewritten to ONE file), and the per-cell stats equal the appended
+    index's — layout changed, content did not."""
+    from dist_mapreduce_spark.plans.ann_index import (
+        COMPACT_MIN_FILES,
+        _cell_fragments,
+    )
+    from dist_mapreduce_spark.plans.rag import (
+        build_dense_index_incr,
+        q_dense_index_append,
+        q_dense_index_compact,
+    )
+
+    sf = SF_SMOKE
+    before = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"]))
+        for r in q_dense_index_append(spark, sf).collect()
+    }
+    after = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"]))
+        for r in q_dense_index_compact(spark, sf).collect()
+    }
+    assert before == after
+    path, cent_rows, _n = build_dense_index_incr(spark, sf)
+    assert cent_rows
+    frags = _cell_fragments(path)
+    assert frags, "no cell directories found"
+    assert all(n <= COMPACT_MIN_FILES for n in frags.values()), frags

@@ -863,9 +863,20 @@ def _dense_chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents parquet arrives as few splits — without the spread, one
     task encodes the whole corpus (observed pinning a single core for
     minutes at the 20× stress; ivf_cells_df's discipline)."""
+    return _dense_chunk_vectors_from_docs(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+
+
+def _dense_chunk_vectors_from_docs(
+    spark: SparkSession, docs: DataFrame
+) -> DataFrame:
+    """The chunk-vector pipeline over an arbitrary (doc_id, text)
+    frame — the round-11 lifecycle ops feed it edited/sliced document
+    sets (upsert batches) while the full corpus keeps the one-arg
+    entry point above."""
     d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        docs.filter(F.col("text").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = ta.ws_tokens(F.col("text"))
@@ -1231,6 +1242,269 @@ def q_search_dense_maxp_appended(
     materialized — appends never change what a query retrieves."""
     path, cent_rows, n_chunks = build_dense_index_incr(spark, sf_dir)
     return _serve_dense_pruned(spark, sf_dir, path, cent_rows, n_chunks)
+
+
+# -------- dense-index delete (takedown) + upsert (edit) — round 11
+
+#: Deterministic takedown batch: ~1.3% of documents by doc_id. A RAG
+#: index is the artifact takedown/GDPR requests actually hit — every
+#: chunk of a removed document must leave the cell directories.
+DENSE_DELETE_MOD, DENSE_DELETE_REM = 79, 2
+
+#: Deterministic edited batch (~1%): the document's text gains a
+#: 5-token suffix, so its chunk COUNT can change — the upsert is a
+#: cross-cardinality rewrite (delete n old chunks, insert m new ones),
+#: not a 1:1 swap.
+DENSE_UPSERT_MOD, DENSE_UPSERT_REM = 97, 11
+DENSE_EDIT_SUFFIX = " edited edited edited edited edited"
+
+_DENSE_DEL_DOC_PRED = f"(doc_id % {DENSE_DELETE_MOD}) = {DENSE_DELETE_REM}"
+_DENSE_UPS_DOC_PRED = f"(doc_id % {DENSE_UPSERT_MOD}) = {DENSE_UPSERT_REM}"
+
+#: The trained chain with ONLY the assignment source filtered to the
+#: surviving chunks (the quantizer stays frozen on the full corpus —
+#: standard delete semantics; _CELLS_CTE_AFTER_DELETE's surgery
+#: applied to the cemb-sourced chain). doc_id recovers from the
+#: vec_id packing.
+def _dense_trained_ctes_after_delete() -> str:
+    src = _dense_trained_ctes()
+    out = src.replace(
+        "FROM cemb e, cent c",
+        f"FROM (SELECT * FROM cemb WHERE NOT"
+        f" ((vec_id // {DENSE_VID_MOD}) % {DENSE_DELETE_MOD})"
+        f" = {DENSE_DELETE_REM}) e, cent c",
+    )
+    assert out != src, "dense assignment CTE not found for delete swap"
+    return out
+
+
+def _dense_edited_chunk_ctes() -> str:
+    """A SECOND chunk chain (t2/ck2/cemb2) over the EDITED documents —
+    only the upsert batch, with the suffix applied — feeding the
+    frozen-quantizer assignment of the new chunk vectors."""
+    ev = _dense_embed_duck("array_to_string(ch, ' ')")
+    return (
+        f"t2 AS (SELECT doc_id,"
+        f"  list_filter(string_split_regex(text || '{DENSE_EDIT_SUFFIX}',"
+        f"   '{_D_WS}+'), w -> w <> '') AS toks"
+        f" FROM documents WHERE text IS NOT NULL"
+        f"  AND {_DENSE_UPS_DOC_PRED}),"
+        f" ck2 AS (SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT)"
+        f"   AS chunk_id,"
+        f"   toks[(s + 1):least(s + {CHUNK_SIZE}, len(toks))] AS ch"
+        f"  FROM t2, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS u(s)),"
+        f" cemb2 AS MATERIALIZED (SELECT"
+        f"   doc_id * {DENSE_VID_MOD} + chunk_id AS vec_id,"
+        f"   {ev} AS embedding"
+        f"  FROM ck2 WHERE len(ch) >= 1)"
+    )
+
+
+def _dense_ups_assign_ctes() -> str:
+    """Frozen-quantizer assignment of the POST-UPSERT chunk corpus
+    (untouched documents' chunks ∪ the edited batch's re-encoded
+    chunks) — _IVF_ASSIGN_CTES' exact shape under fresh CTE names so
+    it can sit NEXT TO the training chain's own sc/rkd/cells."""
+    from dist_mapreduce_spark.functions.vectors import _dot_duckdb
+
+    return (
+        f"cu AS (SELECT vec_id, embedding FROM cemb"
+        f"  WHERE NOT ((vec_id // {DENSE_VID_MOD}) % {DENSE_UPSERT_MOD})"
+        f"  = {DENSE_UPSERT_REM}"
+        f" UNION ALL SELECT vec_id, embedding FROM cemb2),"
+        f" usc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
+        f"  ({_dot_duckdb('e.embedding', 'c.cvec')}"
+        f"   / sqrt({_dot_duckdb('c.cvec', 'c.cvec')})) AS cscore"
+        f"  FROM cu e, cent c),"
+        f" urkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        f"  ORDER BY cscore DESC, cent_id) AS crk FROM usc),"
+        f" ucells AS (SELECT vec_id, embedding, cent_id AS cell"
+        f"  FROM urkd WHERE crk = 1)"
+    )
+
+
+def _dense_cell_stats_sql(cells: str) -> str:
+    return (
+        f" SELECT CAST(cell AS BIGINT) AS cell,"
+        f"  CAST(count(*) AS BIGINT) AS n_vecs,"
+        f"  CAST(sum(CAST(vec_id AS HUGEINT)) % {_DENSE_CHECKSUM_MOD}"
+        f"   AS BIGINT) AS id_sum,"
+        f"  min(vec_id) AS min_id, max(vec_id) AS max_id,"
+        f"  CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS dim_sum"
+        f" FROM {cells} GROUP BY cell"
+    )
+
+
+_DENSE_STATS_SCHEMA = (
+    "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+    " max_id bigint, dim_sum bigint"
+)
+
+
+def _dense_cell_stats(back: DataFrame) -> DataFrame:
+    return back.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr(
+            f"CAST(sum(CAST(vec_id AS DECIMAL(38,0)))"
+            f" % {_DENSE_CHECKSUM_MOD} AS BIGINT)"
+        ).alias("id_sum"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+    )
+
+
+@query(
+    "dense_index_delete",
+    oracle=(
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_trained_ctes_after_delete()}"
+        + _dense_cell_stats_sql("cells")
+    ),
+)
+def q_dense_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-index lifecycle: TAKEDOWN DELETES — the request class a
+    RAG index actually receives (GDPR/DMCA: remove document X and
+    every span of it). The tombstone batch's chunks are assigned with
+    the frozen quantizer (a pure map over ~1% of documents' chunks),
+    ONLY the affected cell directories are rewritten (filter-out +
+    per-directory swap — sim_index_delete's staged commit), and the
+    read-back audit must equal a FULL REBUILD of the surviving corpus
+    under the frozen quantizer (oracle: the trained chain with only
+    the assignment source filtered). Rewrite cost ∝ rows in touched
+    cells; untouched cells are never read."""
+    import os
+    import shutil
+
+    from dist_mapreduce_spark.plans.ann_index import _index_dir
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+
+    cv = _dense_chunk_vectors(spark, sf_dir)
+    cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    if not cent_rows:
+        return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
+    path = _index_dir("dense_index_del", sf_dir)
+    cols = ["vec_id", "doc_id", "chunk_id", "embedding", "cell"]
+    # Fresh full build each run (the demo needs a pre-delete index).
+    assign_cells(spark, cv, cent_rows).select(*cols).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    is_del = F.expr(_DENSE_DEL_DOC_PRED)
+    del_cells = sorted(
+        int(r["cell"])
+        for r in assign_cells(spark, cv.filter(is_del), cent_rows)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if del_cells:
+        stage = _index_dir("dense_index_del_stage", sf_dir)
+        shutil.rmtree(stage, ignore_errors=True)
+        affected = spark.read.parquet(path).filter(
+            F.col("cell").isin(del_cells)
+        )
+        survivors = affected.filter(~F.expr(_DENSE_DEL_DOC_PRED))
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(stage)
+        for c in del_cells:
+            dst = os.path.join(path, f"cell={c}")
+            src = os.path.join(stage, f"cell={c}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+    return _dense_cell_stats(spark.read.parquet(path))
+
+
+@query(
+    "dense_index_upsert",
+    oracle=(
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_trained_ctes()},"
+        f" {_dense_edited_chunk_ctes()},"
+        f" {_dense_ups_assign_ctes()}"
+        + _dense_cell_stats_sql("ucells")
+    ),
+)
+def q_dense_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-index lifecycle: UPSERTS of EDITED DOCUMENTS — the other
+    daily RAG mutation: a document's text changes, so its chunking
+    changes, so its chunk COUNT can change (the edit suffix adds five
+    tokens — a document sitting just under a stride boundary gains a
+    chunk). The upsert is therefore delete-n-insert-m across cells:
+    the old chunks' cells ∪ the re-encoded chunks' cells are rewritten
+    (old rows filtered out, new rows unioned in, per-directory swap),
+    everything else untouched — and the read-back audit must equal a
+    FULL REBUILD of the post-edit corpus under the FROZEN quantizer
+    (oracle: the original training chain + a second chunk chain over
+    the edited batch + the frozen assignment of their union). This is
+    the cross-cardinality case sim_index_upsert (1:1 vector swap)
+    cannot exercise."""
+    import os
+    import shutil
+
+    from dist_mapreduce_spark.plans.ann_index import _index_dir
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+
+    cv = _dense_chunk_vectors(spark, sf_dir)
+    cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    if not cent_rows:
+        return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
+    path = _index_dir("dense_index_ups", sf_dir)
+    cols = ["vec_id", "doc_id", "chunk_id", "embedding", "cell"]
+    # Fresh full build each run (pre-upsert state).
+    assign_cells(spark, cv, cent_rows).select(*cols).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    is_ups = F.expr(_DENSE_UPS_DOC_PRED)
+    # Re-chunk + re-encode ONLY the edited batch, from the edited text.
+    edited_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_ups)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(DENSE_EDIT_SUFFIX)).alias("text"),
+        )
+    )
+    new_cv = _dense_chunk_vectors_from_docs(spark, edited_docs)
+    new_assigned = assign_cells(spark, new_cv, cent_rows).select(*cols)
+    old_cells = {
+        int(r["cell"])
+        for r in assign_cells(spark, cv.filter(is_ups), cent_rows)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    new_cells = {
+        int(r["cell"])
+        for r in new_assigned.select("cell").distinct().collect()
+    }
+    ups_cells = sorted(old_cells | new_cells)
+    if ups_cells:
+        stage = _index_dir("dense_index_ups_stage", sf_dir)
+        shutil.rmtree(stage, ignore_errors=True)
+        affected = spark.read.parquet(path).filter(
+            F.col("cell").isin(ups_cells)
+        )
+        merged = affected.filter(~F.expr(_DENSE_UPS_DOC_PRED)).unionByName(
+            new_assigned.filter(F.col("cell").isin(ups_cells)).select(
+                *affected.columns
+            )
+        )
+        merged.write.mode("overwrite").partitionBy("cell").parquet(stage)
+        for c in ups_cells:
+            dst = os.path.join(path, f"cell={c}")
+            src = os.path.join(stage, f"cell={c}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+    return _dense_cell_stats(spark.read.parquet(path))
 
 
 def _dense_recall_oracle() -> str:

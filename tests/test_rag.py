@@ -353,3 +353,80 @@ def test_dense_compact_reduces_fragments_and_preserves_content(spark):
     frags = _cell_fragments(path)
     assert frags, "no cell directories found"
     assert all(n <= COMPACT_MIN_FILES for n in frags.values()), frags
+
+
+def test_dense_upsert_changes_chunk_cardinality(spark, tmp_path):
+    """The dense upsert is delete-n-insert-m, NOT a 1:1 swap: a
+    30-token document in the upsert batch (doc_id % 97 == 11) gains a
+    chunk from the 5-token edit suffix (30 tokens → 2 chunks;
+    35 → 3), so the post-upsert index holds one MORE vector than the
+    pre-upsert build — pinned here on a constructed corpus, with the
+    oracle-level equality to a full rebuild held by the gate row."""
+    import os
+
+    from pyspark.sql import functions as G
+
+    from dist_mapreduce_spark.plans.rag import (
+        _dense_chunk_vectors,
+        q_dense_index_upsert,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+
+    rows = [(11, " ".join(f"w{j}" for j in range(30)), "en", "webA")]
+    for i in range(2, 30):  # none of these hit i % 97 == 11
+        rows.append((i * 100, " ".join(f"t{i}_{j}" for j in range(40)),
+                     "en", "webA"))
+    sfdir = str(tmp_path / "upsx")
+    os.makedirs(sfdir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(sfdir + "/documents.parquet")
+
+    cv = _dense_chunk_vectors(spark, sfdir)
+    n_before = cv.count()
+    out = q_dense_index_upsert(spark, sfdir)
+    n_after = sum(int(r["n_vecs"]) for r in out.collect())
+    assert n_after == n_before + 1
+
+    # And the audited index equals an independent frozen-quantizer
+    # assignment of the post-edit corpus, vector for vector.
+    cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    post = _dense_chunk_vectors(spark, sfdir).filter(
+        G.col("doc_id") % 97 != 11
+    )
+    from dist_mapreduce_spark.plans.rag import (
+        DENSE_EDIT_SUFFIX,
+        _dense_chunk_vectors_from_docs,
+    )
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    edited = _dense_chunk_vectors_from_docs(
+        spark,
+        load_table(spark, sfdir, "documents")
+        .filter(G.col("doc_id") % 97 == 11)
+        .select(
+            "doc_id",
+            G.concat(G.col("text"), G.lit(DENSE_EDIT_SUFFIX)).alias("text"),
+        ),
+    )
+    want = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in assign_cells(
+            spark, post.unionByName(edited), cent_rows, mode="literal"
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    got_rows = spark.read.parquet(
+        __import__(
+            "dist_mapreduce_spark.plans.ann_index", fromlist=["_index_dir"]
+        )._index_dir("dense_index_ups", sfdir)
+    )
+    got = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in got_rows.select("vec_id", "cell").collect()
+    }
+    assert got == want

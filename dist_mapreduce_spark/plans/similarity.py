@@ -573,6 +573,13 @@ def gemm_assign_cells(
     - degenerate rows (NULL vector, ragged length, NULL/NaN element):
       every dot folds to NULL in the literal path, so ALL centroids
       tie and the smallest cent_id wins — replicated here verbatim.
+      A ±inf ELEMENT is also routed to this min-cent_id branch (the
+      isfinite guard), which the literal path does NOT exactly share
+      (inf·0 = NaN for some centroids, ±inf for others, so it can
+      rank a real winner): embeddings with infinities are outside
+      this path's contract — no gate corpus or fixture produces one,
+      and the embedding_audit ingest gate exists to reject them
+      upstream.
     - a zero-norm CENTROID makes the literal path's dot/|c| abort
       under ANSI (DIVIDE_BY_ZERO), so this path raises ValueError up
       front rather than inventing semantics the default path lacks.

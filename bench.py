@@ -106,18 +106,21 @@ STRESS20 = [
 
 
 def _run_stress20() -> list | None:
-    """`bench.py --stress20`: run the stress subset at 20× of sf0.1
-    through tools/stress.py (its replication + timing protocol) and
-    return [(label, rows, sec), ...] in run order."""
+    """`bench.py --stress20`: run the stress subset at 20× of the
+    bench corpus (SPARK_GRAFT_SF_DIR, the same env var every other
+    bench path honors; default sf0.1) through tools/stress.py (its
+    replication + timing protocol) and return [(label, rows, sec),
+    ...] in run order."""
     import re
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cmd = [
         sys.executable,
         os.path.join(repo, "tools", "stress.py"),
         "20",
-        "/root/testdata/sf0.1",
+        base,
         *STRESS20,
     ]
     try:

@@ -84,14 +84,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-#: One materialization of the blocked-residency frame per (corpus,
-#: quantizer) epoch (round-11 verdict item #6): the build, the
+#: One materialization of the blocked-residency frame per (session,
+#: corpus, quantizer) epoch (round-11 verdict item #6): the build, the
 #: NN-Descent refine, and the candidate monitor all consume `res`, and
 #: before this memo the monitor RE-DERIVED the whole chain (explode +
 #: rank window + sub-split union — the heaviest audit row in
 #: EXPLAIN.md at 31 shuffles). localCheckpoint truncates the lineage
 #: so every consumer reads the one checkpointed frame instead.
-_RES_MEMO: dict = {}
+#: Round 12 (ADVICE): keyed additionally on the SparkSession's
+#: applicationId — a memo hit after a session restart would hand back
+#: frames bound to a dead session — and capped at _RES_MEMO_CAP
+#: entries with FIFO eviction (checkpointed RDD blocks are otherwise
+#: pinned for the process lifetime across every corpus/scale visited);
+#: evicted frames are unpersisted best-effort.
+from collections import OrderedDict as _OrderedDict
+
+_RES_MEMO: "_OrderedDict" = _OrderedDict()
+_RES_MEMO_CAP = 4
 
 
 def knn_res_frame(
@@ -111,6 +120,7 @@ def knn_res_frame(
     from dist_mapreduce_spark.plans.similarity import _frame_fingerprint
 
     key = (
+        spark.sparkContext.applicationId,
         _frame_fingerprint(emb),
         tuple((cid, tuple(cv)) for cid, cv in cent_rows),
     )
@@ -168,6 +178,13 @@ def knn_res_frame(
         rsplit.localCheckpoint(eager=False),
     )
     _RES_MEMO[key] = out
+    while len(_RES_MEMO) > _RES_MEMO_CAP:
+        _k, evicted = _RES_MEMO.popitem(last=False)
+        for frame in evicted:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # dead session / already freed — eviction is best-effort
     return out
 
 

@@ -573,13 +573,14 @@ def gemm_assign_cells(
     - degenerate rows (NULL vector, ragged length, NULL/NaN element):
       every dot folds to NULL in the literal path, so ALL centroids
       tie and the smallest cent_id wins — replicated here verbatim.
-      A ±inf ELEMENT is also routed to this min-cent_id branch (the
-      isfinite guard), which the literal path does NOT exactly share
-      (inf·0 = NaN for some centroids, ±inf for others, so it can
-      rank a real winner): embeddings with infinities are outside
-      this path's contract — no gate corpus or fixture produces one,
-      and the embedding_audit ingest gate exists to reject them
-      upstream.
+      A ±inf ELEMENT raises ValueError (round-12): the literal path
+      does NOT share the min-cent_id routing there (inf·0 = NaN for
+      some centroids, ±inf for others, so it can rank a real winner),
+      so rather than silently misplacing such vectors this path
+      refuses them loudly — embeddings with infinities are outside
+      the contract, and the embedding_audit ingest gate is the
+      upstream fix (the contract is now self-enforcing instead of
+      trusted).
     - a zero-norm CENTROID makes the literal path's dot/|c| abort
       under ANSI (DIVIDE_BY_ZERO), so this path raises ValueError up
       front rather than inventing semantics the default path lacks.
@@ -592,10 +593,15 @@ def gemm_assign_cells(
     if not cent_rows:
         raise ValueError("gemm_assign_cells: no centroids")
     cids = [cid for cid, _ in cent_rows]
-    assert cids == sorted(cids), (
-        "cent_rows must be cent_id-sorted: first-index argmax is the"
-        " min-cent_id tiebreak only in sorted order"
-    )
+    # Explicit raise, not assert: this guard protects tie CORRECTNESS
+    # (first-index argmax == min-cent_id only in sorted order) and
+    # must survive `python -O`.
+    if cids != sorted(cids):
+        raise ValueError(
+            "gemm_assign_cells: cent_rows must be cent_id-sorted —"
+            " first-index argmax is the min-cent_id tiebreak only in"
+            " sorted order"
+        )
     dim = len(cent_rows[0][1])
     cmat = _np.asarray([cv for _, cv in cent_rows], dtype=_np.float64)
     norms = _np.sqrt((cmat * cmat).sum(axis=1))
@@ -625,7 +631,25 @@ def gemm_assign_cells(
                 if v is None:
                     continue
                 a = _np.asarray(v, dtype=_np.float64)
-                if a.shape != (dim,) or not _np.isfinite(a).all():
+                if a.shape != (dim,):
+                    continue
+                if not _np.isfinite(a).all():
+                    # NULL elements arrive as NaN through the float64
+                    # conversion; NaN folds the literal dot to NULL →
+                    # min-cent_id, replicated by skipping the GEMM.
+                    # ±inf is DIFFERENT: the literal path can rank a
+                    # real winner there, so fail loudly instead of
+                    # silently diverging (the documented contract,
+                    # now enforced inline).
+                    if _np.isinf(a).any():
+                        raise ValueError(
+                            "gemm_assign_cells: embedding with a ±inf"
+                            " element — outside the GEMM path's"
+                            " contract (the literal path can rank a"
+                            " real winner here); reject such rows"
+                            " upstream (embedding_audit) before"
+                            " assignment"
+                        )
                     continue
                 idx.append(i)
                 rows.append(a)

@@ -100,6 +100,31 @@ def test_gemm_degenerate_rows_match_literal(spark):
     assert lit[1] == 3 and lit[6] == 9
 
 
+def test_gemm_inf_element_raises_literal_unchanged(spark):
+    """Round-12 (verdict item #2): a ±inf embedding ELEMENT is the one
+    degenerate shape where the literal path can rank a real winner
+    while the old GEMM guard silently routed to min-cent_id — the GEMM
+    path must now refuse LOUDLY, and the literal path's behavior must
+    be unchanged (it still assigns a cell without raising)."""
+    from dist_mapreduce_spark.plans.similarity import assign_cells
+
+    cents = [(3, [1.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0])]
+    rows = [(1, [0.9, 0.1, 0.0]), (2, [float("inf"), 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # Literal mode: no error; the inf row ranks a real winner (dot with
+    # cid 3 = +inf beats cid 7's finite score).
+    lit = _cells_map(
+        assign_cells(spark, df, cents, mode="literal").select(
+            "vec_id", "cell"
+        )
+    )
+    assert lit[1] == 3 and lit[2] == 3
+    # GEMM mode: the contract is enforced inline — loud failure, never
+    # a silent misplacement.
+    with pytest.raises(Exception, match="inf"):
+        assign_cells(spark, df, cents, mode="gemm").collect()
+
+
 def test_gemm_zero_norm_centroid_raises(spark):
     """The literal path aborts (ANSI DIVIDE_BY_ZERO) on a zero-norm
     centroid; the GEMM path must refuse up front, not invent a cell."""

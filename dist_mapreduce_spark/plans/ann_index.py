@@ -1487,6 +1487,30 @@ def q_sim_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_fresh, _n2 = trained_quantizer(ups)
     if not cent_fresh:
         return empty
+    return staleness_decision_df(spark, ups, cent_frozen, cent_fresh, _n2)
+
+
+def staleness_decision_df(
+    spark: SparkSession,
+    ups: DataFrame,
+    cent_frozen: list,
+    cent_fresh: list,
+    n2: int,
+) -> DataFrame:
+    """The quantizer-staleness statistic over ANY (vec_id, embedding)
+    post-churn corpus `ups`, given the frozen and freshly-trained
+    centroid sets — factored out of sim_index_staleness (round 12) so
+    the dense chunk index's monitor runs the IDENTICAL exact-integer
+    machinery (rag.q_dense_index_staleness). One row: (n_vecs,
+    wss_frozen_mean, wss_fresh_mean, stale_ppm, moved_ppm, decision).
+    `n2` is the post-churn corpus count (the fresh trainer's sample
+    stride input)."""
+    from dist_mapreduce_spark.plans.iterative import (
+        KMEANS_SCALE,
+        kmeans_quantize_col,
+        kmeans_sqdist,
+    )
+
     # Exact integer centroids (float = int / 2^20 is exact, so the
     # product round-trips bit-perfectly — codebook_select's recovery).
     fro_ints = {
@@ -1506,7 +1530,7 @@ def q_sim_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The statistic runs on the fresh TRAINER'S SAMPLE (the oracle's
     # fe frame — stride 1 = everything at gate scales; round 10).
     q = cells.filter(
-        F.expr(train_sample_pred_spark(train_sample_stride(_n2)))
+        F.expr(train_sample_pred_spark(train_sample_stride(n2)))
     ).select("vec_id", "cell", kmeans_quantize_col().alias("q"))
     fcells = ivf_cells_df(
         spark, upsnn, ivf_ranked_cells_sql(cent_fresh), cent_fresh

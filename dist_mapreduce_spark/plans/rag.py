@@ -1300,18 +1300,26 @@ def _dense_edited_chunk_ctes() -> str:
     )
 
 
+#: The post-upsert chunk corpus (untouched documents' chunks ∪ the
+#: edited batch's re-encoded chunks) — shared by the upsert audit, the
+#: staleness monitor, and the retrain rows. MATERIALIZED: the fresh
+#: training chain references it 2 + 5·2 times.
+_DENSE_CU_CTE = (
+    f"cu AS MATERIALIZED (SELECT vec_id, embedding FROM cemb"
+    f"  WHERE NOT ((vec_id // {DENSE_VID_MOD}) % {DENSE_UPSERT_MOD})"
+    f"  = {DENSE_UPSERT_REM}"
+    f" UNION ALL SELECT vec_id, embedding FROM cemb2)"
+)
+
+
 def _dense_ups_assign_ctes() -> str:
-    """Frozen-quantizer assignment of the POST-UPSERT chunk corpus
-    (untouched documents' chunks ∪ the edited batch's re-encoded
-    chunks) — _IVF_ASSIGN_CTES' exact shape under fresh CTE names so
-    it can sit NEXT TO the training chain's own sc/rkd/cells."""
+    """Frozen-quantizer assignment of the POST-UPSERT chunk corpus —
+    _IVF_ASSIGN_CTES' exact shape under fresh CTE names so it can sit
+    NEXT TO the training chain's own sc/rkd/cells."""
     from dist_mapreduce_spark.functions.vectors import _dot_duckdb
 
     return (
-        f"cu AS (SELECT vec_id, embedding FROM cemb"
-        f"  WHERE NOT ((vec_id // {DENSE_VID_MOD}) % {DENSE_UPSERT_MOD})"
-        f"  = {DENSE_UPSERT_REM}"
-        f" UNION ALL SELECT vec_id, embedding FROM cemb2),"
+        _DENSE_CU_CTE + ","
         f" usc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
         f"  ({_dot_duckdb('e.embedding', 'c.cvec')}"
         f"   / sqrt({_dot_duckdb('c.cvec', 'c.cvec')})) AS cscore"
@@ -1505,6 +1513,372 @@ def q_dense_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.move(src, dst)
         shutil.rmtree(stage, ignore_errors=True)
     return _dense_cell_stats(spark.read.parquet(path))
+
+
+# ----- dense-index staleness monitor + retrain (round 12, item #3)
+
+
+def _dense_fresh_rule_ctes() -> str:
+    """nstat/krule/srule re-sourced from the post-upsert chunk corpus
+    cu and f-prefixed, so the fresh chain derives K and the trainer
+    sample stride from TODAY'S chunk count (an edit changes chunk
+    cardinality — unlike the embeddings index's 1:1 upsert, count(cu)
+    ≠ count(cemb) in general)."""
+    from dist_mapreduce_spark.plans.similarity import _TRAINED_RULE_CTES
+
+    out = (
+        _TRAINED_RULE_CTES.replace("FROM embeddings", "FROM cu")
+        .replace("nstat", "fnstat")
+        .replace("krule", "fkrule")
+        .replace("srule", "fsrule")
+    )
+    assert "FROM cu" in out and "FROM embeddings" not in out, (
+        "fresh-rule surgery failed — the rule CTEs no longer scan"
+        " their source the way this replace expects"
+    )
+    return out
+
+
+def _dense_fresh_chain_ctes() -> str:
+    """The ENTIRE fresh chain over the post-upsert chunk corpus:
+    f-rules → f-prefixed Lloyd's training (sampled from fsrule, K from
+    fkrule) → dequantized fcent → the fresh dot/|c| serving assignment
+    of cu (fsc/frkd/fcells). Shared by the staleness oracle (the
+    'what would a retrain buy' arm), the retrain oracle (retrained
+    index == this chain's cells), and the retrained serving oracle."""
+    from dist_mapreduce_spark.functions.vectors import _dot_duckdb
+    from dist_mapreduce_spark.plans.iterative import (
+        KMEANS_SCALE,
+        N_ITER,
+        kmeans_train_ctes,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        _train_sample_pred_duck,
+    )
+
+    fsample = _train_sample_pred_duck().replace("srule", "fsrule")
+    assert fsample != _train_sample_pred_duck()
+    fresh = ", ".join(
+        kmeans_train_ctes(
+            k_sql="(SELECT k FROM fkrule)",
+            null_guard=True,
+            prefix="f",
+            source="cu",
+            extra_where=fsample,
+        )
+    )
+    return (
+        f"{_dense_fresh_rule_ctes()},"
+        f" {fresh},"
+        f" fcent AS MATERIALIZED (SELECT cid AS cent_id,"
+        f"  list_transform(cq, x -> CAST(x AS DOUBLE)"
+        f"   / {float(KMEANS_SCALE)}) AS cvec FROM fc{N_ITER}),"
+        f" fsc AS (SELECT e.vec_id, e.embedding, c.cent_id,"
+        f"  ({_dot_duckdb('e.embedding', 'c.cvec')}"
+        f"   / sqrt({_dot_duckdb('c.cvec', 'c.cvec')})) AS cscore"
+        f"  FROM cu e, fcent c),"
+        f" frkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        f"  ORDER BY cscore DESC, cent_id) AS crk FROM fsc),"
+        f" fcells AS (SELECT vec_id, embedding, cent_id AS cell"
+        f"  FROM frkd WHERE crk = 1)"
+    )
+
+
+def _dense_staleness_oracle() -> str:
+    """sim_index_staleness's exact-integer statistic transplanted onto
+    the dense chunk index: frozen chain (trained on cemb, assignment
+    of cu via ucells) vs fresh chain (trained AND assigned on cu),
+    compared over the fresh trainer's sample (fe) in int64 fixed
+    point."""
+    from dist_mapreduce_spark.plans.ann_index import RETRAIN_STALE_PPM
+    from dist_mapreduce_spark.plans.iterative import (
+        DIM as KDIM,
+        N_ITER,
+        kmeans_dist_duck,
+    )
+
+    d_frozen = kmeans_dist_duck("e.q", "c.cq")
+    d_fresh = kmeans_dist_duck("e.q", "fc.cq")
+    d_gv = kmeans_dist_duck("e.q", "gv2.g")
+    return (
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_trained_ctes()},"
+        f" {_dense_edited_chunk_ctes()},"
+        f" {_dense_ups_assign_ctes()},"
+        f" {_dense_fresh_chain_ctes()},"
+        f" gm2 AS (SELECT j, (s - (((s % n) + n) % n)) // n AS g FROM ("
+        f"  SELECT j, CAST(sum(q[j]) AS BIGINT) AS s,"
+        f"   CAST(count(q[j]) AS BIGINT) AS n"
+        f"  FROM fe CROSS JOIN range(1, {KDIM} + 1) t3(j) GROUP BY j)),"
+        f" gv2 AS (SELECT list(g ORDER BY j) AS g FROM gm2),"
+        f" st2 AS (SELECT CAST(count(*) AS HUGEINT) AS n_vecs,"
+        f"   CAST(sum(CAST({d_frozen} AS HUGEINT)) AS HUGEINT) AS wfro,"
+        f"   CAST(sum(CAST({d_fresh} AS HUGEINT)) AS HUGEINT) AS wfre,"
+        f"   CAST(sum(CAST({d_gv} AS HUGEINT)) AS HUGEINT) AS tss,"
+        f"   CAST(sum(CASE WHEN {d_fresh} < {d_frozen} THEN 1 ELSE 0 END)"
+        f"    AS HUGEINT) AS moved"
+        f"  FROM fe e JOIN ucells ucl ON ucl.vec_id = e.vec_id"
+        f"  JOIN c{N_ITER} c ON c.cid = ucl.cell"
+        f"  JOIN fcells fcl ON fcl.vec_id = e.vec_id"
+        f"  JOIN fc{N_ITER} fc ON fc.cid = fcl.cell CROSS JOIN gv2),"
+        f" outp AS (SELECT CAST(n_vecs AS BIGINT) AS n_vecs,"
+        f"   CAST(wfro // greatest(n_vecs, 1) AS BIGINT)"
+        f"    AS wss_frozen_mean,"
+        f"   CAST(wfre // greatest(n_vecs, 1) AS BIGINT) AS wss_fresh_mean,"
+        f"   CAST(((wfro - wfre) * 1000000) // greatest(tss, 1) AS BIGINT)"
+        f"    AS stale_ppm,"
+        f"   CAST((moved * 1000000) // greatest(n_vecs, 1) AS BIGINT)"
+        f"    AS moved_ppm"
+        f"  FROM st2)"
+        f" SELECT n_vecs, wss_frozen_mean, wss_fresh_mean, stale_ppm,"
+        f"  moved_ppm,"
+        f"  CASE WHEN stale_ppm >= {RETRAIN_STALE_PPM} THEN 'retrain'"
+        f"  ELSE 'keep' END AS decision"
+        f" FROM outp WHERE n_vecs > 0"
+    )
+
+
+def _dense_cu_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-upsert chunk corpus as a (vec_id, doc_id, chunk_id,
+    embedding) frame — the Spark twin of the cu CTE: untouched
+    documents' chunks ∪ the edited batch re-chunked + re-encoded from
+    its post-edit text."""
+    cv = _dense_chunk_vectors(spark, sf_dir)
+    is_ups = F.expr(_DENSE_UPS_DOC_PRED)
+    edited_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_ups & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(DENSE_EDIT_SUFFIX)).alias("text"),
+        )
+    )
+    return cv.filter(~is_ups).unionByName(
+        _dense_chunk_vectors_from_docs(spark, edited_docs)
+    )
+
+
+_DENSE_STALE_SCHEMA = (
+    "n_vecs bigint, wss_frozen_mean bigint, wss_fresh_mean bigint,"
+    " stale_ppm bigint, moved_ppm bigint, decision string"
+)
+
+
+@query("dense_index_staleness", oracle=_dense_staleness_oracle())
+def q_dense_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER STALENESS of the dense chunk index after the upsert
+    cycle — round-12 verdict item #3: the RAG corpus is the one that
+    churns daily (the stated reason the dense lifecycle exists), so it
+    is exactly the index whose frozen quantizer goes stale, yet round
+    11 gave the monitor→retrain loop only to the embeddings index.
+    Same exact-integer statistic (the shared staleness_decision_df —
+    ONE definition of 'stale' across both index families): over the
+    fresh trainer's sample of the post-upsert chunk corpus, wss_frozen
+    sums each chunk vector's int64 squared-L2 to its frozen-ASSIGNED
+    cell's integer centroid, wss_fresh the distance to the cell a
+    FRESH training run on today's chunks would assign (both arms the
+    serving dot/|c| argmax); stale_ppm is the variance a retrain
+    would recover, decision fires at RETRAIN_STALE_PPM. A no-op churn
+    (no documents in the upsert batch) gives fresh == frozen training
+    and stale_ppm EXACTLY 0 (pytest-pinned); a corpus whose edit
+    rewrites every chunk fires it (pytest-pinned).
+
+    Scale shape: two training runs on the trainer's sample + one
+    statistics scan + a 64-row mean pull — strictly cheaper than the
+    rebuild it gates, which is the point of a monitor."""
+    from dist_mapreduce_spark.plans.ann_index import staleness_decision_df
+    from dist_mapreduce_spark.plans.similarity import trained_quantizer
+
+    cv = _dense_chunk_vectors(spark, sf_dir)
+    cent_frozen, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    empty = spark.createDataFrame([], _DENSE_STALE_SCHEMA)
+    if not cent_frozen:
+        return empty
+    cu = _dense_cu_frame(spark, sf_dir).select("vec_id", "embedding")
+    cent_fresh, n2 = trained_quantizer(cu)
+    if not cent_fresh:
+        return empty
+    return staleness_decision_df(spark, cu, cent_frozen, cent_fresh, n2)
+
+
+_DENSE_RETRAINED_BUILT: dict[str, str] = {}
+
+
+def build_dense_retrained_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list, int]:
+    """Execute the retrain the dense staleness monitor recommends:
+    train FRESH centroids on the post-upsert chunk corpus (K and the
+    trainer sample re-derived from today's chunk count), reassign
+    EVERY chunk vector, rewrite the cell directories wholesale.
+    Memoized per documents fingerprint (build_dense_index's
+    convention)."""
+    import os
+
+    from dist_mapreduce_spark.plans.ann_index import _index_dir
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+
+    cu = _dense_cu_frame(spark, sf_dir)
+    cent_fresh, n2 = trained_quantizer(cu.select("vec_id", "embedding"))
+    path = _index_dir("dense_index_retrained", sf_dir)
+    if not cent_fresh:
+        return path, cent_fresh, n2
+    fp = _docs_fingerprint(sf_dir)
+    if _DENSE_RETRAINED_BUILT.get(path) == fp and os.path.isdir(path):
+        return path, cent_fresh, n2
+    (
+        assign_cells(spark, cu, cent_fresh)
+        .select("vec_id", "doc_id", "chunk_id", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    _DENSE_RETRAINED_BUILT[path] = fp
+    return path, cent_fresh, n2
+
+
+@query(
+    "dense_index_retrain",
+    oracle=(
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_edited_chunk_ctes()},"
+        f" {_DENSE_CU_CTE},"
+        f" {_dense_fresh_chain_ctes()}"
+        + _dense_cell_stats_sql("fcells")
+    ),
+)
+def q_dense_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-index lifecycle: RETRAIN — executes the staleness
+    monitor's 'retrain' verdict on the chunk index (round-12 item #3,
+    completing the monitor→retrain→serve symmetry sim_index_retrain
+    gave the embeddings index). Fresh centroids trained on the
+    post-upsert chunk corpus, every chunk reassigned, the cell layout
+    rewritten wholesale, audited from the READ-BACK files. The oracle
+    replays the ENTIRE fresh chain — chunking, the edit re-chunk, K
+    and sample rules re-derived from today's chunk count, all Lloyd's
+    rounds, fresh assignment — so a PASS proves the retrained index is
+    bit-identical to a from-scratch build on today's corpus (the
+    lifecycle proof pattern). Unlike append/delete/upsert this rewrite
+    is intentionally FULL: fresh centroids can move any chunk.
+
+    Scale shape: one training run (sampled), one corpus-linear
+    assignment scan (the GEMM stage under SPARK_GRAFT_ASSIGN=gemm —
+    a retrain is exactly the full-corpus assignment the GEMM exists
+    for), one partitioned write, one narrow read-back aggregate."""
+    path, cent_fresh, _n2 = build_dense_retrained_index(spark, sf_dir)
+    if not cent_fresh:
+        return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
+    return _dense_cell_stats(spark.read.parquet(path))
+
+
+def _dense_retrained_serve_oracle() -> str:
+    """The pruned dense serving oracle with the ENTIRE chain re-sourced
+    from the post-upsert corpus: fresh probe rule (fkeff/fnpr), query
+    rows from cu's frkd, the probed-cell tail over fcells."""
+    from dist_mapreduce_spark.plans.similarity import (
+        NPROBE_BUDGET,
+        NPROBE_MIN,
+    )
+    from dist_mapreduce_spark.plans.iterative import N_ITER
+
+    tail = _dense_pruned_tail("fprobes").replace(
+        "FROM cells cl", "FROM fcells cl"
+    )
+    assert "FROM fcells cl" in tail, "pruned-tail surgery failed"
+    return (
+        f"WITH {_dense_chunk_ctes()},"
+        f" {_dense_edited_chunk_ctes()},"
+        f" {_DENSE_CU_CTE},"
+        f" {_dense_fresh_chain_ctes()},"
+        f" fkeff AS (SELECT CAST(count(*) AS BIGINT) AS ke"
+        f"  FROM fc{N_ITER}),"
+        f" fnpr AS (SELECT least(ke, greatest({NPROBE_MIN},"
+        f"  ({NPROBE_BUDGET} * ke + greatest(n, 1) - 1)"
+        f"   // greatest(n, 1))) AS np FROM fkeff, fnstat),"
+        f" fprobes AS (SELECT vec_id // {DENSE_VID_MOD} AS query_id,"
+        f"   embedding AS qv, cent_id AS pcell FROM frkd"
+        f"  WHERE vec_id < {DENSE_QUERIES * DENSE_VID_MOD}"
+        f"   AND vec_id % {DENSE_VID_MOD} = 0"
+        f"   AND crk <= (SELECT np FROM fnpr)),"
+        f"{tail}"
+        f" SELECT query_id, doc_id, chunk_id, score, rk FROM dtop"
+    )
+
+
+@query("search_dense_maxp_retrained", oracle=_dense_retrained_serve_oracle())
+def q_search_dense_maxp_retrained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pruned dense serving FROM THE RETRAINED CHUNK INDEX — the
+    'serving transitions correctly' half of the dense retrain
+    lifecycle (sim_serve_retrained's twin): the query batch probes the
+    FRESH centroids at the fresh probe rule's depth and scans only its
+    probed cell directories of the retrained layout; the oracle is the
+    pruned serving oracle with the entire chain re-sourced from
+    today's corpus, so a PASS proves monitor → retrain → serve ends in
+    the answers a from-scratch build would give."""
+    from dist_mapreduce_spark.plans.similarity import (
+        ivf_ranked_cells_sql,
+        trained_n_probe,
+    )
+
+    path, cent_fresh, n2 = build_dense_retrained_index(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [],
+        "query_id bigint, doc_id bigint, chunk_id bigint, score double,"
+        " rk int",
+    )
+    if not cent_fresh:
+        return empty
+    cu = _dense_cu_frame(spark, sf_dir)
+    qv = cu.filter(
+        (F.col("doc_id") < DENSE_QUERIES) & (F.col("chunk_id") == 0)
+    ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ranked_q = ivf_ranked_cells_sql(cent_fresh, col="qv")
+    np = trained_n_probe(len(cent_fresh), n2)
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.expr(f"transform(slice({ranked_q}, 1, {np}), x -> x.c)")
+        ).alias("pcell"),
+    )
+    union_cells = sorted(
+        int(r["pcell"]) for r in probes.select("pcell").distinct().collect()
+    )
+    if not union_cells:
+        return empty
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    sc = (
+        scan.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("doc_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .select("query_id", "doc_id", "chunk_id", "score")
+    )
+    wd = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_id")
+    )
+    best = (
+        sc.withColumn("brk", F.row_number().over(wd))
+        .filter(F.col("brk") == 1)
+        .select("query_id", "doc_id", "chunk_id", "score")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        best.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= DENSE_TOPK)
+        .select("query_id", "doc_id", "chunk_id", "score", "rk")
+    )
 
 
 def _dense_recall_oracle() -> str:

@@ -674,6 +674,101 @@ def gemm_assign_cells(
     return df.mapInPandas(_assign, out_schema)
 
 
+def gemm_rank_cells(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    r: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``rcells`` (the TOP-``r`` centroid ids by dot/|c| DESC,
+    cent_id ASC — i.e. the first r entries of the literal path's
+    array_sort'ed ranked-cells array) to every row of ``df``, scores
+    computed as one numpy GEMM per Arrow batch. gemm_assign_cells is
+    the r=1 special case; this is the RESIDENCY assignment the kNN
+    graph build needs (round-12 verdict item #1 — the build explodes
+    each vector to its KNN_RESIDENCY nearest cells, which before this
+    ran the full O(N·k·dim) literal ranked expression).
+
+    Same exact-semantics contract as gemm_assign_cells, extended to
+    the prefix: valid rows take the stable argsort of the GEMM scores
+    (stable = cid-ascending tiebreak, cent_rows being cid-sorted);
+    degenerate rows (NULL/ragged/NaN) fold every literal score to
+    NULL so ALL centroids tie and the r SMALLEST cent_ids win —
+    replicated verbatim; ±inf elements raise (the enforced contract);
+    zero-norm centroids raise up front. Set-equality with the literal
+    prefix is pinned by tests/test_gemm_assign.py."""
+    import numpy as _np
+
+    if not cent_rows:
+        raise ValueError("gemm_rank_cells: no centroids")
+    cids = [cid for cid, _ in cent_rows]
+    if cids != sorted(cids):
+        raise ValueError(
+            "gemm_rank_cells: cent_rows must be cent_id-sorted —"
+            " stable argsort is the min-cent_id tiebreak only in"
+            " sorted order"
+        )
+    r = min(r, len(cent_rows))
+    dim = len(cent_rows[0][1])
+    cmat = _np.asarray([cv for _, cv in cent_rows], dtype=_np.float64)
+    norms = _np.sqrt((cmat * cmat).sum(axis=1))
+    if bool((norms == 0.0).any()):
+        raise ValueError(
+            "gemm_rank_cells: zero-norm centroid — the literal"
+            " assignment path aborts on this too (ANSI DIVIDE_BY_ZERO)"
+        )
+    cid_arr = _np.asarray(cids, dtype=_np.int64)
+    default = [int(c) for c in cid_arr[:r]]  # all-NULL tie → min cids
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("rcells", ArrayType(LongType()))]
+    )
+
+    def _rank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rcells = [default] * len(pdf)
+            idx, rows = [], []
+            for i, v in enumerate(pdf[vec_col]):
+                if v is None:
+                    continue
+                a = _np.asarray(v, dtype=_np.float64)
+                if a.shape != (dim,):
+                    continue
+                if not _np.isfinite(a).all():
+                    if _np.isinf(a).any():
+                        raise ValueError(
+                            "gemm_rank_cells: embedding with a ±inf"
+                            " element — outside the GEMM path's"
+                            " contract; reject such rows upstream"
+                            " (embedding_audit) before assignment"
+                        )
+                    continue
+                idx.append(i)
+                rows.append(a)
+            if idx:
+                vmat = _np.stack(rows)
+                blk = max(1, (4 << 20) // max(len(cent_rows), 1))
+                for lo in range(0, vmat.shape[0], blk):
+                    scores = vmat[lo:lo + blk] @ cmat.T
+                    scores /= norms
+                    # Stable argsort of -score = score DESC with the
+                    # ORIGINAL (cid-ascending) order kept on exact
+                    # ties — the literal array_sort's (s, c) key.
+                    top = _np.argsort(-scores, axis=1, kind="stable")[:, :r]
+                    for b, row_top in enumerate(top):
+                        rcells[idx[lo + b]] = [
+                            int(c) for c in cid_arr[row_top]
+                        ]
+            out = pdf.copy()
+            out["rcells"] = rcells
+            yield out
+
+    return df.mapInPandas(_rank, out_schema)
+
+
 def assign_cells(
     spark: SparkSession,
     df: DataFrame,

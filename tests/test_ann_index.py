@@ -1080,3 +1080,63 @@ def test_retrain_walk_monitor_fires_then_staleness_rezeroes(spark, tmp_path):
         for r in want_cells.select("vec_id", "cell").collect()
     }
     assert re_cells == first_cells  # moved = 0 ⇒ stale_ppm = 0
+
+
+def test_maintain_policy_picks_the_right_arm_on_both_fixtures(
+    spark, tmp_path
+):
+    """Round-12 item #8: the composed maintenance policy must NO-OP on
+    the palindromic fixture (decision 'keep', stats == the frozen
+    post-upsert index audit) and EXECUTE the retrain on the shifted
+    fixture (decision 'retrain', stats == the retrain audit)."""
+    import os
+
+    from dist_mapreduce_spark.plans.ann_index import (
+        q_sim_index_maintain,
+        q_sim_index_retrain,
+        q_sim_index_upsert,
+    )
+
+    def write(name, rows):
+        sfdir = str(tmp_path / name)
+        os.makedirs(sfdir, exist_ok=True)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(sfdir + "/embeddings.parquet")
+        return sfdir
+
+    pal = []
+    for i in range(200):
+        half = [((i * 13 + j * 7) % 19 - 9) / 32.0 for j in range(32)]
+        pal.append((i, half + half[::-1], 1))
+    pal_dir = write("mpal", pal)
+    out = q_sim_index_maintain(spark, pal_dir).collect()
+    assert out and all(r["decision"] == "keep" for r in out)
+    want = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"]))
+        for r in q_sim_index_upsert(spark, pal_dir).collect()
+    }
+    got = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"])) for r in out
+    }
+    assert got == want
+
+    sh = []
+    for i in range(300):
+        v = (
+            [0.9]
+            + [((i * 31 + j * 11) % 21 - 10) / 1000.0 for j in range(62)]
+            + [0.0]
+        )
+        sh.append((i, v, 1))
+    sh_dir = write("mshift", sh)
+    out2 = q_sim_index_maintain(spark, sh_dir).collect()
+    assert out2 and all(r["decision"] == "retrain" for r in out2)
+    want2 = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"]))
+        for r in q_sim_index_retrain(spark, sh_dir).collect()
+    }
+    got2 = {
+        int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"])) for r in out2
+    }
+    assert got2 == want2

@@ -1774,6 +1774,68 @@ def q_dense_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dense_cell_stats(spark.read.parquet(path))
 
 
+def _dense_maintain_oracle() -> str:
+    """The dense staleness oracle's CTE chain verbatim, final SELECT
+    swapped for a decision CTE + two per-cell-stats arms guarded by the
+    decision — sim_index_maintain's surgery applied to the chunk index
+    (keep arm: the frozen post-upsert assignment ucells = the upsert
+    audit; retrain arm: the fresh chain's fcells = the retrain
+    audit)."""
+    from dist_mapreduce_spark.plans.ann_index import RETRAIN_STALE_PPM
+
+    base = _dense_staleness_oracle()
+    marker = " SELECT n_vecs, wss_frozen_mean"
+    idx = base.rindex(marker)
+    ctes = base[:idx]
+    assert ctes.rstrip().endswith(")"), "dense staleness surgery failed"
+    stats = (
+        "SELECT CAST(cell AS BIGINT) AS cell,"
+        " CAST(count(*) AS BIGINT) AS n_vecs,"
+        f" CAST(sum(CAST(vec_id AS HUGEINT)) % {_DENSE_CHECKSUM_MOD}"
+        " AS BIGINT) AS id_sum,"
+        " min(vec_id) AS min_id, max(vec_id) AS max_id,"
+        " CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS dim_sum,"
+        " {arm!r} AS decision"
+        " FROM {src}"
+        " WHERE (SELECT d FROM dec) = {arm!r} GROUP BY cell"
+    )
+    return (
+        ctes
+        + f", dec AS (SELECT CASE WHEN stale_ppm >= {RETRAIN_STALE_PPM}"
+        f" THEN 'retrain' ELSE 'keep' END AS d FROM outp"
+        f" WHERE n_vecs > 0) "
+        + stats.format(arm="keep", src="ucells")
+        + " UNION ALL "
+        + stats.format(arm="retrain", src="fcells")
+    )
+
+
+@query("dense_index_maintain", oracle=_dense_maintain_oracle())
+def q_dense_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense chunk index's MAINTENANCE POLICY, composed end-to-end
+    (sim_index_maintain's twin — the two index families keep symmetric
+    lifecycles): read the dense staleness verdict, then no-op
+    (decision 'keep': the frozen post-upsert layout, audited by
+    dense_index_upsert's read-back) or execute the retrain (decision
+    'retrain': dense_index_retrain's wholesale rewrite, audited from
+    ITS read-back). The oracle replays the statistic plus BOTH stats
+    arms guarded by the same decision, so picking the wrong arm on
+    either engine is a hash mismatch. Pytest walks both arms (no-churn
+    fixture → keep; corpus-rewriting edit → retrain)."""
+    dec_rows = q_dense_index_staleness(spark, sf_dir).collect()
+    empty = spark.createDataFrame(
+        [], _DENSE_STATS_SCHEMA + ", decision string"
+    )
+    if not dec_rows:
+        return empty
+    decision = dec_rows[0]["decision"]
+    if decision == "retrain":
+        acted = q_dense_index_retrain(spark, sf_dir)
+    else:
+        acted = q_dense_index_upsert(spark, sf_dir)
+    return acted.withColumn("decision", F.lit(decision))
+
+
 def _dense_retrained_serve_oracle() -> str:
     """The pruned dense serving oracle with the ENTIRE chain re-sourced
     from the post-upsert corpus: fresh probe rule (fkeff/fnpr), query

@@ -69,3 +69,27 @@ def test_explain_audit_covers_full_registry():
     batch = {n for n in registry.QUERIES if not n.startswith("stream_")}
     missing = sorted(batch - rows)
     assert not missing, f"queries missing from EXPLAIN.md: {missing}"
+
+
+def test_local_gate_has_three_scale_gemm_section():
+    """Round-12 verdict item #4: the production configuration
+    (SPARK_GRAFT_ASSIGN=gemm) must carry the SAME three-scale
+    full-registry evidence as the literal default — LOCAL_GATE.md's
+    GEMM paragraph must claim N/N PASS at three scales with N = the
+    live registry size, so a registry that outgrows the gemm sweep
+    fails here like the literal one does."""
+    text = open(GATE).read()
+    m = re.search(r"GEMM mode.*?(?=\n\n)", text, re.S)
+    assert m, "LOCAL_GATE.md lost its GEMM-mode paragraph"
+    para = m.group(0)
+    results = re.findall(r"(\d+)/(\d+) PASS", para)
+    assert len(results) >= 3, (
+        "GEMM paragraph must record all three scales"
+        f" (found {len(results)})"
+    )
+    n_reg = _registry_size()
+    for n_pass, n_total in results:
+        assert int(n_total) == n_reg, (
+            f"GEMM gate covers {n_total} queries, registry has {n_reg}"
+        )
+        assert int(n_pass) == int(n_total), "GEMM gate shows failures"

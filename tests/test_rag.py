@@ -570,3 +570,45 @@ def test_dense_retrain_walk_fires_rebuilds_and_serves(spark, tmp_path):
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), (q, rks)
         assert len(rks) >= 1
+
+
+def test_dense_maintain_policy_picks_the_right_arm(spark, tmp_path):
+    """sim_index_maintain's twin walked on the dense fixtures: no
+    churn → 'keep' with the frozen post-upsert audit; a corpus-
+    rewriting edit → 'retrain' with the retrain audit."""
+    from dist_mapreduce_spark.plans.rag import (
+        DENSE_UPSERT_MOD,
+        DENSE_UPSERT_REM,
+        q_dense_index_maintain,
+        q_dense_index_retrain,
+        q_dense_index_upsert,
+    )
+
+    def stats(rows):
+        return {
+            int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"]))
+            for r in rows
+        }
+
+    keep_rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(8)))
+        for i in range(40)
+        if i % DENSE_UPSERT_MOD != DENSE_UPSERT_REM
+    ]
+    keep_dir = _write_docs(spark, tmp_path, "mkeep", keep_rows)
+    out = q_dense_index_maintain(spark, keep_dir).collect()
+    assert out and all(r["decision"] == "keep" for r in out)
+    assert stats(out) == stats(q_dense_index_upsert(spark, keep_dir).collect())
+
+    fire_rows = [
+        (i, " ".join(f"q{i}_{j}" for j in range(8))) for i in range(3)
+    ] + [
+        (DENSE_UPSERT_REM + k * DENSE_UPSERT_MOD, "same text every copy")
+        for k in range(60)
+    ]
+    fire_dir = _write_docs(spark, tmp_path, "mfire", fire_rows)
+    out2 = q_dense_index_maintain(spark, fire_dir).collect()
+    assert out2 and all(r["decision"] == "retrain" for r in out2)
+    assert stats(out2) == stats(
+        q_dense_index_retrain(spark, fire_dir).collect()
+    )

@@ -101,9 +101,13 @@ def test_zorder_files_are_range_disjoint(spark):
 
     from pyspark.sql import functions as F
 
+    from dist_mapreduce_spark.plans.formats import _sink_dir
+
     _q("sink_zorder")(spark, SF).collect()
-    scratch = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
-    files = sorted(glob.glob(os.path.join(scratch, "lineitem_zorder", "*.parquet")))
+    # The sink writes under THIS process's scratch root (the round-11
+    # PID isolation) — resolve it the way the sink does, not via the
+    # pre-round-11 shared path (which only matched stale files).
+    files = sorted(glob.glob(os.path.join(_sink_dir("lineitem_zorder"), "*.parquet")))
     assert len(files) >= 2, files
     spans = []
     for f in files:

@@ -85,7 +85,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _residency_explode(
-    spark: SparkSession, emb: DataFrame, cent_rows: list
+    spark: SparkSession,
+    emb: DataFrame,
+    cent_rows: list,
+    mode: str | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, rcell): each vector exploded to its
     KNN_RESIDENCY nearest cells. Literal ranked expression by default
@@ -100,7 +103,7 @@ def _residency_explode(
     )
 
     spread = emb.repartition(spark.sparkContext.defaultParallelism)
-    if assign_mode() == "gemm":
+    if (mode or assign_mode()) == "gemm":
         return gemm_rank_cells(spread, cent_rows, KNN_RESIDENCY).select(
             "vec_id", "embedding", F.explode("rcells").alias("rcell")
         )
@@ -136,7 +139,10 @@ _RES_MEMO_CAP = 4
 
 
 def knn_res_frame(
-    spark: SparkSession, emb: DataFrame, cent_rows: list
+    spark: SparkSession,
+    emb: DataFrame,
+    cent_rows: list,
+    mode: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(res, rsplit): the blocked-residency frame every build query
     joins on — each conforming vector exploded to its KNN_RESIDENCY
@@ -154,16 +160,17 @@ def knn_res_frame(
         assign_mode,
     )
 
+    mode = mode or assign_mode()
     key = (
         spark.sparkContext.applicationId,
-        assign_mode(),
+        mode,
         _frame_fingerprint(emb),
         tuple((cid, tuple(cv)) for cid, cv in cent_rows),
     )
     hit = _RES_MEMO.get(key)
     if hit is not None:
         return hit
-    res0 = _residency_explode(spark, emb, cent_rows)
+    res0 = _residency_explode(spark, emb, cent_rows, mode)
     wc = Window.partitionBy("rcell").orderBy("vec_id")
     rpos = res0.withColumn("gpos", F.row_number().over(wc) - 1)
     rsplit = (
@@ -383,7 +390,9 @@ def _gemm_block_candidates(res: DataFrame) -> DataFrame:
     )
 
 
-def pair_scores(res: DataFrame, vecs: DataFrame) -> DataFrame:
+def pair_scores(
+    res: DataFrame, vecs: DataFrame, mode: str | None = None
+) -> DataFrame:
     """DISTINCT (src_id, dst_id, score) over the in-block candidate
     pairs of `res` — the quadratic stage of the kNN build, behind the
     repo's assignment-mode switch. Literal (default): the self-join on
@@ -402,7 +411,7 @@ def pair_scores(res: DataFrame, vecs: DataFrame) -> DataFrame:
     the same rescore shape knn_graph_refine already proved."""
     from dist_mapreduce_spark.plans.similarity import assign_mode
 
-    if assign_mode() == "gemm":
+    if (mode or assign_mode()) == "gemm":
         cand = _gemm_block_candidates(res)
         va = vecs.select(
             F.col("vec_id").alias("src_id"), F.col("embedding").alias("va")
@@ -483,6 +492,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-scored structs for a NULL vector, so explode() alone would
     NOT drop such rows; the filter mirrors the oracle's
     `embedding IS NOT NULL` exactly."""
+    return _knn_graph_impl(spark, sf_dir, mode=None)
+
+
+def _knn_graph_impl(
+    spark: SparkSession, sf_dir: str, mode: str | None
+) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
     cent_rows = ivf_cent_rows(emb)
     empty = spark.createDataFrame(
@@ -490,14 +505,28 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not cent_rows:
         return empty
-    res, _rsplit = knn_res_frame(spark, emb, cent_rows)
-    pr = pair_scores(res, emb)
+    res, _rsplit = knn_res_frame(spark, emb, cent_rows, mode)
+    pr = pair_scores(res, emb, mode)
     w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
     return (
         pr.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= KNN_K)
         .select("src_id", "dst_id", "score", "rk")
     )
+
+
+@query("knn_graph_gemm", oracle=_knn_oracle())
+def q_knn_graph_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph with the BLAS path FORCED (sim_index_build_gemm's
+    convention — not the env default): residency ranked by
+    gemm_rank_cells, in-block candidates pre-selected by the blockwise
+    GEMM, survivors exact-rescored. The oracle is knn_graph's VERBATIM
+    literal chain, so a PASS value-proves the accelerated build emits
+    the bit-identical graph (scores included — the exact rescore is
+    what makes this provable, not just set-plausible) inside every
+    literal-mode gate run, exactly as the A/B measures it at stress
+    scale (×100: 150.7 s → 9.7 s, docs/SCALE.md)."""
+    return _knn_graph_impl(spark, sf_dir, mode="gemm")
 
 
 def _refine_ctes() -> str:

@@ -669,3 +669,67 @@ def test_train_sample_predicate_cross_engine_parity(spark):
     assert train_sample_stride(TRAIN_SAMPLE_CAP - 1) == 1
     assert train_sample_stride(2 * TRAIN_SAMPLE_CAP) == 2
     assert train_sample_stride(0) == 1
+
+
+def test_knn_append_equals_rebuild_gate_and_hot_cell(spark, tmp_path):
+    """Round-12 incremental graph maintenance: knn_graph_append must
+    equal the from-scratch knn_graph BIT-FOR-BIT (scores included) on
+    (a) the gate corpus — the pure incremental path (no cell exceeds
+    the cap, so the base graph + batch-involving pairs suffice) — and
+    (b) the hot-cell fixture, where the sub-split binds and the
+    AFFECTED re-derive path must fire (asserted, so the fixture can't
+    silently stop exercising it)."""
+    from dist_mapreduce_spark.plans.knn_graph import (
+        KNN_CELL_CAP,
+        _emb,
+        knn_res_frame,
+        q_knn_graph,
+        q_knn_graph_append,
+    )
+    from dist_mapreduce_spark.plans.similarity import ivf_cent_rows
+
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # (a) gate corpus: pure incremental path.
+    assert rows_of(q_knn_graph_append(spark, SF_SMOKE)) == rows_of(
+        q_knn_graph(spark, SF_SMOKE)
+    )
+
+    # (b) hot-cell fixture (the subsplit test's corpus shape).
+    n, dim = 1100, 64
+
+    def vec(vid: int) -> list[float]:
+        if vid % 41 == 3:
+            k = vid // 41
+            if k == 0:
+                return [1.0] * dim
+            if k == 1:
+                return [1.0] * 32 + [0.0] * 32
+            return [
+                1.0 if ((j >> (k % 6)) & 1) == 0 else -1.0
+                for j in range(dim)
+            ]
+        return [
+            1.0 + ((vid * 31 + j * 7) % 101) * 1e-4 for j in range(dim)
+        ]
+
+    sf = tmp_path / "kapp"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(v, [float(x) for x in vec(v)], v % 10) for v in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(sf / "embeddings.parquet"))
+    # The affected path must actually fire: some grown cell sub-splits.
+    emb = _emb(spark, str(sf)).filter(F.col("embedding").isNotNull())
+    cent_rows = ivf_cent_rows(emb)
+    _res, rsplit = knn_res_frame(spark, emb, cent_rows)
+    assert rsplit.filter(F.col("nsplit") > 1).count() >= 1, (
+        f"fixture no longer exceeds KNN_CELL_CAP={KNN_CELL_CAP}"
+    )
+    assert rows_of(q_knn_graph_append(spark, str(sf))) == rows_of(
+        q_knn_graph(spark, str(sf))
+    )

@@ -859,6 +859,167 @@ def q_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic takedown batch for the graph-delete demo (~1% by
+#: vec_id), excluding centroid ids for the same frozen-quantizer
+#: reason as the append batch. Distinct constants so the two demos
+#: never shadow each other.
+KNN_DELETE_MOD, KNN_DELETE_REM = 103, 17
+
+
+def _knn_del_pred():
+    from dist_mapreduce_spark.plans.similarity import (
+        CENT_CAP,
+        CENT_MOD,
+        CENT_REM,
+    )
+
+    return (F.col("vec_id") % KNN_DELETE_MOD == KNN_DELETE_REM) & ~(
+        (F.col("vec_id") % CENT_MOD == CENT_REM)
+        & (F.col("vec_id") < CENT_CAP)
+    )
+
+
+def _knn_del_pred_sql() -> str:
+    from dist_mapreduce_spark.plans.similarity import (
+        CENT_CAP,
+        CENT_MOD,
+        CENT_REM,
+    )
+
+    return (
+        f"(vec_id % {KNN_DELETE_MOD}) = {KNN_DELETE_REM}"
+        f" AND NOT ((vec_id % {CENT_MOD}) = {CENT_REM}"
+        f" AND vec_id < {CENT_CAP})"
+    )
+
+
+def _knn_delete_oracle() -> str:
+    """knn_graph's oracle re-sourced from the SURVIVING corpus — the
+    lifecycle proof: the post-delete graph must equal a from-scratch
+    build on the survivors (the centroid predicate is delete-immune,
+    so replacing BOTH of IVF_CELLS_CTE's sources with surv is exact)."""
+    cells_surv = IVF_CELLS_CTE.replace("FROM embeddings", "FROM surv")
+    assert "FROM embeddings" not in cells_surv
+    return (
+        f"WITH surv AS MATERIALIZED (SELECT vec_id, embedding"
+        f"  FROM embeddings WHERE NOT ({_knn_del_pred_sql()})),"
+        f" {cells_surv},"
+        f" {_KNN_RES_CTES},"
+        f" pr AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id,"
+        f"  {cosine_duckdb_sql('a.embedding', 'b.embedding')} AS score"
+        f"  FROM res a JOIN res b"
+        f"   ON a.rcell = b.rcell AND a.sub = b.sub"
+        f"    AND a.vec_id <> b.vec_id)"
+        f" SELECT src_id, dst_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY src_id"
+        f"   ORDER BY score DESC, dst_id) AS rk FROM pr)"
+        f" WHERE rk <= {KNN_K}"
+    )
+
+
+@query("knn_graph_delete", oracle=_knn_delete_oracle())
+def q_knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN DELETES on the kNN graph — knn_graph_append's twin,
+    completing the graph artifact's lifecycle symmetry with the index
+    family (a GDPR/DMCA removal must leave the graph as if the vector
+    never existed: gone as a SOURCE and gone as anyone's NEIGHBOR).
+    The pre-existing full-corpus graph absorbs the tombstone batch:
+
+    1. The quantizer is frozen (the batch excludes centroid ids), so
+       survivor residency never moves.
+    2. A surviving source with NO deleted neighbor in its stored top-K
+       and no residency in a sub-split-affected cell keeps its edges
+       VERBATIM: deletions only REMOVE candidates, every stored edge's
+       dst survives and stays co-resident, and every unstored
+       candidate already ranked below the kth — so the survivor
+       rebuild's top-K is exactly the stored top-K.
+    3. Affected sources — adjacent to a deleted vector in the stored
+       graph, or residing in a cell that lost members while the
+       hot-cell sub-split binds on either side (membership partition
+       shifts with gpos) — are fully re-derived under the survivor
+       blocking. Blast radius ∝ the deleted vectors' degree, not the
+       corpus.
+
+    Oracle = knn_graph's chain re-sourced from the surviving corpus
+    (from-scratch rebuild), the established lifecycle proof; the
+    hot-cell affected arm is pytest-pinned on the sub-split fixture."""
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    cent_rows = ivf_cent_rows(emb)
+    empty = spark.createDataFrame(
+        [], "src_id bigint, dst_id bigint, score double, rk int"
+    )
+    if not cent_rows:
+        return empty
+    is_del = _knn_del_pred()
+    surv = emb.filter(~is_del)
+    # The pre-existing artifact: the FULL corpus's graph.
+    res_f, rsplit_f = knn_res_frame(spark, emb, cent_rows)
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
+    g_full = (
+        pair_scores(res_f, emb)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src_id", "dst_id", "score")
+        .localCheckpoint(eager=False)
+    )
+    res_s, rsplit_s = knn_res_frame(spark, surv, cent_rows)
+    # Cells whose membership PARTITION changes: lost a member while
+    # sub-split on either side. Bounded driver pull (≤ k·R ids).
+    del_cells = res_f.filter(is_del).select("rcell").distinct()
+    split_cells = (
+        rsplit_f.filter(F.col("nsplit") > 1)
+        .select("rcell")
+        .unionByName(rsplit_s.filter(F.col("nsplit") > 1).select("rcell"))
+        .distinct()
+    )
+    affected_cells = sorted(
+        int(r["rcell"])
+        for r in del_cells.join(split_cells, "rcell").collect()
+    )
+    del_ids = emb.filter(is_del).select(F.col("vec_id").alias("del_id"))
+    # Affected sources: adjacent to a deleted dst, or resident in an
+    # affected cell. (Deleted sources fall out: they are not in res_s,
+    # and keep-edges anti-join them away.)
+    adj = g_full.join(
+        del_ids, g_full["dst_id"] == del_ids["del_id"], "semi"
+    ).select("src_id")
+    aff = adj
+    if affected_cells:
+        aff = aff.unionByName(
+            res_s.filter(F.col("rcell").isin(affected_cells)).select(
+                F.col("vec_id").alias("src_id")
+            )
+        )
+    aff = aff.distinct().localCheckpoint(eager=False)
+    keep = g_full.join(
+        del_ids, g_full["src_id"] == del_ids["del_id"], "left_anti"
+    ).join(aff, "src_id", "left_anti")
+    ga, gb = res_s.alias("ga"), res_s.alias("gb")
+    fresh = (
+        ga.join(aff, F.col("ga.vec_id") == F.col("src_id"), "semi")
+        .join(
+            gb,
+            (F.col("ga.rcell") == F.col("gb.rcell"))
+            & (F.col("ga.sub") == F.col("gb.sub"))
+            & (F.col("ga.vec_id") != F.col("gb.vec_id")),
+        )
+        .select(
+            F.col("ga.vec_id").alias("src_id"),
+            F.col("gb.vec_id").alias("dst_id"),
+            F.expr(cosine_spark_sql("ga.embedding", "gb.embedding")).alias(
+                "score"
+            ),
+        )
+    )
+    return (
+        keep.unionByName(fresh)
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src_id", "dst_id", "score", "rk")
+    )
+
+
 # ------------------------------------------------- clustered regime
 
 from dist_mapreduce_spark.functions.vectors import dot_duckdb_sql  # noqa: E402

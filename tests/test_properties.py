@@ -733,3 +733,73 @@ def test_knn_append_equals_rebuild_gate_and_hot_cell(spark, tmp_path):
     assert rows_of(q_knn_graph_append(spark, str(sf))) == rows_of(
         q_knn_graph(spark, str(sf))
     )
+
+
+def test_knn_delete_equals_survivor_rebuild_gate_and_hot_cell(
+    spark, tmp_path
+):
+    """knn_graph_delete must equal a from-scratch knn_graph build on
+    the SURVIVING corpus bit-for-bit: (a) on the gate corpus (pure
+    keep-edges path), via a physically survivor-only copy of the
+    table; (b) on the hot-cell fixture where the sub-split binds and
+    the affected re-derive arm fires (asserted)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.knn_graph import (
+        _emb,
+        _knn_del_pred,
+        knn_res_frame,
+        q_knn_graph,
+        q_knn_graph_delete,
+    )
+    from dist_mapreduce_spark.plans.similarity import ivf_cent_rows
+    from tests.conftest import SF_SMOKE
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def survivor_dir(src_dir, name):
+        out = str(tmp_path / name)
+        os.makedirs(out, exist_ok=True)
+        (
+            spark.read.parquet(src_dir + "/embeddings.parquet")
+            .filter(~_knn_del_pred())
+            .write.parquet(out + "/embeddings.parquet")
+        )
+        return out
+
+    # (a) gate corpus.
+    want = rows_of(q_knn_graph(spark, survivor_dir(SF_SMOKE, "surv_gate")))
+    assert rows_of(q_knn_graph_delete(spark, SF_SMOKE)) == want
+
+    # (b) hot-cell fixture (the subsplit corpus shape).
+    n, dim = 1100, 64
+
+    def vec(vid: int) -> list[float]:
+        if vid % 41 == 3:
+            k = vid // 41
+            if k == 0:
+                return [1.0] * dim
+            if k == 1:
+                return [1.0] * 32 + [0.0] * 32
+            return [
+                1.0 if ((j >> (k % 6)) & 1) == 0 else -1.0
+                for j in range(dim)
+            ]
+        return [
+            1.0 + ((vid * 31 + j * 7) % 101) * 1e-4 for j in range(dim)
+        ]
+
+    sf = str(tmp_path / "kdel")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(v, [float(x) for x in vec(v)], v % 10) for v in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(sf + "/embeddings.parquet")
+    emb = _emb(spark, sf).filter(F.col("embedding").isNotNull())
+    _res, rsplit = knn_res_frame(spark, emb, ivf_cent_rows(emb))
+    assert rsplit.filter(F.col("nsplit") > 1).count() >= 1
+    want2 = rows_of(q_knn_graph(spark, survivor_dir(sf, "surv_hot")))
+    assert rows_of(q_knn_graph_delete(spark, sf)) == want2

@@ -128,14 +128,23 @@ def _residency_explode(
 #: so every consumer reads the one checkpointed frame instead.
 #: Round 12 (ADVICE): keyed additionally on the SparkSession's
 #: applicationId — a memo hit after a session restart would hand back
-#: frames bound to a dead session — and capped at _RES_MEMO_CAP
-#: entries with FIFO eviction (checkpointed RDD blocks are otherwise
-#: pinned for the process lifetime across every corpus/scale visited);
-#: evicted frames are unpersisted best-effort.
+#: frames bound to a dead session. Round 13 (ADVICE): eviction is now
+#: scope-aware instead of blind FIFO — a localCheckpoint'd frame has
+#: TRUNCATED lineage, so unpersisting one a caller still holds leaves
+#: an unrecomputable frame. (1) Entries from OTHER applicationIds are
+#: evicted eagerly (their session is dead; the blocks died with its
+#: JVM, unpersist is a best-effort no-op). (2) Live-session entries
+#: use LRU (a memo hit refreshes recency) with a cap sized well above
+#: the gate sweep's working set (3 scales × 2 modes = 6 keys;
+#: append/delete insert 2 keys per call). Contract for callers that
+#: HOLD returned frames across further knn_res_frame calls: a frame
+#: is guaranteed alive only for the next _RES_MEMO_CAP-1 distinct
+#: (corpus, mode) keys touched — re-call knn_res_frame (a hit is
+#: free and refreshes recency) rather than caching frames externally.
 from collections import OrderedDict as _OrderedDict
 
 _RES_MEMO: "_OrderedDict" = _OrderedDict()
-_RES_MEMO_CAP = 4
+_RES_MEMO_CAP = 16
 
 
 def knn_res_frame(
@@ -169,6 +178,7 @@ def knn_res_frame(
     )
     hit = _RES_MEMO.get(key)
     if hit is not None:
+        _RES_MEMO.move_to_end(key)  # LRU: refresh recency on hit
         return hit
     res0 = _residency_explode(spark, emb, cent_rows, mode)
     wc = Window.partitionBy("rcell").orderBy("vec_id")
@@ -212,13 +222,26 @@ def knn_res_frame(
         rsplit.localCheckpoint(eager=False),
     )
     _RES_MEMO[key] = out
+    # Dead-session entries first: any other applicationId belongs to a
+    # stopped session whose blocks are already gone — free to drop.
+    app = key[0]
+    for dead_key in [k for k in _RES_MEMO if k[0] != app]:
+        for frame in _RES_MEMO.pop(dead_key):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # dead session — eviction is best-effort
+    # Live-session overflow: LRU-evict (oldest-touched first). See the
+    # module comment's holding contract — recently-returned frames are
+    # the ones a caller can still be composing over, and LRU keeps
+    # them resident.
     while len(_RES_MEMO) > _RES_MEMO_CAP:
         _k, evicted = _RES_MEMO.popitem(last=False)
         for frame in evicted:
             try:
                 frame.unpersist()
             except Exception:
-                pass  # dead session / already freed — eviction is best-effort
+                pass  # already freed — eviction is best-effort
     return out
 
 
@@ -341,7 +364,12 @@ def _gemm_block_candidates(res: DataFrame) -> DataFrame:
                     kth = _np.full(c, -_np.inf)
                 else:
                     kth = _np.partition(G2, c - 1 - K, axis=1)[:, c - 1 - K]
-                keep = G2 >= (kth[:, None] - EPS)
+                # Mask the diagonal EXPLICITLY: when c-1 <= K the kth
+                # sentinel is -inf and the diagonal's -inf satisfies
+                # `-inf >= -inf - EPS`, which would emit self-pairs
+                # (score 1.0, rank 1) that the literal path's
+                # vec_id != vec_id join predicate never produces.
+                keep = (G2 >= (kth[:, None] - EPS)) & ~diag
                 ii, jj = _np.nonzero(keep)
                 srcs.append(cvids[ii])
                 dsts.append(cvids[jj])

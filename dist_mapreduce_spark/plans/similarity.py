@@ -674,6 +674,14 @@ def gemm_assign_cells(
     return df.mapInPandas(_assign, out_schema)
 
 
+#: Guard band for the residency prefix (mirror of knn_graph's
+#: _GEMM_PAIR_EPS): BLAS and the sequential literal fold agree to
+#: ~dim·ulp ≈ 1.4e-14 on unit-scale cosines, so 1e-9 over-covers by
+#: ~5 orders of magnitude while still never triggering on real score
+#: gaps.
+_GEMM_RANK_EPS = 1e-9
+
+
 def gemm_rank_cells(
     df: DataFrame,
     cent_rows: list[tuple[int, list[float]]],
@@ -696,7 +704,20 @@ def gemm_rank_cells(
     NULL so ALL centroids tie and the r SMALLEST cent_ids win —
     replicated verbatim; ±inf elements raise (the enforced contract);
     zero-norm centroids raise up front. Set-equality with the literal
-    prefix is pinned by tests/test_gemm_assign.py."""
+    prefix is pinned by tests/test_gemm_assign.py.
+
+    NEAR-TIE exactness (round-13, advice item): BLAS and the literal
+    sequential fold agree only to ~dim·ulp, so a GEMM score within
+    _GEMM_RANK_EPS of the Rth-best (or of its in-prefix neighbor)
+    could flip the prefix if ranked from GEMM numbers alone. Whenever
+    any such near-tie exists, the contender band (every centroid with
+    GEMM score >= Rth - EPS) is EXACT-RESCORED with the literal
+    left-fold (py_dot / _py_norm — the same doubles the SQL literal
+    inlines) and the prefix is finalized from the exact scores — the
+    same guard-band-then-rescore contract _gemm_block_candidates uses
+    for pairs. Normal data (score gaps >> 1e-9) never pays; the
+    division uses _py_norm so the only GEMM-vs-literal divergence the
+    band must absorb is the dot's accumulation order."""
     import numpy as _np
 
     if not cent_rows:
@@ -711,12 +732,16 @@ def gemm_rank_cells(
     r = min(r, len(cent_rows))
     dim = len(cent_rows[0][1])
     cmat = _np.asarray([cv for _, cv in cent_rows], dtype=_np.float64)
-    norms = _np.sqrt((cmat * cmat).sum(axis=1))
+    # EXACT norms (the literal SQL inlines _py_norm literals), so the
+    # only BLAS-vs-literal divergence left is the dot's fold order —
+    # that is what the near-tie rescore band absorbs.
+    norms = _np.asarray([_py_norm(cv) for _, cv in cent_rows])
     if bool((norms == 0.0).any()):
         raise ValueError(
             "gemm_rank_cells: zero-norm centroid — the literal"
             " assignment path aborts on this too (ANSI DIVIDE_BY_ZERO)"
         )
+    cvecs = [list(map(float, cv)) for _, cv in cent_rows]
     cid_arr = _np.asarray(cids, dtype=_np.int64)
     default = [int(c) for c in cid_arr[:r]]  # all-NULL tie → min cids
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -757,11 +782,37 @@ def gemm_rank_cells(
                     # Stable argsort of -score = score DESC with the
                     # ORIGINAL (cid-ascending) order kept on exact
                     # ties — the literal array_sort's (s, c) key.
-                    top = _np.argsort(-scores, axis=1, kind="stable")[:, :r]
-                    for b, row_top in enumerate(top):
-                        rcells[idx[lo + b]] = [
-                            int(c) for c in cid_arr[row_top]
-                        ]
+                    order = _np.argsort(-scores, axis=1, kind="stable")
+                    for b, row_ord in enumerate(order):
+                        srow = scores[b]
+                        band = srow[row_ord[r - 1]] - _GEMM_RANK_EPS
+                        cont = _np.nonzero(srow >= band)[0]
+                        pref = srow[row_ord[:r]]
+                        if cont.size > r or (
+                            r > 1
+                            and float(
+                                _np.min(pref[:-1] - pref[1:])
+                            ) <= _GEMM_RANK_EPS
+                        ):
+                            # Near-tie at (or inside) the prefix: the
+                            # GEMM ordering is not trustworthy to the
+                            # last ulp — finalize from the EXACT
+                            # literal fold over the contender band.
+                            v = rows[lo + b]
+                            ex = sorted(
+                                (
+                                    -(py_dot(v, cvecs[c]) / norms[c]),
+                                    int(cid_arr[c]),
+                                )
+                                for c in cont
+                            )
+                            rcells[idx[lo + b]] = [
+                                cid for _s, cid in ex[:r]
+                            ]
+                        else:
+                            rcells[idx[lo + b]] = [
+                                int(c) for c in cid_arr[row_ord[:r]]
+                            ]
             out = pdf.copy()
             out["rcells"] = rcells
             yield out

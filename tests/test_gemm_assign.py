@@ -309,6 +309,52 @@ def test_gemm_rank_cells_degenerates_and_inf(spark):
         gemm_rank_cells(bad, cents, 2).collect()
 
 
+def test_gemm_rank_cells_near_tie_rescored(spark):
+    """Round-13 (advice item): a GEMM score within _GEMM_RANK_EPS of
+    the Rth-best must be finalized by the EXACT literal fold, not the
+    BLAS number — pinned on a fixture whose top-2 scores differ by
+    ~1e-10 (inside the band, so the rescore branch runs) and on an
+    exact tie (scaled duplicate direction — dot/|c| is
+    scale-invariant, so the min-cent_id order must win)."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.similarity import (
+        gemm_rank_cells,
+        ivf_ranked_cells_sql,
+    )
+
+    # cid 3 scores exactly 1.0; cid 7 scores 1/sqrt(1+1.96e-10)
+    # ≈ 1 − 9.8e-11 — a gap 10× inside the 1e-9 band.
+    cents = [(3, [1.0, 0.0]), (7, [1.0, 1.4e-5]), (9, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    ranked = ivf_ranked_cells_sql(cents)
+    lit = [
+        int(c)
+        for c in df.select(
+            F.expr(f"transform(slice({ranked}, 1, 2), x -> x.c)").alias("rc")
+        ).collect()[0]["rc"]
+    ]
+    gem = [
+        int(c)
+        for c in gemm_rank_cells(df, cents, 2).collect()[0]["rcells"]
+    ]
+    assert lit == gem == [3, 7]
+
+    # Exact tie: duplicate centroids compute the SAME doubles — the
+    # prefix order must fall to cent_id ascending through the rescore.
+    cents2 = [(2, [0.6, 0.8]), (5, [0.6, 0.8]), (8, [-1.0, 0.0])]
+    df2 = spark.createDataFrame(
+        [(1, [0.6, 0.8])], "vec_id long, embedding array<double>"
+    )
+    got = [
+        int(c)
+        for c in gemm_rank_cells(df2, cents2, 2).collect()[0]["rcells"]
+    ]
+    assert got == [2, 5]
+
+
 def test_knn_graph_gemm_equals_literal(spark):
     """Round-12 verdict item #1's pin: the GEMM-accelerated kNN graph
     build (gemm residency ranking + blockwise BLAS candidate
@@ -394,3 +440,53 @@ def test_gemm_block_candidates_superset_with_degenerates(spark):
         ]
 
     assert norm(lit) == norm(gem)
+
+
+def test_gemm_small_finite_block_no_self_pairs(spark):
+    """Round-13 (advice HIGH): a FULLY-FINITE block with c-1 <= KNN_K
+    members drives the fast path's kth sentinel to -inf, where the
+    masked diagonal (-inf) satisfies `-inf >= -inf - EPS` — the
+    unmasked round-12 code emitted self-pairs (score 1.0, rank 1),
+    displacing real neighbors. Pin: gemm == literal on a 5-member
+    finite block, and the candidate set contains no src==dst pair.
+    (The degenerate-corpus test above routes through the non-finite
+    branch, which masks the diagonal correctly — this block must stay
+    all-finite to hit the fast path.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.knn_graph import (
+        _gemm_block_candidates,
+        pair_scores,
+    )
+    from dist_mapreduce_spark.plans.similarity import ASSIGN_MODE_ENV
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, [0.3, 0.3, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = df.select(
+        "vec_id",
+        "embedding",
+        F.lit(0).cast("long").alias("rcell"),
+        F.lit(0).cast("long").alias("sub"),
+    )
+    cand = {
+        (int(r["src_id"]), int(r["dst_id"]))
+        for r in _gemm_block_candidates(res).collect()
+    }
+    assert cand, "pre-selection must keep the finite pairs"
+    assert not any(s == d for s, d in cand), "self-pairs leaked"
+    lit = sorted(tuple(r) for r in pair_scores(res, df).collect())
+    os.environ[ASSIGN_MODE_ENV] = "gemm"
+    try:
+        gem = sorted(tuple(r) for r in pair_scores(res, df).collect())
+    finally:
+        os.environ.pop(ASSIGN_MODE_ENV, None)
+    assert lit == gem
+    assert not any(r[0] == r[1] for r in gem)

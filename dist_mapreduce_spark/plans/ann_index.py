@@ -48,6 +48,11 @@ from dist_mapreduce_spark.functions.vectors import (
     cosine_spark_sql,
     dot_duckdb_sql,
 )
+from dist_mapreduce_spark.plans.index_commit import (
+    commit_cell_swap,
+    index_data_dir,
+    write_index_base,
+)
 from dist_mapreduce_spark.plans.registry import ORACLES, query
 from dist_mapreduce_spark.plans.similarity import (
     FILTER_LABEL,
@@ -1122,10 +1127,12 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
        pruned scan — the same pin as serving), anti-join the tombstone
        ids, and write the survivors to a staging directory partitioned
        by cell;
-    3. swap the affected directories in (delete + rename per cell —
-       the same files-then-metadata commit order a table format's
-       atomic swap performs at scale; untouched cells are never read,
-       never written).
+    3. publish ATOMICALLY through the manifest commit (round-13:
+       commit_cell_swap — untouched cells carried over by hardlink,
+       rewritten cells moved in, ONE manifest flip makes the new
+       generation visible; a crash between two cell swaps leaves the
+       old generation intact and current, never a mix — the
+       kill-mid-swap pytest pins it).
 
     The audit is sim_index_build's aggregate on the read-back files;
     the oracle is sim_index_build's oracle on the tombstone-filtered
@@ -1158,9 +1165,7 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ivf_ranked_cells_sql(cent_rows)
     # Fresh full build each run (the demo needs a pre-delete index; a
     # production deployment starts from the live one).
-    ivf_cells_df(spark, emb, ranked, cent_rows).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    write_index_base(ivf_cells_df(spark, emb, ranked, cent_rows), path)
     is_del = F.expr(_DELETE_PRED_SQL)
     tomb = emb.filter(is_del).select("vec_id")
     # Affected cells: assign ONLY the tombstone batch (pure map over
@@ -1175,19 +1180,16 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     if del_cells:
         stage = _index_dir("ivf_index_del_stage", sf_dir)
         shutil.rmtree(stage, ignore_errors=True)
-        affected = spark.read.parquet(path).filter(F.col("cell").isin(del_cells))
+        affected = spark.read.parquet(index_data_dir(path)).filter(
+            F.col("cell").isin(del_cells)
+        )
         survivors = affected.join(F.broadcast(tomb), "vec_id", "left_anti")
         survivors.write.mode("overwrite").partitionBy("cell").parquet(stage)
-        # Swap: remove each affected cell directory, move the rewritten
-        # one in (absent in staging == cell emptied by the delete).
-        for c in del_cells:
-            dst = os.path.join(path, f"cell={c}")
-            src = os.path.join(stage, f"cell={c}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-        shutil.rmtree(stage, ignore_errors=True)
-    back = spark.read.parquet(path)
+        # Atomic publish: hardlink-carry untouched cells, move the
+        # rewritten ones in (absent in staging == cell emptied by the
+        # delete), flip the manifest LAST — old-or-new, never a mix.
+        commit_cell_swap(path, stage, del_cells)
+    back = spark.read.parquet(index_data_dir(path))
     return (
         back.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(
@@ -1252,7 +1254,8 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. pruned-scan exactly the affected directories, drop the batch's
        old rows (anti-join), union the batch's new rows — every new
        row lands in an affected cell by construction;
-    3. stage + per-directory swap, as sim_index_delete.
+    3. stage + atomic manifest commit, as sim_index_delete
+       (commit_cell_swap: old-or-new generation, never a mix).
 
     Oracle: the index-build audit over the post-upsert corpus with the
     SAME frozen quantizer — merged-after-upsert must equal a full
@@ -1278,9 +1281,7 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ranked = ivf_ranked_cells_sql(cent_rows)
     # Fresh full build each run (pre-upsert state).
-    ivf_cells_df(spark, emb, ranked, cent_rows).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    write_index_base(ivf_cells_df(spark, emb, ranked, cent_rows), path)
     is_ups = F.expr(_UPSERT_PRED_SQL)
     new_batch = (
         emb.filter(is_ups)
@@ -1303,20 +1304,16 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = _index_dir("ivf_index_ups_stage", sf_dir)
         shutil.rmtree(stage, ignore_errors=True)
         tomb = new_batch.select("vec_id")
-        affected = spark.read.parquet(path).filter(F.col("cell").isin(ups_cells))
+        affected = spark.read.parquet(index_data_dir(path)).filter(
+            F.col("cell").isin(ups_cells)
+        )
         survivors = affected.join(F.broadcast(tomb), "vec_id", "left_anti")
         merged = survivors.select("vec_id", "embedding", "cell").unionByName(
             new_assigned.select("vec_id", "embedding", "cell")
         )
         merged.write.mode("overwrite").partitionBy("cell").parquet(stage)
-        for c in ups_cells:
-            dst = os.path.join(path, f"cell={c}")
-            src = os.path.join(stage, f"cell={c}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-        shutil.rmtree(stage, ignore_errors=True)
-    back = spark.read.parquet(path)
+        commit_cell_swap(path, stage, ups_cells)
+    back = spark.read.parquet(index_data_dir(path))
     return (
         back.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(
@@ -1665,7 +1662,10 @@ def build_retrained_index(
     cells = ivf_cells_df(
         spark, ups, ivf_ranked_cells_sql(cent_fresh), cent_fresh
     )
-    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # Atomic publish (round-13): the fresh assignment lands as a new
+    # generation and ONE manifest flip replaces the old index — a
+    # crash mid-retrain leaves the previous generation current.
+    write_index_base(cells, path)
     _RETRAINED_BUILT[path] = fp
     return path, cent_fresh, n
 
@@ -1716,7 +1716,7 @@ def q_sim_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
             " max_id bigint, dim_sum bigint",
         )
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(index_data_dir(path))
     return (
         back.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(
@@ -1779,7 +1779,9 @@ def q_sim_serve_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not union_cells:
         return empty
-    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    scan = spark.read.parquet(index_data_dir(path)).filter(
+        F.col("cell").isin(union_cells)
+    )
     sc = (
         scan.join(
             F.broadcast(probes),
@@ -1895,7 +1897,10 @@ COMPACT_MIN_FILES = 2
 
 def _cell_fragments(path: str) -> dict[int, int]:
     """cell id -> parquet fragment count, from a directory listing (the
-    metadata-only sweep a table format's manifest gives for free)."""
+    metadata-only sweep a table format's manifest gives for free).
+    Accepts either an index ROOT (manifest-resolved to the committed
+    generation) or a flat cell-directory layout."""
+    path = index_data_dir(path)
     out: dict[int, int] = {}
     for d in sorted(os.listdir(path)):
         if d.startswith("cell="):
@@ -1919,23 +1924,31 @@ def compact_index_cells(
     one-file-per-cell guarantee comes from hash-repartitioning the
     affected rows on `cell` before the partitioned write: all of a
     cell's rows land in exactly one task, so partitionBy emits exactly
-    one file for it. Returns the compacted cell ids."""
+    one file for it. Publication is the atomic manifest commit
+    (commit_cell_swap) on manifest-rooted indexes; legacy flat roots
+    keep the in-place swap. Returns the compacted cell ids."""
     import shutil
 
+    from dist_mapreduce_spark.plans.index_commit import current_generation
+
+    data = index_data_dir(path)
     frag = sorted(
-        c for c, n in _cell_fragments(path).items() if n > min_files
+        c for c, n in _cell_fragments(data).items() if n > min_files
     )
     if not frag:
         return frag
     stage = path + "_compact_stage"
     shutil.rmtree(stage, ignore_errors=True)
-    affected = spark.read.parquet(path).filter(F.col("cell").isin(frag))
+    affected = spark.read.parquet(data).filter(F.col("cell").isin(frag))
     (
         affected.repartition(len(frag), "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(stage)
     )
+    if current_generation(path) is not None:
+        commit_cell_swap(path, stage, frag)
+        return frag
     for c in frag:
         dst = os.path.join(path, f"cell={c}")
         src = os.path.join(stage, f"cell={c}")
@@ -1987,18 +2000,25 @@ def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells_all.cache()
     try:
-        for b in range(mod):
+        # Base batch publishes generation 1; the micro-batch appends
+        # land INSIDE the current generation (Spark's job commit keeps
+        # each append all-or-nothing) — fragmenting the cells exactly
+        # as an append-heavy ingest would.
+        data = write_index_base(
+            cells_all.filter(F.col("b") == 0).drop("b"), path
+        )
+        for b in range(1, mod):
             (
                 cells_all.filter(F.col("b") == b)
                 .drop("b")
-                .write.mode("overwrite" if b == 0 else "append")
+                .write.mode("append")
                 .partitionBy("cell")
-                .parquet(path)
+                .parquet(data)
             )
     finally:
         cells_all.unpersist()
     compact_index_cells(spark, path)
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(index_data_dir(path))
     return (
         back.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(

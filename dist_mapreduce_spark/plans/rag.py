@@ -1110,14 +1110,18 @@ def build_dense_index_incr(
         return path, cent_rows, n_chunks
     is_new = F.expr(_DENSE_APPEND_PRED)
     cols = ["vec_id", "doc_id", "chunk_id", "embedding", "cell"]
-    # Overwrite clears any previous run's directory, so the append
-    # below is idempotent run-to-run (sim_index_append's discipline).
-    assign_cells(spark, cv.filter(~is_new), cent_rows).select(
-        *cols
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    from dist_mapreduce_spark.plans.index_commit import write_index_base
+
+    # The base publishes a fresh generation (manifest flip — clears
+    # any previous run, so the append below is idempotent run-to-run;
+    # sim_index_append's discipline, now crash-atomic).
+    data = write_index_base(
+        assign_cells(spark, cv.filter(~is_new), cent_rows).select(*cols),
+        path,
+    )
     assign_cells(spark, cv.filter(is_new), cent_rows).select(
         *cols
-    ).write.mode("append").partitionBy("cell").parquet(path)
+    ).write.mode("append").partitionBy("cell").parquet(data)
     _DENSE_BUILT_INCR[path] = fp
     return path, cent_rows, n_chunks
 
@@ -1157,7 +1161,9 @@ def q_dense_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
             " max_id bigint, dim_sum bigint",
         )
-    back = spark.read.parquet(path)
+    from dist_mapreduce_spark.plans.index_commit import index_data_dir
+
+    back = spark.read.parquet(index_data_dir(path))
     return (
         back.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(
@@ -1212,8 +1218,10 @@ def q_dense_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
             " max_id bigint, dim_sum bigint",
         )
+    from dist_mapreduce_spark.plans.index_commit import index_data_dir
+
     compact_index_cells(spark, path)
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(index_data_dir(path))
     return (
         back.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(
@@ -1240,8 +1248,12 @@ def q_search_dense_maxp_appended(
     (incremental base+append directories instead of one full build).
     A PASS proves serving is indifferent to HOW the cells were
     materialized — appends never change what a query retrieves."""
+    from dist_mapreduce_spark.plans.index_commit import index_data_dir
+
     path, cent_rows, n_chunks = build_dense_index_incr(spark, sf_dir)
-    return _serve_dense_pruned(spark, sf_dir, path, cent_rows, n_chunks)
+    return _serve_dense_pruned(
+        spark, sf_dir, index_data_dir(path), cent_rows, n_chunks
+    )
 
 
 # -------- dense-index delete (takedown) + upsert (edit) — round 11
@@ -1394,12 +1406,18 @@ def q_dense_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
     if not cent_rows:
         return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
+    from dist_mapreduce_spark.plans.index_commit import (
+        commit_cell_swap,
+        index_data_dir,
+        write_index_base,
+    )
+
     path = _index_dir("dense_index_del", sf_dir)
     cols = ["vec_id", "doc_id", "chunk_id", "embedding", "cell"]
     # Fresh full build each run (the demo needs a pre-delete index).
-    assign_cells(spark, cv, cent_rows).select(*cols).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    write_index_base(
+        assign_cells(spark, cv, cent_rows).select(*cols), path
+    )
     is_del = F.expr(_DENSE_DEL_DOC_PRED)
     del_cells = sorted(
         int(r["cell"])
@@ -1411,19 +1429,15 @@ def q_dense_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     if del_cells:
         stage = _index_dir("dense_index_del_stage", sf_dir)
         shutil.rmtree(stage, ignore_errors=True)
-        affected = spark.read.parquet(path).filter(
+        affected = spark.read.parquet(index_data_dir(path)).filter(
             F.col("cell").isin(del_cells)
         )
         survivors = affected.filter(~F.expr(_DENSE_DEL_DOC_PRED))
         survivors.write.mode("overwrite").partitionBy("cell").parquet(stage)
-        for c in del_cells:
-            dst = os.path.join(path, f"cell={c}")
-            src = os.path.join(stage, f"cell={c}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-        shutil.rmtree(stage, ignore_errors=True)
-    return _dense_cell_stats(spark.read.parquet(path))
+        # Atomic publish: ONE manifest flip (round-13) — a crash
+        # between cell swaps leaves the pre-delete generation current.
+        commit_cell_swap(path, stage, del_cells)
+    return _dense_cell_stats(spark.read.parquet(index_data_dir(path)))
 
 
 @query(
@@ -1463,12 +1477,18 @@ def q_dense_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
     if not cent_rows:
         return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
+    from dist_mapreduce_spark.plans.index_commit import (
+        commit_cell_swap,
+        index_data_dir,
+        write_index_base,
+    )
+
     path = _index_dir("dense_index_ups", sf_dir)
     cols = ["vec_id", "doc_id", "chunk_id", "embedding", "cell"]
     # Fresh full build each run (pre-upsert state).
-    assign_cells(spark, cv, cent_rows).select(*cols).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    write_index_base(
+        assign_cells(spark, cv, cent_rows).select(*cols), path
+    )
     is_ups = F.expr(_DENSE_UPS_DOC_PRED)
     # Re-chunk + re-encode ONLY the edited batch, from the edited text.
     edited_docs = (
@@ -1496,7 +1516,7 @@ def q_dense_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ups_cells:
         stage = _index_dir("dense_index_ups_stage", sf_dir)
         shutil.rmtree(stage, ignore_errors=True)
-        affected = spark.read.parquet(path).filter(
+        affected = spark.read.parquet(index_data_dir(path)).filter(
             F.col("cell").isin(ups_cells)
         )
         merged = affected.filter(~F.expr(_DENSE_UPS_DOC_PRED)).unionByName(
@@ -1505,14 +1525,9 @@ def q_dense_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         merged.write.mode("overwrite").partitionBy("cell").parquet(stage)
-        for c in ups_cells:
-            dst = os.path.join(path, f"cell={c}")
-            src = os.path.join(stage, f"cell={c}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-        shutil.rmtree(stage, ignore_errors=True)
-    return _dense_cell_stats(spark.read.parquet(path))
+        # Atomic publish: ONE manifest flip (round-13).
+        commit_cell_swap(path, stage, ups_cells)
+    return _dense_cell_stats(spark.read.parquet(index_data_dir(path)))
 
 
 # ----- dense-index staleness monitor + retrain (round 12, item #3)
@@ -1729,12 +1744,15 @@ def build_dense_retrained_index(
     fp = _docs_fingerprint(sf_dir)
     if _DENSE_RETRAINED_BUILT.get(path) == fp and os.path.isdir(path):
         return path, cent_fresh, n2
-    (
-        assign_cells(spark, cu, cent_fresh)
-        .select("vec_id", "doc_id", "chunk_id", "embedding", "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
+    from dist_mapreduce_spark.plans.index_commit import write_index_base
+
+    # Atomic publish (round-13): the fresh assignment lands as a new
+    # generation; a crash mid-retrain leaves the old index current.
+    write_index_base(
+        assign_cells(spark, cu, cent_fresh).select(
+            "vec_id", "doc_id", "chunk_id", "embedding", "cell"
+        ),
+        path,
     )
     _DENSE_RETRAINED_BUILT[path] = fp
     return path, cent_fresh, n2
@@ -1768,10 +1786,12 @@ def q_dense_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment scan (the GEMM stage under SPARK_GRAFT_ASSIGN=gemm —
     a retrain is exactly the full-corpus assignment the GEMM exists
     for), one partitioned write, one narrow read-back aggregate."""
+    from dist_mapreduce_spark.plans.index_commit import index_data_dir
+
     path, cent_fresh, _n2 = build_dense_retrained_index(spark, sf_dir)
     if not cent_fresh:
         return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
-    return _dense_cell_stats(spark.read.parquet(path))
+    return _dense_cell_stats(spark.read.parquet(index_data_dir(path)))
 
 
 def _dense_maintain_oracle() -> str:
@@ -1915,7 +1935,11 @@ def q_search_dense_maxp_retrained(
     )
     if not union_cells:
         return empty
-    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    from dist_mapreduce_spark.plans.index_commit import index_data_dir
+
+    scan = spark.read.parquet(index_data_dir(path)).filter(
+        F.col("cell").isin(union_cells)
+    )
     sc = (
         scan.join(
             F.broadcast(probes),

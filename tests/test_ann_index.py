@@ -643,6 +643,7 @@ def test_index_delete_removes_exactly_tombstones(spark):
         DELETE_MOD,
         DELETE_REM,
         _index_dir,
+        index_data_dir,
     )
     from dist_mapreduce_spark.sources.tables import load_table
 
@@ -652,7 +653,7 @@ def test_index_delete_removes_exactly_tombstones(spark):
     )
     back_ids = sorted(
         r["vec_id"]
-        for r in spark.read.parquet(_index_dir("ivf_index_del", SF))
+        for r in spark.read.parquet(index_data_dir(_index_dir("ivf_index_del", SF)))
         .select("vec_id")
         .collect()
     )
@@ -678,6 +679,7 @@ def test_index_upsert_replaces_exactly_batch(spark):
         UPSERT_MOD,
         UPSERT_REM,
         _index_dir,
+        index_data_dir,
     )
     from dist_mapreduce_spark.sources.tables import load_table
 
@@ -692,7 +694,7 @@ def test_index_upsert_replaces_exactly_batch(spark):
     }
     back = {
         int(r["vec_id"]): [float(v) for v in r["embedding"]]
-        for r in spark.read.parquet(_index_dir("ivf_index_ups", SF)).collect()
+        for r in spark.read.parquet(index_data_dir(_index_dir("ivf_index_ups", SF))).collect()
         if r["embedding"] is not None
     }
     assert set(back) == set(src)

@@ -420,10 +420,14 @@ def test_dense_upsert_changes_chunk_cardinality(spark, tmp_path):
         .select("vec_id", "cell")
         .collect()
     }
+    from dist_mapreduce_spark.plans.index_commit import index_data_dir
+
     got_rows = spark.read.parquet(
-        __import__(
-            "dist_mapreduce_spark.plans.ann_index", fromlist=["_index_dir"]
-        )._index_dir("dense_index_ups", sfdir)
+        index_data_dir(
+            __import__(
+                "dist_mapreduce_spark.plans.ann_index", fromlist=["_index_dir"]
+            )._index_dir("dense_index_ups", sfdir)
+        )
     )
     got = {
         int(r["vec_id"]): int(r["cell"])

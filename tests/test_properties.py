@@ -803,3 +803,44 @@ def test_knn_delete_equals_survivor_rebuild_gate_and_hot_cell(
     assert rsplit.filter(F.col("nsplit") > 1).count() >= 1
     want2 = rows_of(q_knn_graph(spark, survivor_dir(sf, "surv_hot")))
     assert rows_of(q_knn_graph_delete(spark, sf)) == want2
+
+
+def test_graph_serving_walk_stays_on_graph_edges(spark):
+    """sim_topk_graph (round-13): every served candidate must be
+    REACHABLE from its query within GRAPH_HOPS hops of the symmetrized
+    stored graph — the walk never teleports off the edge list — and
+    the recall row publishes an honest [0, 1] fraction against the
+    exact truth."""
+    from collections import defaultdict
+
+    from dist_mapreduce_spark.plans.knn_graph import (
+        GRAPH_HOPS,
+        q_knn_graph,
+        q_sim_recall_graph,
+        q_sim_topk_graph,
+    )
+
+    sf = SF_SMOKE_DIR
+    edges = defaultdict(set)
+    for r in q_knn_graph(spark, sf).collect():
+        s, d = int(r["src_id"]), int(r["dst_id"])
+        edges[s].add(d)
+        edges[d].add(s)
+    served = q_sim_topk_graph(spark, sf).collect()
+    assert served, "graph serving returned nothing"
+    by_q = defaultdict(set)
+    for r in served:
+        by_q[int(r["query_id"])].add(int(r["vec_id"]))
+    for qid, got in by_q.items():
+        frontier, reach = {qid}, set()
+        for _ in range(GRAPH_HOPS):
+            frontier = {
+                n for f in frontier for n in edges[f]
+            } - {qid}
+            reach |= frontier
+        assert got <= reach, (qid, got - reach)
+        assert qid not in got
+    rec = q_sim_recall_graph(spark, sf).collect()
+    assert len(rec) == 1
+    assert 0.0 < rec[0]["recall"] <= 1.0
+    assert rec[0]["n_hit"] <= rec[0]["n_truth"]

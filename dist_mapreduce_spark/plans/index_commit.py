@@ -59,14 +59,21 @@ import shutil
 MANIFEST_NAME = "_MANIFEST.json"  # leading "_": ignored by Spark scans
 
 
-def current_generation(root: str) -> int | None:
-    """The committed generation number, or None when ``root`` has no
+def read_manifest(root: str) -> dict | None:
+    """The committed manifest dict, or None when ``root`` has no
     manifest (uninitialized, or a legacy flat-layout index)."""
     try:
         with open(os.path.join(root, MANIFEST_NAME)) as fh:
-            return int(json.load(fh)["gen"])
+            man = json.load(fh)
+        int(man["gen"])
+        return man
     except (OSError, ValueError, KeyError):
         return None
+
+
+def current_generation(root: str) -> int | None:
+    man = read_manifest(root)
+    return None if man is None else int(man["gen"])
 
 
 def index_data_dir(root: str) -> str:
@@ -76,13 +83,17 @@ def index_data_dir(root: str) -> str:
     return root if gen is None else os.path.join(root, f"gen-{gen}")
 
 
-def _flip_manifest(root: str, gen: int) -> None:
+def _flip_manifest(root: str, gen: int, extra: dict | None = None) -> None:
     """THE commit: write-temp + fsync + atomic replace of the one
     manifest file. Everything before this is invisible to readers;
-    everything after is cleanup."""
+    everything after is cleanup. ``extra`` carries protocol-specific
+    fields (the LSM store's folded_through watermark)."""
+    man = {"gen": gen}
+    if extra:
+        man.update(extra)
     tmp = os.path.join(root, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"gen": gen}, fh)
+        json.dump(man, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(root, MANIFEST_NAME))
@@ -182,3 +193,115 @@ def commit_cell_swap(
     _gc_generations(root, keep=new)
     shutil.rmtree(stage, ignore_errors=True)
     return os.path.join(root, f"gen-{new}")
+
+
+# ------------------------- LSM run-store compaction (round 13, item #3)
+#
+# The streamed merge-on-read artifacts (stream_dedup_incremental's
+# per-batch fingerprint runs, stream_sketch_cms's partial-counter
+# runs) accumulate one ``ingest_batch=<id>`` run directory per
+# micro-batch forever; merge-on-read cost degrades linearly in batches
+# ingested. This section is the promised maintenance pass
+# (llm_pipeline's docstring), built on the SAME manifest commit:
+#
+# - the store root carries the manifest; the streaming sink writes its
+#   dynamic-overwrite runs into the CURRENT generation dir
+#   (lsm_run_dir);
+# - compaction folds every live run into ONE base run (written as
+#   ``ingest_batch=-1`` in the NEXT generation) and flips the manifest
+#   with a ``folded_through`` watermark = the highest batch id folded;
+# - readers (lsm_read) take the base plus runs ABOVE the watermark.
+#   That watermark is what keeps ingest-after-compact idempotent for
+#   NON-idempotent folds (CMS counters SUM): a crashed micro-batch
+#   replayed after its run was folded rewrites ``ingest_batch=b`` with
+#   b <= folded_through, which readers ignore — the rows are already
+#   in the base, and counting them twice is exactly the bug the
+#   watermark exists to prevent.
+#
+# A crash anywhere inside lsm_compact leaves the old manifest current:
+# the new generation dir is unreferenced until the flip (the
+# commit_cell_swap guarantee, applied to run folding).
+
+#: The base run's ingest_batch id. Micro-batch ids are >= 0, so -1 can
+#: never collide with a live run.
+LSM_BASE_BATCH = -1
+
+
+def lsm_run_dir(root: str) -> str:
+    """Resolve (initializing on first use) the directory a streaming
+    sink writes its ``ingest_batch=<id>`` runs into — the current
+    generation of the manifest-rooted store."""
+    if current_generation(root) is None:
+        gen_dir = os.path.join(root, "gen-1")
+        os.makedirs(gen_dir, exist_ok=True)
+        _flip_manifest(root, 1, {"folded_through": None})
+    return index_data_dir(root)
+
+
+def lsm_folded_through(root: str) -> int | None:
+    man = read_manifest(root) or {}
+    ft = man.get("folded_through")
+    return None if ft is None else int(ft)
+
+
+def lsm_read(spark, root: str):
+    """The merge-on-read view: base run + every run ABOVE the
+    folded_through watermark. Runs at or below the watermark are
+    replayed ghosts — their content is already inside the base."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(index_data_dir(root))
+    ft = lsm_folded_through(root)
+    if ft is not None:
+        df = df.filter(
+            (F.col("ingest_batch") == LSM_BASE_BATCH)
+            | (F.col("ingest_batch") > ft)
+        )
+    return df
+
+
+def lsm_live_runs(root: str) -> list[int]:
+    """Run ids a reader currently merges (directory listing only)."""
+    ft = lsm_folded_through(root)
+    data = index_data_dir(root)
+    out = []
+    for d in os.listdir(data):
+        if d.startswith("ingest_batch="):
+            b = int(d.split("=", 1)[1])
+            if b == LSM_BASE_BATCH or ft is None or b > ft:
+                out.append(b)
+    return sorted(out)
+
+
+def lsm_compact(
+    spark, root: str, fold, _fail_before_flip: bool = False
+) -> int | None:
+    """Fold every live run into ONE base run published as the next
+    generation (atomic manifest flip; old generation intact until
+    then, GC'd after). ``fold`` maps the merged run frame (without
+    ingest_batch) to the folded frame with the same columns — min for
+    fingerprint indexes, sum for CMS counters. Returns the new
+    folded_through watermark. ``_fail_before_flip`` is the
+    crash-injection hook for the kill-mid-compact test."""
+    from pyspark.sql import functions as F
+
+    cur = current_generation(root)
+    if cur is None:
+        raise ValueError(f"lsm_compact: {root} has no manifest")
+    live = lsm_read(spark, root)
+    real = [b for b in lsm_live_runs(root) if b != LSM_BASE_BATCH]
+    new_ft = max(real) if real else lsm_folded_through(root)
+    base = fold(live.drop("ingest_batch")).withColumn(
+        "ingest_batch", F.lit(LSM_BASE_BATCH)
+    )
+    new = cur + 1
+    gen_dir = os.path.join(root, f"gen-{new}")
+    base.write.mode("overwrite").partitionBy("ingest_batch").parquet(gen_dir)
+    if _fail_before_flip:
+        raise RuntimeError(
+            "lsm_compact: injected crash before the manifest flip"
+            " (test hook)"
+        )
+    _flip_manifest(root, new, {"folded_through": new_ft})
+    _gc_generations(root, keep=new)
+    return new_ft

@@ -2988,6 +2988,67 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------ streaming incremental dedup
 
+
+def _dedup_stream_paths(sf_dir: str) -> tuple[str, str, str]:
+    """(stage, checkpoint, runs-root) for the streamed fingerprint
+    index — shared by the ingest row and the LSM compaction row."""
+    import hashlib as _hl
+
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    scratch = scratch_root()
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return (
+        os.path.join(scratch, f"dedup_stream_stage_{tag}"),
+        os.path.join(scratch, f"dedup_stream_ckpt_{tag}"),
+        os.path.join(scratch, f"dedup_stream_runs_{tag}"),
+    )
+
+
+def _dedup_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted corpus-side artifact: fp -> stable canonical."""
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.normalized_fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
+    )
+    return (
+        fp.filter(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canon"))
+    )
+
+
+def _dedup_incr_verdicts(
+    spark: SparkSession, stage: str, idx: DataFrame, in_batch: DataFrame
+) -> DataFrame:
+    """Verdict assembly over the staged batch + the two narrow
+    fp-indexes — identical for the freshly-drained and the compacted
+    run store (that identity IS lsm_compact_dedup's proof)."""
+    batch = spark.read.parquet(stage)
+    return (
+        batch.join(idx, "fp", "left")
+        .join(in_batch, "fp")
+        .select(
+            "doc_id",
+            F.when(F.col("canon").isNotNull(), F.lit("dup_of_corpus"))
+            .when(
+                F.col("doc_id") > F.col("first_in_batch"),
+                F.lit("dup_in_batch"),
+            )
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.when(F.col("canon").isNotNull(), F.col("canon"))
+            .when(
+                F.col("doc_id") > F.col("first_in_batch"),
+                F.col("first_in_batch"),
+            )
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )
+
+
 @query("stream_dedup_incremental", oracle=_ORACLES["dedup_incremental"])
 def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ingest dedup — the live form of dedup_incremental,
@@ -3009,25 +3070,24 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained index is INDEPENDENT of arrival order and replay
     count; that is why the oracle is dedup_incremental's VERBATIM (the
     one-shot batch semantics) and the value-hash compare proves the
-    streamed path reproduces it bit-for-bit. (A production deployment
-    periodically compacts the run directories — the operation
-    sim_index_compact already proves content-invariant.)
+    streamed path reproduces it bit-for-bit. Round 13: the run store
+    is manifest-rooted (plans/index_commit.py's LSM protocol) and
+    lsm_compact_dedup is the periodic maintenance pass that folds the
+    runs to one base — no longer a docstring promise.
 
     Scale shape: per micro-batch cost ∝ batch size (one map to
     fingerprints + one narrow (fp, min) aggregate); the corpus is
     never re-scanned at ingest — its side is the persisted (fp, canon)
     index. Verdict assembly joins the staged batch rows against two
     narrow indexes, both fp-equi-joins."""
-    import hashlib as _hl
     import shutil
 
-    from dist_mapreduce_spark.scratch import scratch_root
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_read,
+        lsm_run_dir,
+    )
 
-    scratch = scratch_root()
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    stage = os.path.join(scratch, f"dedup_stream_stage_{tag}")
-    ckpt = os.path.join(scratch, f"dedup_stream_ckpt_{tag}")
-    runs = os.path.join(scratch, f"dedup_stream_runs_{tag}")
+    stage, ckpt, runs = _dedup_stream_paths(sf_dir)
     for d in (stage, ckpt, runs):
         shutil.rmtree(d, ignore_errors=True)
 
@@ -3036,15 +3096,11 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.normalized_fingerprint(F.col("text")).alias("fp"),
         (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
     )
-    # The persisted corpus-side artifact: fp -> stable canonical.
-    idx = (
-        fp.filter(~F.col("is_new"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("canon"))
-    )
+    idx = _dedup_corpus_index(spark, sf_dir)
     # Stage the new slice as 3 files -> 3 micro-batches.
     arrivals = fp.filter(F.col("is_new")).select("doc_id", "fp")
     arrivals.repartition(3).write.mode("overwrite").parquet(stage)
+    runs_data = lsm_run_dir(runs)  # manifest-rooted run store
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -3054,7 +3110,7 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
-            .parquet(runs)
+            .parquet(runs_data)
         )
 
     q = (
@@ -3077,31 +3133,57 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     in_batch = (
-        spark.read.parquet(runs)
+        lsm_read(spark, runs)
         .groupBy("fp")
         .agg(F.min("min_id").alias("first_in_batch"))
     )
-    batch = spark.read.parquet(stage)
-    return (
-        batch.join(idx, "fp", "left")
-        .join(in_batch, "fp")
-        .select(
-            "doc_id",
-            F.when(F.col("canon").isNotNull(), F.lit("dup_of_corpus"))
-            .when(
-                F.col("doc_id") > F.col("first_in_batch"), F.lit("dup_in_batch")
-            )
-            .otherwise(F.lit("unique"))
-            .alias("status"),
-            F.when(F.col("canon").isNotNull(), F.col("canon"))
-            .when(
-                F.col("doc_id") > F.col("first_in_batch"),
-                F.col("first_in_batch"),
-            )
-            .cast("long")
-            .alias("canonical_id"),
-        )
+    return _dedup_incr_verdicts(spark, stage, idx, in_batch)
+
+
+@query("lsm_compact_dedup", oracle=_ORACLES["dedup_incremental"])
+def q_lsm_compact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM RUN COMPACTION for the streamed fingerprint index — the
+    maintenance pass stream_dedup_incremental's docstring promised
+    (round-13 verdict item #3). The ingest leaves one run directory
+    per micro-batch and merge-on-read cost grows linearly in batches;
+    this op folds every live run into ONE base run (groupBy(fp).min —
+    the same fold the reader performs, so folding is associative
+    composition, provably content-invariant) published as a new
+    generation with an ATOMIC manifest flip (plans/index_commit.py's
+    lsm_compact; a crash mid-compact leaves the old run set current).
+    The manifest's folded_through watermark keeps post-compact ingest
+    exactly-once: a crashed micro-batch replayed after its run was
+    folded rewrites an ingest_batch the READER ignores.
+
+    The oracle is dedup_incremental's VERBATIM — the drained verdicts
+    off the compacted store must be bit-equal to the one-shot batch
+    semantics, exactly the contract the un-compacted stream row
+    passes. Run-count collapse + replay idempotence are pytest-pinned.
+
+    Scale shape: the fold reads only run rows (narrow fp/min pairs —
+    never documents), writes one base run; at 100 TB this is the
+    off-peak cron the dedup fleet schedules, cost ∝ distinct
+    fingerprints in the runs, not corpus size."""
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_compact,
+        lsm_read,
     )
+
+    # Fresh ingest (the stream executes synchronously inside).
+    q_stream_dedup_incremental(spark, sf_dir)
+    stage, _ckpt, runs = _dedup_stream_paths(sf_dir)
+    lsm_compact(
+        spark,
+        runs,
+        lambda df: df.groupBy("fp").agg(F.min("min_id").alias("min_id")),
+    )
+    in_batch = (
+        lsm_read(spark, runs)
+        .groupBy("fp")
+        .agg(F.min("min_id").alias("first_in_batch"))
+    )
+    idx = _dedup_corpus_index(spark, sf_dir)
+    return _dedup_incr_verdicts(spark, stage, idx, in_batch)
 
 
 # ----------------------------------------------------- data-mix report

@@ -131,3 +131,107 @@ def test_manifest_is_ignored_by_spark_scan(spark, tmp_path):
     ]
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+# --------------------- LSM run-store compaction (round 13, item #3)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_lsm_compact_dedup_collapses_runs_and_preserves_verdicts(spark):
+    """The fingerprint index's maintenance pass: run directories
+    collapse to the single base run while the drained verdicts stay
+    bit-equal to the pre-compact stream's."""
+    from dist_mapreduce_spark.plans.index_commit import lsm_live_runs
+    from dist_mapreduce_spark.plans.llm_pipeline import (
+        _dedup_stream_paths,
+        q_lsm_compact_dedup,
+        q_stream_dedup_incremental,
+    )
+
+    before = sorted(
+        tuple(r) for r in q_stream_dedup_incremental(spark, SF_SMOKE).collect()
+    )
+    _stage, _ckpt, runs = _dedup_stream_paths(SF_SMOKE)
+    assert len(lsm_live_runs(runs)) > 1, "ingest must leave several runs"
+    after = sorted(
+        tuple(r) for r in q_lsm_compact_dedup(spark, SF_SMOKE).collect()
+    )
+    assert lsm_live_runs(runs) == [-1], "compaction must fold to ONE base"
+    assert before == after
+
+
+def test_lsm_compact_cms_crash_then_replay_stays_exactly_once(spark):
+    """The SUM-fold (non-idempotent) case end-to-end: a crash injected
+    before the manifest flip leaves the old run set current; a clean
+    compact folds to one base; a micro-batch REPLAYED after its run
+    was folded (the sink rewriting ingest_batch=0 into the live
+    generation) is ignored by readers via the folded_through watermark
+    — drained counters identical throughout."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        current_generation,
+        index_data_dir,
+        lsm_compact,
+        lsm_live_runs,
+        lsm_read,
+    )
+    from dist_mapreduce_spark.plans.sketches import (
+        _cms_stream_paths,
+        q_stream_sketch_cms,
+    )
+
+    q_stream_sketch_cms(spark, SF_SMOKE).collect()
+    _stage, _ckpt, runs = _cms_stream_paths(SF_SMOKE)
+    runs_live = lsm_live_runs(runs)
+    assert len([b for b in runs_live if b >= 0]) > 1
+
+    def drained():
+        return sorted(
+            (int(r["d"]), int(r["w"]), int(r["c"]))
+            for r in lsm_read(spark, runs)
+            .groupBy("d", "w")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .collect()
+        )
+
+    want = drained()
+    fold = lambda df: df.groupBy("d", "w").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    gen0 = current_generation(runs)
+    # Keep batch 0's run content for the replay simulation below.
+    batch0 = [
+        tuple(r)
+        for r in spark.read.parquet(index_data_dir(runs))
+        .filter(F.col("ingest_batch") == 0)
+        .collect()
+    ]
+    assert batch0
+    # Crash before the flip: old generation stays current, counters
+    # unchanged, no double-count from the half-written base.
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        lsm_compact(spark, runs, fold, _fail_before_flip=True)
+    assert current_generation(runs) == gen0
+    assert drained() == want
+    # Clean compact: one base run, counters bit-equal.
+    ft = lsm_compact(spark, runs, fold)
+    assert ft == max(b for b in runs_live if b >= 0)
+    assert lsm_live_runs(runs) == [-1]
+    assert drained() == want
+    # Replay ghost: the sink rewrites batch 0 into the LIVE generation
+    # (exactly what a crashed-then-restarted stream would do). The
+    # reader must ignore it — its counts are already inside the base.
+    cols = ["d", "w", "c", "ingest_batch"]
+    (
+        spark.createDataFrame(batch0, "d int, w int, c long, ingest_batch int")
+        .select(*cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(index_data_dir(runs))
+    )
+    assert lsm_live_runs(runs) == [-1]
+    assert drained() == want

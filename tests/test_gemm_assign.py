@@ -235,8 +235,13 @@ def test_kmeans_gemm_assignment_bit_identical(spark):
     }
     assert lit2 == gem2 == {1: 0, 2: 0, 3: 0}
 
-    # Full training run: centroids list-equal under both modes.
-    want = train_kmeans_centroids_df(emb, 13)
+    # Full training run: centroids list-equal under both modes
+    # (explicit env pins — the process default is gemm since r13).
+    os.environ[ASSIGN_MODE_ENV] = "literal"
+    try:
+        want = train_kmeans_centroids_df(emb, 13)
+    finally:
+        os.environ.pop(ASSIGN_MODE_ENV, None)
     os.environ[ASSIGN_MODE_ENV] = "gemm"
     try:
         got = train_kmeans_centroids_df(emb, 13)
@@ -369,10 +374,17 @@ def test_knn_graph_gemm_equals_literal(spark):
     )
     from dist_mapreduce_spark.plans.similarity import ASSIGN_MODE_ENV
 
-    lit = sorted(tuple(r) for r in q_knn_graph(spark, SF_SMOKE).collect())
-    litc = sorted(
-        tuple(r) for r in q_knn_graph_collapsed(spark, SF_SMOKE).collect()
-    )
+    os.environ[ASSIGN_MODE_ENV] = "literal"
+    try:
+        lit = sorted(
+            tuple(r) for r in q_knn_graph(spark, SF_SMOKE).collect()
+        )
+        litc = sorted(
+            tuple(r)
+            for r in q_knn_graph_collapsed(spark, SF_SMOKE).collect()
+        )
+    finally:
+        os.environ.pop(ASSIGN_MODE_ENV, None)
     os.environ[ASSIGN_MODE_ENV] = "gemm"
     try:
         gem = sorted(
@@ -421,7 +433,7 @@ def test_gemm_block_candidates_superset_with_degenerates(spark):
     )
     lit = sorted(
         (int(r["src_id"]), int(r["dst_id"]), r["score"])
-        for r in pair_scores(res, df).collect()
+        for r in pair_scores(res, df, mode="literal").collect()
     )
     os.environ[ASSIGN_MODE_ENV] = "gemm"
     try:
@@ -482,7 +494,9 @@ def test_gemm_small_finite_block_no_self_pairs(spark):
     }
     assert cand, "pre-selection must keep the finite pairs"
     assert not any(s == d for s, d in cand), "self-pairs leaked"
-    lit = sorted(tuple(r) for r in pair_scores(res, df).collect())
+    lit = sorted(
+        tuple(r) for r in pair_scores(res, df, mode="literal").collect()
+    )
     os.environ[ASSIGN_MODE_ENV] = "gemm"
     try:
         gem = sorted(tuple(r) for r in pair_scores(res, df).collect())

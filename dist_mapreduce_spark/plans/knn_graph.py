@@ -285,32 +285,58 @@ _KNN_RES_CTES = (
 _GEMM_PAIR_EPS = 1e-9
 
 
-def _gemm_block_candidates(res: DataFrame) -> DataFrame:
+def _gemm_block_candidates(
+    res: DataFrame,
+    pair_mask: str | None = None,
+    flag_col: str | None = None,
+) -> DataFrame:
     """DISTINCT (src_id, dst_id) candidate pairs: per (rcell, sub)
-    block, each source's top-KNN_K cohabitants by a blockwise GEMM
-    cosine, widened by the _GEMM_PAIR_EPS guard band — the pairs the
-    exact top-K can possibly contain, selected at BLAS speed instead
-    of scoring every in-block pair with the per-pair JVM expression
-    fold (the round-12 verdict's last 100×-scale heavy job).
+    block, each source's top-KNN_K ALLOWED cohabitants by a blockwise
+    GEMM cosine, widened by the _GEMM_PAIR_EPS guard band — the pairs
+    the exact top-K can possibly contain, selected at BLAS speed
+    instead of scoring every in-block pair with the per-pair JVM
+    expression fold (the round-12 verdict's last 100×-scale heavy
+    job).
+
+    ``pair_mask`` restricts the candidate pool (round 13 — the
+    lifecycle ops' incremental stages ride the same BLAS kernel):
+    - None: every non-self cohabitant pair (the full build).
+    - "either" (with boolean ``flag_col``): only pairs where EITHER
+      side is flagged — knn_graph_append's batch-involving pairs. A
+      flagged source ranks against all cohabitants; an unflagged one
+      ranks against flagged cohabitants only (its other candidates are
+      already in the stored base graph — the merge lemma).
+    - "src" (with boolean ``flag_col``): only FLAGGED sources emit
+      candidates, each against all cohabitants — the affected-source
+      full re-derive of append/delete.
 
     Exactness contract (the selected set is a SUPERSET of the exact
-    build's winning edges, which are then exact-rescored):
+    computation's winning edges under the same pair predicate, which
+    are then exact-rescored):
     - finite GEMM scores: per source, everything within EPS of the
-      in-block kth best is kept — covers every exact-score winner and
-      every boundary tie (see _GEMM_PAIR_EPS).
+      source's kth-best ALLOWED score is kept — covers every exact
+      winner and every boundary tie (see _GEMM_PAIR_EPS). The final
+      per-source top-K over (stored edges ∪ allowed pairs) can contain
+      at most K allowed pairs, each necessarily within the allowed
+      pool's own top-K — so pool-local pre-selection is sufficient.
     - non-finite GEMM scores (a zero-norm vector divides to ±inf/NaN;
       a NaN element propagates): the exact score is NULL or NaN there,
       whose ordering (NaN first, NULL last, dst tiebreak) the GEMM
-      cannot reproduce — so ALL such pairs are kept and the exact
-      rescore orders them. Conservative: only degenerate vectors pay.
+      cannot reproduce — so ALL such allowed pairs are kept and the
+      exact rescore orders them. Conservative: only degenerate
+      vectors pay.
     - rows numpy cannot stack (ragged length, NULL elements): every
-      pair involving them is kept, both directions, same reasoning.
+      ALLOWED pair involving them is kept, both directions, same
+      reasoning.
 
     Plan: one shuffle of the res frame on (rcell, sub) — the SAME key
     the literal path's self-join hashes on — then one Arrow stage per
     block; output is ~N·R·K narrow id pairs, never the m² score rows."""
     import numpy as _np
     import pandas as _pd
+
+    if pair_mask is not None and flag_col is None:
+        raise ValueError("_gemm_block_candidates: pair_mask needs flag_col")
 
     K = KNN_K
     EPS = _GEMM_PAIR_EPS
@@ -326,6 +352,12 @@ def _gemm_block_candidates(res: DataFrame) -> DataFrame:
         if m < 2:
             return empty
         vids = pdf["vec_id"].to_numpy(dtype=_np.int64)
+        if pair_mask is not None:
+            flags = (
+                pdf[flag_col].fillna(False).to_numpy(dtype=bool)
+            )
+        else:
+            flags = None
         arrs = []
         for v in pdf["embedding"]:
             if v is None:
@@ -354,26 +386,41 @@ def _gemm_block_candidates(res: DataFrame) -> DataFrame:
             with _np.errstate(divide="ignore", invalid="ignore"):
                 G = (V @ V.T) / nrm[None, :] / nrm[:, None]
             diag = _np.eye(c, dtype=bool)
-            finite = _np.isfinite(G) & ~diag
-            if bool((finite | diag).all()):
-                # Fast path (the whole corpus, in practice): all
-                # off-diagonal scores finite → fully vectorized
-                # per-row kth + guard band.
-                G2 = _np.where(diag, -_np.inf, G)
-                if c - 1 <= K:
-                    kth = _np.full(c, -_np.inf)
+            # allowed[i, j]: is (i -> j) inside the candidate pool?
+            # The diagonal is ALWAYS masked (the literal predicate's
+            # vec_id != vec_id — the round-13 self-pair fix).
+            allowed = ~diag
+            if flags is not None:
+                fb = flags[clean]
+                if pair_mask == "either":
+                    allowed = allowed & (fb[:, None] | fb[None, :])
+                elif pair_mask == "src":
+                    allowed = allowed & fb[:, None]
                 else:
-                    kth = _np.partition(G2, c - 1 - K, axis=1)[:, c - 1 - K]
-                # Mask the diagonal EXPLICITLY: when c-1 <= K the kth
-                # sentinel is -inf and the diagonal's -inf satisfies
-                # `-inf >= -inf - EPS`, which would emit self-pairs
-                # (score 1.0, rank 1) that the literal path's
-                # vec_id != vec_id join predicate never produces.
-                keep = (G2 >= (kth[:, None] - EPS)) & ~diag
+                    raise ValueError(f"unknown pair_mask {pair_mask!r}")
+            finite_ok = _np.isfinite(G) | ~allowed
+            if bool(finite_ok.all()):
+                # Fast path (the whole corpus, in practice): every
+                # ALLOWED score finite → fully vectorized per-row kth
+                # + guard band over the masked score matrix.
+                G2 = _np.where(allowed, G, -_np.inf)
+                kth = _np.full(c, -_np.inf)
+                if c - 1 > K:
+                    cnt = allowed.sum(axis=1)
+                    rows = cnt > K
+                    if bool(rows.any()):
+                        # (K+1)-th largest of the c-entry masked row —
+                        # an allowed value whenever cnt > K (the
+                        # -inf fill sorts below every allowed score).
+                        kth[rows] = _np.partition(
+                            G2[rows], c - 1 - K, axis=1
+                        )[:, c - 1 - K]
+                keep = (G2 >= (kth[:, None] - EPS)) & allowed
                 ii, jj = _np.nonzero(keep)
                 srcs.append(cvids[ii])
                 dsts.append(cvids[jj])
             else:
+                finite = _np.isfinite(G) & allowed
                 for i in range(c):
                     row = G[i]
                     fj = _np.nonzero(finite[i])[0]
@@ -387,21 +434,33 @@ def _gemm_block_candidates(res: DataFrame) -> DataFrame:
                         sel = fj[row[fj] >= kth - EPS]
                         srcs.append(_np.full(sel.size, cvids[i]))
                         dsts.append(cvids[sel])
-                    nf = _np.nonzero(~finite[i] & ~diag[i])[0]
+                    nf = _np.nonzero(~finite[i] & allowed[i])[0]
                     if nf.size:
                         srcs.append(_np.full(nf.size, cvids[i]))
                         dsts.append(cvids[nf])
         if odd:
-            # Every pair touching an un-stackable row, both directions
-            # (exact scores there are NULL/NaN — ordering is the exact
-            # rescore's job).
+            # Every ALLOWED pair touching an un-stackable row, both
+            # directions (exact scores there are NULL/NaN — ordering
+            # is the exact rescore's job).
             others = _np.arange(m)
             for o in odd:
-                mask = others != o
-                srcs.append(_np.full(int(mask.sum()), vids[o]))
-                dsts.append(vids[others[mask]])
-                srcs.append(vids[others[mask]])
-                dsts.append(_np.full(int(mask.sum()), vids[o]))
+                nself = others != o
+                if flags is None:
+                    out_dst = others[nself]
+                    in_src = others[nself]
+                elif pair_mask == "either":
+                    pool = nself if flags[o] else (nself & flags)
+                    out_dst = others[pool]
+                    in_src = others[pool]
+                else:  # "src"
+                    out_dst = others[nself] if flags[o] else others[:0]
+                    in_src = others[nself & flags]
+                if out_dst.size:
+                    srcs.append(_np.full(out_dst.size, vids[o]))
+                    dsts.append(vids[out_dst])
+                if in_src.size:
+                    srcs.append(vids[in_src])
+                    dsts.append(_np.full(in_src.size, vids[o]))
         if not srcs:
             return empty
         return _pd.DataFrame(
@@ -415,6 +474,27 @@ def _gemm_block_candidates(res: DataFrame) -> DataFrame:
         res.groupBy("rcell", "sub")
         .applyInPandas(lambda _k, pdf: _blk(pdf), "src_id long, dst_id long")
         .distinct()
+    )
+
+
+def _exact_pair_rescore(cand: DataFrame, vecs: DataFrame) -> DataFrame:
+    """Exact (literal-fold) cosine for surviving candidate id pairs by
+    id-join against the vector frame — the rescore stage every GEMM
+    pre-selection feeds (bit-identical scores by construction)."""
+    va = vecs.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("va")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("dst_id"), F.col("embedding").alias("vb")
+    )
+    return (
+        cand.join(va, "src_id")
+        .join(vb, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            F.expr(cosine_spark_sql("va", "vb")).alias("score"),
+        )
     )
 
 
@@ -440,22 +520,7 @@ def pair_scores(
     from dist_mapreduce_spark.plans.similarity import assign_mode
 
     if (mode or assign_mode()) == "gemm":
-        cand = _gemm_block_candidates(res)
-        va = vecs.select(
-            F.col("vec_id").alias("src_id"), F.col("embedding").alias("va")
-        )
-        vb = vecs.select(
-            F.col("vec_id").alias("dst_id"), F.col("embedding").alias("vb")
-        )
-        return (
-            cand.join(va, "src_id")
-            .join(vb, "dst_id")
-            .select(
-                "src_id",
-                "dst_id",
-                F.expr(cosine_spark_sql("va", "vb")).alias("score"),
-            )
-        )
+        return _exact_pair_rescore(_gemm_block_candidates(res), vecs)
     a, b = res.alias("a"), res.alias("b")
     return (
         a.join(
@@ -756,6 +821,56 @@ def _knn_batch_pred():
     )
 
 
+def _rederive_sources(
+    res: DataFrame, aff_srcs: DataFrame, vecs: DataFrame, mode: str
+) -> DataFrame:
+    """Full candidate re-derive for the AFFECTED sources of an
+    incremental graph mutation: every (affected src, cohabitant) pair
+    under the given blocking, exact-scored. GEMM mode restricts the
+    kernel to blocks that actually contain an affected source and
+    pre-selects each affected source's top-K at BLAS speed (the "src"
+    mask), then exact-rescores — cost ∝ affected blocks, never the
+    corpus; literal mode is the per-pair fold the oracle replays."""
+    if mode == "gemm":
+        flagged = res.join(
+            aff_srcs, res["vec_id"] == aff_srcs["src_id"], "semi"
+        )
+        blocks = flagged.select("rcell", "sub").distinct()
+        mark = aff_srcs.withColumn("aff", F.lit(True))
+        res_aff = (
+            res.join(blocks, ["rcell", "sub"])
+            .join(mark, res["vec_id"] == mark["src_id"], "left")
+            .select(
+                "vec_id",
+                "embedding",
+                "rcell",
+                "sub",
+                F.coalesce("aff", F.lit(False)).alias("aff"),
+            )
+        )
+        return _exact_pair_rescore(
+            _gemm_block_candidates(res_aff, pair_mask="src", flag_col="aff"),
+            vecs,
+        )
+    ga, gb = res.alias("ga"), res.alias("gb")
+    return (
+        ga.join(aff_srcs, F.col("ga.vec_id") == F.col("src_id"), "semi")
+        .join(
+            gb,
+            (F.col("ga.rcell") == F.col("gb.rcell"))
+            & (F.col("ga.sub") == F.col("gb.sub"))
+            & (F.col("ga.vec_id") != F.col("gb.vec_id")),
+        )
+        .select(
+            F.col("ga.vec_id").alias("src_id"),
+            F.col("gb.vec_id").alias("dst_id"),
+            F.expr(cosine_spark_sql("ga.embedding", "gb.embedding")).alias(
+                "score"
+            ),
+        )
+    )
+
+
 @query("knn_graph_append", oracle=_knn_oracle())
 def q_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL kNN-graph maintenance — the lifecycle op the graph
@@ -833,51 +948,50 @@ def q_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         else None
     )
     # Batch-involving pairs in UNAFFECTED blocks (both directions come
-    # from the OR — the join emits (base,batch), (batch,base), and
-    # (batch,batch) rows).
+    # from the OR — the predicate admits (base,batch), (batch,base),
+    # and (batch,batch) rows). GEMM mode (round 13): the either-flagged
+    # mask pre-selects each source's top-K of ITS allowed pool at BLAS
+    # speed (a batch source ranks against all cohabitants, a base
+    # source against batch cohabitants only — its other candidates are
+    # already in g_base), then exact-rescores survivors — before this
+    # the batch-pair stage was a literal per-pair fold and the ×50
+    # gemm-mode append cost 132.8 s against a 15.3 s rebuild.
+    from dist_mapreduce_spark.plans.similarity import assign_mode
+
+    mode = assign_mode()
     res_un = res_g.filter(~F.col("rcell").isin(affected_cells)).withColumn(
         "isb", is_batch
     )
-    a, b = res_un.alias("a"), res_un.alias("b")
-    scored_new = (
-        a.join(
-            b,
-            (F.col("a.rcell") == F.col("b.rcell"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.vec_id") != F.col("b.vec_id"))
-            & (F.col("a.isb") | F.col("b.isb")),
+    if mode == "gemm":
+        scored_new = _exact_pair_rescore(
+            _gemm_block_candidates(res_un, pair_mask="either", flag_col="isb"),
+            emb,
         )
-        .select(
-            F.col("a.vec_id").alias("src_id"),
-            F.col("b.vec_id").alias("dst_id"),
-            F.expr(cosine_spark_sql("a.embedding", "b.embedding")).alias(
-                "score"
-            ),
+    else:
+        a, b = res_un.alias("a"), res_un.alias("b")
+        scored_new = (
+            a.join(
+                b,
+                (F.col("a.rcell") == F.col("b.rcell"))
+                & (F.col("a.sub") == F.col("b.sub"))
+                & (F.col("a.vec_id") != F.col("b.vec_id"))
+                & (F.col("a.isb") | F.col("b.isb")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src_id"),
+                F.col("b.vec_id").alias("dst_id"),
+                F.expr(cosine_spark_sql("a.embedding", "b.embedding")).alias(
+                    "score"
+                ),
+            )
         )
-    )
     merged = g_base.unionByName(scored_new)
     if aff_srcs is not None:
         # Affected sources: full re-derive of their candidate pairs
         # under the grown blocking (their unaffected-cell blocks too —
         # a source's top-K spans all its residency blocks).
         merged = merged.join(aff_srcs, "src_id", "left_anti")
-        ga, gb = res_g.alias("ga"), res_g.alias("gb")
-        fresh = (
-            ga.join(aff_srcs, F.col("ga.vec_id") == F.col("src_id"), "semi")
-            .join(
-                gb,
-                (F.col("ga.rcell") == F.col("gb.rcell"))
-                & (F.col("ga.sub") == F.col("gb.sub"))
-                & (F.col("ga.vec_id") != F.col("gb.vec_id")),
-            )
-            .select(
-                F.col("ga.vec_id").alias("src_id"),
-                F.col("gb.vec_id").alias("dst_id"),
-                F.expr(
-                    cosine_spark_sql("ga.embedding", "gb.embedding")
-                ).alias("score"),
-            )
-        )
+        fresh = _rederive_sources(res_g, aff_srcs, emb, mode)
         merged = merged.unionByName(fresh)
     return (
         merged.distinct()
@@ -1022,23 +1136,9 @@ def q_knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = g_full.join(
         del_ids, g_full["src_id"] == del_ids["del_id"], "left_anti"
     ).join(aff, "src_id", "left_anti")
-    ga, gb = res_s.alias("ga"), res_s.alias("gb")
-    fresh = (
-        ga.join(aff, F.col("ga.vec_id") == F.col("src_id"), "semi")
-        .join(
-            gb,
-            (F.col("ga.rcell") == F.col("gb.rcell"))
-            & (F.col("ga.sub") == F.col("gb.sub"))
-            & (F.col("ga.vec_id") != F.col("gb.vec_id")),
-        )
-        .select(
-            F.col("ga.vec_id").alias("src_id"),
-            F.col("gb.vec_id").alias("dst_id"),
-            F.expr(cosine_spark_sql("ga.embedding", "gb.embedding")).alias(
-                "score"
-            ),
-        )
-    )
+    from dist_mapreduce_spark.plans.similarity import assign_mode
+
+    fresh = _rederive_sources(res_s, aff, surv, assign_mode())
     return (
         keep.unionByName(fresh)
         .distinct()

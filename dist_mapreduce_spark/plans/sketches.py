@@ -427,106 +427,35 @@ import dist_mapreduce_spark.plans.relational  # noqa: E402,F401
 from dist_mapreduce_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
 
 
-@query("stream_sketch_hll", oracle=_ORACLES["sketch_hll"])
-def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING HyperLogLog maintenance — the live form of sketch_hll
-    and the third streamed merge-on-read index after
-    stream_index_append (cells) and stream_dedup_incremental (min-fold
-    fingerprints): events arrive in micro-batches, each batch writes
-    its per-register maxima as an ``ingest_batch=<id>`` run with
-    dynamic partition overwrite (replay-idempotent), and the live
-    sketch is the register-wise MAX over all runs. max is associative,
-    commutative and idempotent, so the drained sketch is independent
-    of arrival order and replay count — the contract
-    test_stream_hll_equals_batch pins by comparing the drained
-    registers and estimate BIT-FOR-BIT against the batch sketch_hll
-    over the same events. The registered oracle is sketch_hll's
-    VERBATIM: drained == batch is bit-exact, so the streamed path
-    passes the full value gate like the other streamed twins
-    (stream_cdc, stream_index_append, stream_dedup_incremental).
-
-    Scale shape: per micro-batch cost is one narrow (j, max r)
-    aggregate over the batch's hashes — ≤ 256 rows written per batch
-    regardless of volume; the merge reads only register runs. A year
-    of per-day sketches is ~100 KB."""
+def _hll_stream_paths(sf_dir: str) -> tuple[str, str, str]:
+    """(stage, checkpoint, runs-root) for the streamed HLL — shared by
+    the ingest row and the LSM compaction row."""
     import hashlib as _hl
     import os
-    import shutil
-
-    from dist_mapreduce_spark.plans.relational import (
-        HLL_ALPHA_NUM,
-        HLL_M,
-        HLL_WBITS,
-        _hll_est_sql,
-        _LN_SPARK,
-    )
 
     from dist_mapreduce_spark.scratch import scratch_root
 
     scratch = scratch_root()
     tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    stage = os.path.join(scratch, f"hll_stream_stage_{tag}")
-    ckpt = os.path.join(scratch, f"hll_stream_ckpt_{tag}")
-    runs = os.path.join(scratch, f"hll_stream_runs_{tag}")
-    for d in (stage, ckpt, runs):
-        shutil.rmtree(d, ignore_errors=True)
-
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
-        .select("user_id")
+    return (
+        os.path.join(scratch, f"hll_stream_stage_{tag}"),
+        os.path.join(scratch, f"hll_stream_ckpt_{tag}"),
+        os.path.join(scratch, f"hll_stream_runs_{tag}"),
     )
-    ev.repartition(3).write.mode("overwrite").parquet(stage)
 
-    def reg_maxima(df: DataFrame) -> DataFrame:
-        h = df.select(
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
-            )
-            .cast("bigint")
-            .alias("hv")
-        ).distinct()
-        rho = h.select(
-            (F.col("hv") % HLL_M).alias("j"),
-            F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
-            .otherwise(
-                F.lit(HLL_WBITS + 1)
-                - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
-            )
-            .alias("r"),
-        )
-        return rho.groupBy("j").agg(F.max("r").alias("mj"))
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            reg_maxima(batch_df)
-            .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(runs)
-        )
-
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+def _hll_verdicts(
+    spark: SparkSession, stage: str, mx: DataFrame
+) -> DataFrame:
+    """Estimate + exact audit over the drained register maxima —
+    identical for the freshly-drained and the compacted run store."""
+    from dist_mapreduce_spark.plans.relational import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        _hll_est_sql,
+        _LN_SPARK,
     )
-    try:
-        q.processAllAvailable()
-        from dist_mapreduce_spark.streaming.windows import (
-            capture_stream_plan,
-        )
 
-        capture_stream_plan(q, "stream_sketch_hll")
-    finally:
-        q.stop()
-
-    mx = spark.read.parquet(runs).groupBy("j").agg(F.max("mj").alias("mj"))
     allj = spark.range(HLL_M).select(F.col("id").alias("j"))
     fl = allj.join(mx, "j", "left").select(
         "j", F.coalesce(F.col("mj"), F.lit(0)).alias("mj")
@@ -564,6 +493,129 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("exact_users"), F.lit(1)).cast("double")
         ).alias("rel_err"),
     )
+
+
+@query("stream_sketch_hll", oracle=_ORACLES["sketch_hll"])
+def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog maintenance — the live form of sketch_hll
+    and the third streamed merge-on-read index after
+    stream_index_append (cells) and stream_dedup_incremental (min-fold
+    fingerprints): events arrive in micro-batches, each batch writes
+    its per-register maxima as an ``ingest_batch=<id>`` run with
+    dynamic partition overwrite (replay-idempotent), and the live
+    sketch is the register-wise MAX over all runs. max is associative,
+    commutative and idempotent, so the drained sketch is independent
+    of arrival order and replay count — the contract
+    test_stream_hll_equals_batch pins by comparing the drained
+    registers and estimate BIT-FOR-BIT against the batch sketch_hll
+    over the same events. The registered oracle is sketch_hll's
+    VERBATIM: drained == batch is bit-exact, so the streamed path
+    passes the full value gate like the other streamed twins
+    (stream_cdc, stream_index_append, stream_dedup_incremental).
+
+    Scale shape: per micro-batch cost is one narrow (j, max r)
+    aggregate over the batch's hashes — ≤ 256 rows written per batch
+    regardless of volume; the merge reads only register runs. A year
+    of per-day sketches is ~100 KB."""
+    import shutil
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_read,
+        lsm_run_dir,
+    )
+    from dist_mapreduce_spark.plans.relational import HLL_M, HLL_WBITS
+
+    stage, ckpt, runs = _hll_stream_paths(sf_dir)
+    for d in (stage, ckpt, runs):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+    runs_data = lsm_run_dir(runs)  # manifest-rooted run store
+
+    def reg_maxima(df: DataFrame) -> DataFrame:
+        h = df.select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+            )
+            .cast("bigint")
+            .alias("hv")
+        ).distinct()
+        rho = h.select(
+            (F.col("hv") % HLL_M).alias("j"),
+            F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
+            .otherwise(
+                F.lit(HLL_WBITS + 1)
+                - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
+            )
+            .alias("r"),
+        )
+        return rho.groupBy("j").agg(F.max("r").alias("mj"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            reg_maxima(batch_df)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(runs_data)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_stream_plan,
+        )
+
+        capture_stream_plan(q, "stream_sketch_hll")
+    finally:
+        q.stop()
+
+    mx = lsm_read(spark, runs).groupBy("j").agg(F.max("mj").alias("mj"))
+    return _hll_verdicts(spark, stage, mx)
+
+
+@query("lsm_compact_hll", oracle=_ORACLES["sketch_hll"])
+def q_lsm_compact_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM RUN COMPACTION for the streamed HLL — the MAX-fold member
+    completing the trio with lsm_compact_dedup (min) and
+    lsm_compact_cms (sum): all three streamed fold algebras now carry
+    the same maintenance pass. max is idempotent, so this store would
+    even tolerate a replayed-batch double-merge — the watermark makes
+    that a non-event rather than a lucky property. Fold = the reader's
+    own merge (groupBy(j).max), published as a new generation by the
+    atomic manifest flip.
+
+    Oracle: sketch_hll's VERBATIM — the estimate off the compacted
+    registers must be bit-equal to the batch sketch."""
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_compact,
+        lsm_read,
+    )
+
+    q_stream_sketch_hll(spark, sf_dir)  # fresh ingest (runs eagerly)
+    stage, _ckpt, runs = _hll_stream_paths(sf_dir)
+    lsm_compact(
+        spark,
+        runs,
+        lambda df: df.groupBy("j").agg(F.max("mj").alias("mj")),
+    )
+    mx = lsm_read(spark, runs).groupBy("j").agg(F.max("mj").alias("mj"))
+    return _hll_verdicts(spark, stage, mx)
 
 
 # ---------------------------------------------- distribution drift audit

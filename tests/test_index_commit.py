@@ -235,3 +235,45 @@ def test_lsm_compact_cms_crash_then_replay_stays_exactly_once(spark):
     )
     assert lsm_live_runs(runs) == [-1]
     assert drained() == want
+
+
+def test_lsm_compact_hll_collapses_runs_and_preserves_sketch(spark):
+    """The MAX-fold member: run collapse + bit-equal drained registers
+    + the full estimate row unchanged through compaction."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_live_runs,
+        lsm_read,
+    )
+    from dist_mapreduce_spark.plans.sketches import (
+        _hll_stream_paths,
+        q_lsm_compact_hll,
+        q_stream_sketch_hll,
+    )
+
+    before = sorted(
+        tuple(r) for r in q_stream_sketch_hll(spark, SF_SMOKE).collect()
+    )
+    _stage, _ckpt, runs = _hll_stream_paths(SF_SMOKE)
+    assert len(lsm_live_runs(runs)) > 1
+    regs_before = sorted(
+        (int(r["j"]), int(r["mj"]))
+        for r in lsm_read(spark, runs)
+        .groupBy("j")
+        .agg(F.max("mj").alias("mj"))
+        .collect()
+    )
+    after = sorted(
+        tuple(r) for r in q_lsm_compact_hll(spark, SF_SMOKE).collect()
+    )
+    assert lsm_live_runs(runs) == [-1]
+    assert before == after
+    regs_after = sorted(
+        (int(r["j"]), int(r["mj"]))
+        for r in lsm_read(spark, runs)
+        .groupBy("j")
+        .agg(F.max("mj").alias("mj"))
+        .collect()
+    )
+    assert regs_before == regs_after

@@ -2000,21 +2000,27 @@ def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells_all.cache()
     try:
-        # Base batch publishes generation 1; the micro-batch appends
-        # land INSIDE the current generation (Spark's job commit keeps
-        # each append all-or-nothing) — fragmenting the cells exactly
-        # as an append-heavy ingest would.
-        data = write_index_base(
-            cells_all.filter(F.col("b") == 0).drop("b"), path
+        # Base batch + every micro-batch append stage into the SAME
+        # uncommitted generation (extra_writes runs before the
+        # manifest flip) — fragmenting the cells exactly as an
+        # append-heavy ingest would, while the publication stays one
+        # atomic unit (a crash mid-fragmentation leaves no partial
+        # index committed; round-13 advice).
+        def _fragment(gen_dir: str) -> None:
+            for b in range(1, mod):
+                (
+                    cells_all.filter(F.col("b") == b)
+                    .drop("b")
+                    .write.mode("append")
+                    .partitionBy("cell")
+                    .parquet(gen_dir)
+                )
+
+        write_index_base(
+            cells_all.filter(F.col("b") == 0).drop("b"),
+            path,
+            extra_writes=_fragment,
         )
-        for b in range(1, mod):
-            (
-                cells_all.filter(F.col("b") == b)
-                .drop("b")
-                .write.mode("append")
-                .partitionBy("cell")
-                .parquet(data)
-            )
     finally:
         cells_all.unpersist()
     compact_index_cells(spark, path)

@@ -3084,7 +3084,7 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dist_mapreduce_spark.plans.index_commit import (
         lsm_read,
-        lsm_run_dir,
+        lsm_write_run,
     )
 
     stage, ckpt, runs = _dedup_stream_paths(sf_dir)
@@ -3100,17 +3100,16 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the new slice as 3 files -> 3 micro-batches.
     arrivals = fp.filter(F.col("is_new")).select("doc_id", "fp")
     arrivals.repartition(3).write.mode("overwrite").parquet(stage)
-    runs_data = lsm_run_dir(runs)  # manifest-rooted run store
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.groupBy("fp")
-            .agg(F.min("doc_id").alias("min_id"))
-            .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(runs_data)
+        # lsm_write_run resolves the store's CURRENT generation per
+        # batch (safe against a concurrent lsm_compact flip) and
+        # enforces the stream-epoch watermark guard.
+        lsm_write_run(
+            batch_df.groupBy("fp").agg(F.min("doc_id").alias("min_id")),
+            runs,
+            batch_id,
+            ckpt=ckpt,
         )
 
     q = (

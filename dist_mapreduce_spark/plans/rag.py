@@ -1112,16 +1112,20 @@ def build_dense_index_incr(
     cols = ["vec_id", "doc_id", "chunk_id", "embedding", "cell"]
     from dist_mapreduce_spark.plans.index_commit import write_index_base
 
-    # The base publishes a fresh generation (manifest flip — clears
-    # any previous run, so the append below is idempotent run-to-run;
-    # sim_index_append's discipline, now crash-atomic).
+    # The base AND the incremental batch stage into the SAME
+    # uncommitted generation (extra_writes runs before the manifest
+    # flip), so base + append publish as one atomic unit — a reader
+    # or crash between the two can never see a base-only index
+    # presented as committed (round-13 advice). Idempotent
+    # run-to-run: each call publishes a fresh generation.
+    batch = assign_cells(spark, cv.filter(is_new), cent_rows).select(*cols)
     data = write_index_base(
         assign_cells(spark, cv.filter(~is_new), cent_rows).select(*cols),
         path,
+        extra_writes=lambda gen_dir: batch.write.mode("append")
+        .partitionBy("cell")
+        .parquet(gen_dir),
     )
-    assign_cells(spark, cv.filter(is_new), cent_rows).select(
-        *cols
-    ).write.mode("append").partitionBy("cell").parquet(data)
     _DENSE_BUILT_INCR[path] = fp
     return path, cent_rows, n_chunks
 

@@ -521,7 +521,7 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dist_mapreduce_spark.plans.index_commit import (
         lsm_read,
-        lsm_run_dir,
+        lsm_write_run,
     )
     from dist_mapreduce_spark.plans.relational import HLL_M, HLL_WBITS
 
@@ -535,7 +535,6 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     ev.repartition(3).write.mode("overwrite").parquet(stage)
-    runs_data = lsm_run_dir(runs)  # manifest-rooted run store
 
     def reg_maxima(df: DataFrame) -> DataFrame:
         h = df.select(
@@ -557,14 +556,9 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         return rho.groupBy("j").agg(F.max("r").alias("mj"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            reg_maxima(batch_df)
-            .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(runs_data)
-        )
+        # Per-batch generation resolution + stream-epoch guard
+        # (safe against a concurrent lsm_compact flip).
+        lsm_write_run(reg_maxima(batch_df), runs, batch_id, ckpt=ckpt)
 
     q = (
         spark.readStream.schema(ev.schema)
@@ -803,7 +797,7 @@ def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dist_mapreduce_spark.plans.index_commit import (
         lsm_read,
-        lsm_run_dir,
+        lsm_write_run,
     )
 
     stage, ckpt, runs = _cms_stream_paths(sf_dir)
@@ -817,19 +811,21 @@ def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.repartition(3).write.mode("overwrite").parquet(stage)
     ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
-    runs_data = lsm_run_dir(runs)  # manifest-rooted run store
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
+        # Per-batch generation resolution + stream-epoch guard: the
+        # SUM fold is the non-idempotent one, so a run lost to a
+        # mid-stream compaction flip (or a ghost-dropped fresh-epoch
+        # batch) is a silent undercount — exactly what lsm_write_run
+        # closes.
+        lsm_write_run(
             batch_df.crossJoin(F.broadcast(ds))
             .select("d", F.expr(_cms_hash_spark("d", "user_id")).alias("w"))
             .groupBy("d", "w")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(runs_data)
+            .agg(F.count(F.lit(1)).cast("long").alias("c")),
+            runs,
+            batch_id,
+            ckpt=ckpt,
         )
 
     q = (

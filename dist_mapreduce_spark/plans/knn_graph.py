@@ -1750,6 +1750,7 @@ def q_knn_cand_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRAPH_BEAM = 10  # frontier width kept per hop (score DESC, id ASC)
 GRAPH_HOPS = 3   # expansion rounds from the seed (the query's node)
+GRAPH_SEEDS = 10  # IVF probe-cell entry points added to the seed set
 
 #: Graph store built by THIS process, keyed to the corpus fingerprint
 #: (build_ivf_index's convention): serving reads the materialized
@@ -1781,45 +1782,124 @@ def stored_knn_graph(spark: SparkSession, sf_dir: str) -> str:
 
 def _graph_serve_ctes(nq: int, beam: int, hops: int) -> str:
     """The beam walk as unrolled CTEs (both dialects share this exact
-    shape): f0 seeds each query at its own node; hop h expands the
-    frontier through the symmetrized edge set und, exact-rescores the
-    candidates against the query vector, and keeps the top-`beam` as
-    the next frontier; vis accumulates every scored visit."""
-    cos = cosine_duckdb_sql("q.qv", "e.embedding")
+    shape): f0 seeds each query at its own node UNION the top-
+    GRAPH_SEEDS members of its trained-IVF probe cell (round-14
+    recall lever — a beam seeded only at the query's own node cannot
+    escape a weak local neighborhood on a near-orthogonal corpus; the
+    IVF entry points give it GRAPH_SEEDS independent start regions,
+    the standard fix for low-recall walks on weak graphs); hop h
+    expands the frontier through the symmetrized edge set und,
+    exact-rescores the candidates against the query vector, and keeps
+    the top-`beam` as the next frontier; vis accumulates every scored
+    visit INCLUDING the seed scores (s0 — they were exact-rescored to
+    be selected, so serving them is free)."""
+    from dist_mapreduce_spark.plans.similarity import TRAINED_CELLS_CTE
+
+    cos = cosine_duckdb_sql("q.qv", "wemb.embedding")
+    seed_cos = cosine_duckdb_sql("p.qv", "cl.embedding")
+    # NOTE: g MUST precede TRAINED_CELLS_CTE — its nested WITH reuses
+    # names the trainer also defines (sc/rkd/cells/c1..), and DuckDB's
+    # binder mis-reads an inner redefinition of an ALREADY-DEFINED
+    # outer CTE as a recursive self-reference (internal error).
+    # Defining g first leaves nothing for its inner names to shadow.
     parts = [
         f"g AS MATERIALIZED ({_knn_oracle()})",
+        f" {TRAINED_CELLS_CTE}",
         " und AS (SELECT src_id AS a, dst_id AS b FROM g"
         "  UNION SELECT dst_id, src_id FROM g)",
         f" q AS (SELECT vec_id AS query_id, embedding AS qv"
         f"  FROM embeddings WHERE vec_id < {nq}"
         f"  AND embedding IS NOT NULL)",
-        " f0 AS (SELECT query_id, query_id AS node FROM q)",
+        f" wp1 AS (SELECT vec_id AS query_id, embedding AS qv,"
+        f"  cent_id AS pcell FROM rkd"
+        f"  WHERE vec_id < {nq} AND crk = 1)",
+        f" wsd AS (SELECT p.query_id, cl.vec_id, {seed_cos} AS score"
+        f"  FROM cells cl JOIN wp1 p ON cl.cell = p.pcell"
+        f"   AND cl.vec_id <> p.query_id)",
+        f" ws0 AS (SELECT query_id, vec_id, score FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM wsd)"
+        f"  WHERE rk <= {GRAPH_SEEDS})",
+        " wf0 AS (SELECT query_id, query_id AS node FROM q"
+        "  UNION SELECT query_id, vec_id FROM ws0)",
     ]
     for h in range(1, hops + 1):
         parts.append(
-            f" c{h} AS (SELECT DISTINCT f.query_id, u.b AS vec_id"
-            f"  FROM f{h - 1} f JOIN und u ON u.a = f.node"
+            f" wc{h} AS (SELECT DISTINCT f.query_id, u.b AS vec_id"
+            f"  FROM wf{h - 1} f JOIN und u ON u.a = f.node"
             f"  WHERE u.b <> f.query_id)"
         )
         parts.append(
-            f" s{h} AS (SELECT c.query_id, c.vec_id, {cos} AS score"
-            f"  FROM c{h} c JOIN q ON q.query_id = c.query_id"
-            f"  JOIN embeddings e ON e.vec_id = c.vec_id)"
+            f" ws{h} AS (SELECT c.query_id, c.vec_id, {cos} AS score"
+            f"  FROM wc{h} c JOIN q ON q.query_id = c.query_id"
+            f"  JOIN embeddings wemb ON wemb.vec_id = c.vec_id)"
         )
         if h < hops:
             parts.append(
-                f" f{h} AS (SELECT query_id, vec_id AS node FROM ("
+                f" wf{h} AS (SELECT query_id, vec_id AS node FROM ("
                 f"  SELECT *, row_number() OVER (PARTITION BY query_id"
-                f"   ORDER BY score DESC, vec_id) AS rk FROM s{h})"
+                f"   ORDER BY score DESC, vec_id) AS rk FROM ws{h})"
                 f"  WHERE rk <= {beam})"
             )
     union = " UNION ALL ".join(
-        f"SELECT * FROM s{h}" for h in range(1, hops + 1)
+        f"SELECT * FROM ws{h}" for h in range(0, hops + 1)
     )
     parts.append(
         f" vis AS (SELECT DISTINCT query_id, vec_id, score FROM ({union}))"
     )
     return ",".join(parts)
+
+
+def graph_seed_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beam's IVF entry points (round-14 recall lever): for each
+    query, the top-GRAPH_SEEDS exact-rescored members of its
+    trained-IVF probe cell, read from the STORED partitioned index
+    with partition pruning (one pruned scan — PartitionFilters on
+    ≤ N_QUERIES cell ids; the collected cell-id list is bounded driver
+    state). A corpus too small to train a quantizer returns the empty
+    frame, degrading serving to the round-13 own-node-only walk (the
+    oracle's trained-cells CTE is empty in exactly that regime).
+    Shared by q_sim_topk_graph and the walk-stays-on-graph property
+    test, so the pinned invariant is the one the server actually
+    uses."""
+    from pyspark.sql import Window as W
+
+    from dist_mapreduce_spark.plans.ann_index import build_ivf_index
+    from dist_mapreduce_spark.plans.similarity import N_QUERIES
+
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    ivf_path, tcent, _n = build_ivf_index(spark, sf_dir)
+    if not tcent:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, score double"
+        )
+    ranked = ivf_ranked_cells_sql(tcent)
+    qp = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(f"{ranked}[0].c").cast("long").alias("pcell"),
+    )
+    pcells = sorted(
+        int(r["pcell"]) for r in qp.select("pcell").distinct().collect()
+    )
+    members = (
+        spark.read.parquet(ivf_path)
+        .filter(F.col("cell").isin(pcells))
+        .select("vec_id", F.col("embedding").alias("sv"), "cell")
+    )
+    wb = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        members.join(
+            F.broadcast(qp),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "sv")))
+        .select("query_id", "vec_id", "score")
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= GRAPH_SEEDS)
+        .drop("rk")
+    )
 
 
 def _graph_topk_oracle() -> str:
@@ -1839,23 +1919,33 @@ def q_sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE SIXTH ANN FAMILY — graph-based serving (the HNSW/NSG query
     shape over the bulk-built kNN graph): each query seeds at ITS OWN
     node in the STORED graph (queries are corpus members, the standard
-    batch), then GRAPH_HOPS rounds of beam search walk the symmetrized
-    edge list — frontier JOIN edges -> candidates, exact cosine
-    rescore, top-GRAPH_BEAM survive as the next frontier — and the
-    final top-TOP_K over every visited candidate is served. All
-    candidate generation is id-equi-joins on the materialized edge
-    list (narrow int pairs); vectors are fetched for scoring by
-    id-join with the candidate side BROADCAST — never an N² scan, and
-    no IVF probe at query time at all: the graph IS the index.
+    batch) UNION the top-GRAPH_SEEDS members of its trained-IVF probe
+    cell, fetched from the STORED partitioned index with partition
+    pruning (round-14 recall lever: own-node-only seeding walked the
+    near-orthogonal corpus at 0.42 recall@sf0.1 — the beam cannot
+    escape a weak local neighborhood; IVF entry points give it
+    independent start regions, the standard fix for low-recall walks
+    on weak graphs). Then GRAPH_HOPS rounds of beam search walk the
+    symmetrized edge list — frontier JOIN edges -> candidates, exact
+    cosine rescore, top-GRAPH_BEAM survive as the next frontier — and
+    the final top-TOP_K over every visited candidate (the rescored
+    seeds included) is served. All candidate generation is
+    id-equi-joins on the materialized edge list (narrow int pairs);
+    vectors are fetched for scoring by id-join with the candidate side
+    BROADCAST — never an N² scan; the IVF touch is ONE pruned read of
+    the probe cells (PartitionFilters), ≤ N_QUERIES cells.
 
     Determinism/oracle: beam selection and final ranking both break
     ties (score DESC, vec_id ASC); scores are the exact left-fold
     cosine both engines share, so the DuckDB replay of the identical
-    unrolled walk (g -> und -> c_h/s_h/f_h -> vis) is value-exact.
+    unrolled walk (cells/rkd -> s0 -> g -> und -> c_h/s_h/f_h -> vis)
+    is value-exact.
 
-    At 100 TB: the walk touches ≤ queries × GRAPH_HOPS × GRAPH_BEAM ×
-    2·KNN_K edge rows — independent of corpus size (the graph-ANN
-    selling point); the stored graph is the ingest-time artifact
+    At 100 TB: the walk touches ≤ queries × GRAPH_HOPS × (GRAPH_BEAM +
+    GRAPH_SEEDS) × 2·KNN_K edge rows plus one probe cell (~√N rows)
+    per query — the √N term is the same one every IVF serve pays, and
+    the walk stays independent of corpus size (the graph-ANN selling
+    point); the stored graph is the ingest-time artifact
     knn_graph/append/delete maintain, published crash-atomically."""
     from dist_mapreduce_spark.plans.index_commit import index_data_dir
     from dist_mapreduce_spark.plans.similarity import N_QUERIES, TOP_K
@@ -1882,11 +1972,14 @@ def q_sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     ev = emb.select("vec_id", F.col("embedding").alias("ev"))
-    frontier = q.select("query_id", F.col("query_id").alias("node"))
     wb = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
-    layers = []
+    s0 = graph_seed_candidates(spark, sf_dir)
+    frontier = q.select(
+        "query_id", F.col("query_id").alias("node")
+    ).unionByName(s0.select("query_id", F.col("vec_id").alias("node")))
+    layers = [s0]
     for h in range(GRAPH_HOPS):
         fr, u = frontier.alias(f"fr{h}"), und.alias(f"u{h}")
         cand = (

@@ -806,15 +806,17 @@ def test_knn_delete_equals_survivor_rebuild_gate_and_hot_cell(
 
 
 def test_graph_serving_walk_stays_on_graph_edges(spark):
-    """sim_topk_graph (round-13): every served candidate must be
-    REACHABLE from its query within GRAPH_HOPS hops of the symmetrized
-    stored graph — the walk never teleports off the edge list — and
-    the recall row publishes an honest [0, 1] fraction against the
-    exact truth."""
+    """sim_topk_graph (round-13; round-14 IVF-seeded): every served
+    candidate must be a SEED (own node's IVF probe-cell entry points)
+    or REACHABLE from the seed set within GRAPH_HOPS hops of the
+    symmetrized stored graph — the walk never teleports off the edge
+    list beyond its declared entry points — and the recall row
+    publishes an honest [0, 1] fraction against the exact truth."""
     from collections import defaultdict
 
     from dist_mapreduce_spark.plans.knn_graph import (
         GRAPH_HOPS,
+        graph_seed_candidates,
         q_knn_graph,
         q_sim_recall_graph,
         q_sim_topk_graph,
@@ -826,13 +828,17 @@ def test_graph_serving_walk_stays_on_graph_edges(spark):
         s, d = int(r["src_id"]), int(r["dst_id"])
         edges[s].add(d)
         edges[d].add(s)
+    seeds = defaultdict(set)
+    for r in graph_seed_candidates(spark, sf).collect():
+        seeds[int(r["query_id"])].add(int(r["vec_id"]))
     served = q_sim_topk_graph(spark, sf).collect()
     assert served, "graph serving returned nothing"
     by_q = defaultdict(set)
     for r in served:
         by_q[int(r["query_id"])].add(int(r["vec_id"]))
     for qid, got in by_q.items():
-        frontier, reach = {qid}, set()
+        frontier = {qid} | seeds[qid]
+        reach = set(seeds[qid])
         for _ in range(GRAPH_HOPS):
             frontier = {
                 n for f in frontier for n in edges[f]

@@ -1780,32 +1780,26 @@ def stored_knn_graph(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _graph_serve_ctes(nq: int, beam: int, hops: int) -> str:
+def _graph_walk_ctes(nq: int, beam: int, hops: int) -> str:
     """The beam walk as unrolled CTEs (both dialects share this exact
-    shape): f0 seeds each query at its own node UNION the top-
-    GRAPH_SEEDS members of its trained-IVF probe cell (round-14
-    recall lever — a beam seeded only at the query's own node cannot
-    escape a weak local neighborhood on a near-orthogonal corpus; the
-    IVF entry points give it GRAPH_SEEDS independent start regions,
-    the standard fix for low-recall walks on weak graphs); hop h
-    expands the frontier through the symmetrized edge set und,
-    exact-rescores the candidates against the query vector, and keeps
-    the top-`beam` as the next frontier; vis accumulates every scored
-    visit INCLUDING the seed scores (s0 — they were exact-rescored to
-    be selected, so serving them is free)."""
-    from dist_mapreduce_spark.plans.similarity import TRAINED_CELLS_CTE
-
+    shape), assuming ``g`` (the knn edge list) and the trained chain
+    (``rkd``/``cells``) are already in scope: wf0 seeds each query at
+    its own node UNION the top-GRAPH_SEEDS members of its trained-IVF
+    probe cell (round-14 recall lever — a beam seeded only at the
+    query's own node cannot escape a weak local neighborhood on a
+    near-orthogonal corpus; the IVF entry points give it GRAPH_SEEDS
+    independent start regions, the standard fix for low-recall walks
+    on weak graphs); hop h expands the frontier through the
+    symmetrized edge set und, exact-rescores the candidates against
+    the query vector, and keeps the top-`beam` as the next frontier;
+    vis accumulates every scored visit INCLUDING the seed scores (ws0
+    — they were exact-rescored to be selected, so serving them is
+    free). Factored out of _graph_serve_ctes so sim_serve_select can
+    compose the walk beside the IVF arm under one shared chain."""
     cos = cosine_duckdb_sql("q.qv", "wemb.embedding")
     seed_cos = cosine_duckdb_sql("p.qv", "cl.embedding")
-    # NOTE: g MUST precede TRAINED_CELLS_CTE — its nested WITH reuses
-    # names the trainer also defines (sc/rkd/cells/c1..), and DuckDB's
-    # binder mis-reads an inner redefinition of an ALREADY-DEFINED
-    # outer CTE as a recursive self-reference (internal error).
-    # Defining g first leaves nothing for its inner names to shadow.
     parts = [
-        f"g AS MATERIALIZED ({_knn_oracle()})",
-        f" {TRAINED_CELLS_CTE}",
-        " und AS (SELECT src_id AS a, dst_id AS b FROM g"
+        "und AS (SELECT src_id AS a, dst_id AS b FROM g"
         "  UNION SELECT dst_id, src_id FROM g)",
         f" q AS (SELECT vec_id AS query_id, embedding AS qv"
         f"  FROM embeddings WHERE vec_id < {nq}"
@@ -1848,6 +1842,23 @@ def _graph_serve_ctes(nq: int, beam: int, hops: int) -> str:
         f" vis AS (SELECT DISTINCT query_id, vec_id, score FROM ({union}))"
     )
     return ",".join(parts)
+
+
+def _graph_serve_ctes(nq: int, beam: int, hops: int) -> str:
+    """g (the knn edge list) + the trained chain + the walk.
+
+    NOTE: g MUST precede TRAINED_CELLS_CTE — its nested WITH reuses
+    names the trainer also defines (sc/rkd/cells/c1..), and DuckDB's
+    binder mis-reads an inner redefinition of an ALREADY-DEFINED
+    outer CTE as a recursive self-reference (internal error).
+    Defining g first leaves nothing for its inner names to shadow."""
+    from dist_mapreduce_spark.plans.similarity import TRAINED_CELLS_CTE
+
+    return (
+        f"g AS MATERIALIZED ({_knn_oracle()}),"
+        f" {TRAINED_CELLS_CTE},"
+        f" {_graph_walk_ctes(nq, beam, hops)}"
+    )
 
 
 def graph_seed_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,3 +2099,110 @@ def q_sim_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+# ------------------- serving-strategy auto-selection (round 14, #4)
+
+#: Serve through the GRAPH when the trained quantizer explains at
+#: least this fraction (ppm) of corpus variance — the clustered
+#: regime, where the kNN graph's neighbor transitivity is exact
+#: (knn_clustered recall 1.0) and the walk's flat-in-corpus-size cost
+#: wins; below it (the near-isotropic regime) the IVF probe's
+#: candidate superset is the safer arm. Same measured separation the
+#: codebook decision uses: driver corpus ≈ 70k ppm, clustered fixture
+#: ≈ 997k ppm — the midpoint is maximally far from both.
+SERVE_GRAPH_PPM = 500_000
+
+
+def _serve_select_oracle() -> str:
+    """One shared trained chain + the variance-decision statistic +
+    BOTH serving arms (the seeded graph walk and the trained-IVF
+    probe), each arm's final SELECT guarded by the decision — the
+    sim_topk_ivfpq_auto contract applied to serving-strategy choice.
+    g must precede the trainer CTEs (see _graph_serve_ctes)."""
+    from dist_mapreduce_spark.plans.codebook_select import _STAT_CTES
+    from dist_mapreduce_spark.plans.similarity import (
+        N_QUERIES,
+        TOP_K,
+        TRAINED_CELLS_CTE,
+        TRAINED_NPROBE_CTES,
+        trained_probes_cte,
+    )
+
+    cos_ivf = cosine_duckdb_sql("p.qv", "cl.embedding")
+    return (
+        f"WITH g AS MATERIALIZED ({_knn_oracle()}),"
+        f" {TRAINED_CELLS_CTE},"
+        f" {TRAINED_NPROBE_CTES},"
+        f" {_STAT_CTES},"
+        f" spick AS (SELECT CASE WHEN explained_ppm >= {SERVE_GRAPH_PPM}"
+        f"  THEN 'graph' ELSE 'ivf' END AS sm FROM dec),"
+        f" {_graph_walk_ctes(N_QUERIES, GRAPH_BEAM, GRAPH_HOPS)},"
+        f" gtop AS (SELECT query_id, vec_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM vis)"
+        f"  WHERE rk <= {TOP_K}),"
+        f" {trained_probes_cte(N_QUERIES)},"
+        f" iscore AS (SELECT p.query_id, cl.vec_id, {cos_ivf} AS score"
+        f"  FROM cells cl JOIN probes p"
+        f"   ON cl.cell = p.pcell AND cl.vec_id <> p.query_id),"
+        f" itop AS (SELECT query_id, vec_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, vec_id) AS rk FROM iscore)"
+        f"  WHERE rk <= {TOP_K})"
+        f" SELECT query_id, vec_id, score, rk, 'graph' AS serve"
+        f" FROM gtop WHERE (SELECT sm FROM spick) = 'graph'"
+        f" UNION ALL"
+        f" SELECT query_id, vec_id, score, rk, 'ivf' AS serve"
+        f" FROM itop WHERE (SELECT sm FROM spick) = 'ivf'"
+    )
+
+
+@query("sim_serve_select", oracle=_serve_select_oracle())
+def q_sim_serve_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-STRATEGY AUTO-SELECTION for the sixth family (round-13
+    verdict item #4): graph serving is flat in corpus size but its
+    recall depends on graph quality, which is regime-dependent —
+    exact neighbor transitivity on a clustered corpus (knn_clustered
+    1.0), the weak-graph ceiling on a near-orthogonal one. Nothing
+    told a user WHEN to serve through the graph; this row is that
+    decision, made from the SAME published statistic the codebook
+    choice uses (sim_codebook_stats' explained-variance ppm): the
+    clustered regime (>= SERVE_GRAPH_PPM) serves through the seeded
+    beam walk, the isotropic regime through the trained-IVF probe.
+    Output rows carry the decision; the oracle replays the statistic
+    AND BOTH serving pipelines under one shared trained chain, each
+    arm guarded by the same decision — a wrong pick on either engine
+    is a hash mismatch, not a silent quality regression. The driver
+    corpus exercises the IVF arm (~70k ppm); the clustered pytest
+    fixture exercises the graph arm (~997k ppm, where it wins at 1.0
+    recall and flat cost).
+
+    Scale shape: the statistic is the trainer-sample scan
+    sim_codebook_stats already pays (a build-time artifact in
+    production, recomputed at retrain); each arm's serving shape is
+    pinned by its own row (sim_topk_graph / sim_topk_ivf)."""
+    from dist_mapreduce_spark.plans.codebook_select import (
+        q_sim_codebook_stats,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "query_id bigint, vec_id bigint, score double, rk int,"
+        " serve string",
+    )
+    stats = q_sim_codebook_stats(spark, sf_dir).collect()
+    if not stats:
+        return empty
+    mode = (
+        "graph"
+        if int(stats[0]["explained_ppm"]) >= SERVE_GRAPH_PPM
+        else "ivf"
+    )
+    if mode == "graph":
+        served = q_sim_topk_graph(spark, sf_dir)
+    else:
+        from dist_mapreduce_spark.plans.similarity import q_sim_topk_ivf
+
+        served = q_sim_topk_ivf(spark, sf_dir)
+    return served.withColumn("serve", F.lit(mode))

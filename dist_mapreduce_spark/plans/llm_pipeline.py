@@ -3185,6 +3185,134 @@ def q_lsm_compact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_incr_verdicts(spark, stage, idx, in_batch)
 
 
+# ------------------------------- LSM maintenance policy (round 14, #8)
+
+#: Compact when MORE than this many unfolded runs are live — the
+#: cheapest policy that keeps merge-on-read cost bounded (reader
+#: merges 1 base + at most LSM_MAINTAIN_RUNS runs between passes).
+LSM_MAINTAIN_RUNS = 1
+#: The maintenance demo's deterministic ingest split: run b holds the
+#: new docs with doc_id % LSM_MAINT_SPLIT == b — SQL-replayable, so
+#: the ORACLE can re-derive the live-run count the policy reads
+#: (unlike the streaming row's repartition(3) staging, whose file
+#: split is engine-internal).
+LSM_MAINT_SPLIT = 3
+
+
+def _dedup_maintain_paths(sf_dir: str) -> tuple[str, str]:
+    """(stage, runs-root) for the maintenance-policy row — its own
+    store, so it never races the streaming row's."""
+    import hashlib as _hl
+
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    scratch = scratch_root()
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return (
+        os.path.join(scratch, f"dedup_maint_stage_{tag}"),
+        os.path.join(scratch, f"dedup_maint_runs_{tag}"),
+    )
+
+
+@query(
+    "lsm_maintain",
+    oracle=(
+        f"WITH fp AS MATERIALIZED (SELECT doc_id, {_INCR_FP} AS fp,"
+        f"  doc_id % {INCR_MOD} = {INCR_REM} AS is_new FROM documents),"
+        f" idx AS (SELECT fp, min(doc_id) AS canon FROM fp"
+        f"  WHERE NOT is_new GROUP BY fp),"
+        f" batch AS (SELECT doc_id, fp FROM fp WHERE is_new),"
+        f" in_batch AS (SELECT fp, min(doc_id) AS first_in_batch"
+        f"  FROM batch GROUP BY fp),"
+        f" nrun AS (SELECT CAST(count(DISTINCT doc_id % {LSM_MAINT_SPLIT})"
+        f"  AS BIGINT) AS n FROM batch),"
+        f" mdec AS (SELECT CASE WHEN n > {LSM_MAINTAIN_RUNS}"
+        f"  THEN 'compact' ELSE 'keep' END AS d FROM nrun),"
+        f" verd AS (SELECT b.doc_id,"
+        f"  CASE WHEN i.canon IS NOT NULL THEN 'dup_of_corpus'"
+        f"   WHEN b.doc_id > nb.first_in_batch THEN 'dup_in_batch'"
+        f"   ELSE 'unique' END AS status,"
+        f"  CAST(CASE WHEN i.canon IS NOT NULL THEN i.canon"
+        f"   WHEN b.doc_id > nb.first_in_batch THEN nb.first_in_batch"
+        f"   END AS BIGINT) AS canonical_id"
+        f" FROM batch b LEFT JOIN idx i ON i.fp = b.fp"
+        f" JOIN in_batch nb ON nb.fp = b.fp)"
+        f" SELECT doc_id, status, canonical_id, 'compact' AS decision"
+        f" FROM verd WHERE (SELECT d FROM mdec) = 'compact'"
+        f" UNION ALL"
+        f" SELECT doc_id, status, canonical_id, 'keep' AS decision"
+        f" FROM verd WHERE (SELECT d FROM mdec) = 'keep'"
+    ),
+)
+def q_lsm_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE LSM MAINTENANCE POLICY (round-13 verdict item #8):
+    lsm_compact_* are manual one-shots; this row composes the
+    sim_index_maintain pattern over the run store — read the live-run
+    count (lsm_live_runs, the directory-listing statistic a table
+    format's manifest gives for free), COMPACT when more than
+    LSM_MAINTAIN_RUNS unfolded runs are live, NO-OP below. Output
+    rows are the drained dedup verdicts carrying the decision; the
+    oracle replays the statistic (the ingest split is the
+    SQL-derivable doc_id % LSM_MAINT_SPLIT, so the live-run count is
+    the batch's distinct-split count on BOTH engines) plus the
+    verdicts with each arm guarded by the same decision — the policy
+    picking the wrong arm on either engine is a hash mismatch. The
+    physical effect (run directories folding to the one base /
+    staying untouched) is pytest-pinned per arm; the driver corpus
+    exercises 'compact', a single-split fixture exercises 'keep'.
+
+    Scale shape: the statistic is one directory listing; the compact
+    arm costs the fold it would have to run anyway (∝ distinct
+    fingerprints in the runs, never corpus size); the keep arm costs
+    nothing. This is the off-peak cron a 100 TB dedup fleet actually
+    schedules — monitor, then act — run as ONE operator."""
+    import shutil
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_compact,
+        lsm_live_runs,
+        lsm_read,
+        lsm_write_run,
+    )
+
+    stage, runs = _dedup_maintain_paths(sf_dir)
+    for d in (stage, runs):
+        shutil.rmtree(d, ignore_errors=True)
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.normalized_fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
+    )
+    arrivals = fp.filter(F.col("is_new")).select("doc_id", "fp")
+    arrivals.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    for b in range(LSM_MAINT_SPLIT):
+        lsm_write_run(
+            staged.filter(F.col("doc_id") % LSM_MAINT_SPLIT == b)
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("min_id")),
+            runs,
+            b,
+        )
+    real = [b for b in lsm_live_runs(runs) if b >= 0]
+    decision = "compact" if len(real) > LSM_MAINTAIN_RUNS else "keep"
+    if decision == "compact":
+        lsm_compact(
+            spark,
+            runs,
+            lambda df: df.groupBy("fp").agg(F.min("min_id").alias("min_id")),
+        )
+    in_batch = (
+        lsm_read(spark, runs)
+        .groupBy("fp")
+        .agg(F.min("min_id").alias("first_in_batch"))
+    )
+    idx = _dedup_corpus_index(spark, sf_dir)
+    return _dedup_incr_verdicts(spark, stage, idx, in_batch).withColumn(
+        "decision", F.lit(decision)
+    )
+
+
 # ----------------------------------------------------- data-mix report
 
 @query(

@@ -1142,3 +1142,64 @@ def test_maintain_policy_picks_the_right_arm_on_both_fixtures(
         int(r["cell"]): (int(r["n_vecs"]), int(r["id_sum"])) for r in out2
     }
     assert got2 == want2
+
+
+def test_serve_select_picks_graph_on_clustered(spark, tmp_path):
+    """The serving-strategy auto-selection under the CLUSTERED regime
+    (round-14): on the closed-form 16-cluster corpus the trained
+    quantizer explains ~99.7% of corpus variance, so sim_serve_select
+    must serve through the GRAPH arm (the driver-corpus gate rows pin
+    the 'ivf' side at ~7%) while matching the DuckDB oracle
+    value-for-value — the only fixture where the oracle's guarded
+    graph branch executes — and the graph walk must be near-exact
+    there (recall >= 0.9 vs brute force; measured 0.96 — neighbor
+    transitivity is near-exact on a clustered corpus, the regime the
+    decision sends to the graph; the build-level knn_clustered metric
+    is the one that reads exactly 1.0)."""
+    import duckdb
+
+    from dist_mapreduce_spark.plans.ann_index import _py_clust_vec
+    from dist_mapreduce_spark.plans.codebook_select import (
+        q_sim_codebook_stats,
+    )
+    from dist_mapreduce_spark.plans.knn_graph import (
+        SERVE_GRAPH_PPM,
+        _serve_select_oracle,
+        q_sim_recall_graph,
+        q_sim_serve_select,
+    )
+
+    sf = tmp_path / "clustered"
+    sf.mkdir()
+    # 2000 rows (vs the codebook test's 5000): same 16-cluster regime
+    # and the same decision side, but the DuckDB replay of the graph
+    # oracle (whose knn CTE is quadratic within residency cells) stays
+    # test-suite-sized.
+    rows = [
+        (i, [float(v) for v in _py_clust_vec(i)], i % 10) for i in range(2000)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    stat = q_sim_codebook_stats(spark, str(sf)).collect()[0]
+    assert stat["explained_ppm"] >= SERVE_GRAPH_PPM, stat
+
+    got = q_sim_serve_select(spark, str(sf)).collect()
+    assert got and all(r["serve"] == "graph" for r in got)
+
+    rec = q_sim_recall_graph(spark, str(sf)).collect()[0]
+    assert rec["recall"] >= 0.9, rec
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(_serve_select_oracle()).fetchall()
+    got_t = sorted(
+        (r["query_id"], r["vec_id"], r["rk"], r["serve"], r["score"])
+        for r in got
+    )
+    want_t = sorted((q, v, rk, sv, s) for q, v, s, rk, sv in want)
+    assert got_t == want_t

@@ -559,3 +559,50 @@ def test_lsm_fresh_checkpoint_epoch_reset_is_rejected(spark, tmp_path):
     # The new stream's batches ABOVE the watermark are accepted (and
     # adopt the new stream id).
     lsm_write_run(frame, root, 7, ckpt=ckpt)
+
+
+def test_lsm_maintain_policy_arms(spark, tmp_path):
+    """lsm_maintain (round-14): the compact arm folds the run store to
+    the one base when more than LSM_MAINTAIN_RUNS runs are live (the
+    driver corpus's shape); the keep arm leaves the runs untouched
+    when they are already bounded (a fixture whose new docs all land
+    in ONE ingest split). Both decisions ride the drained verdicts."""
+    from dist_mapreduce_spark.plans.index_commit import lsm_live_runs
+    from dist_mapreduce_spark.plans.llm_pipeline import (
+        _dedup_maintain_paths,
+        q_lsm_maintain,
+    )
+
+    # --- compact arm: the smoke corpus spreads new docs over all 3
+    # deterministic splits -> 3 live runs > LSM_MAINTAIN_RUNS.
+    out = q_lsm_maintain(spark, SF_SMOKE).collect()
+    assert out and all(r["decision"] == "compact" for r in out)
+    _stage, runs = _dedup_maintain_paths(SF_SMOKE)
+    assert lsm_live_runs(runs) == [-1], "compact arm must fold to ONE base"
+
+    # --- keep arm: new docs (doc_id % 5 == 4) chosen so doc_id % 3 is
+    # constant -> exactly one live run <= LSM_MAINTAIN_RUNS.
+    sf = str(tmp_path / "keepfix")
+    os.makedirs(sf)
+    rows = [
+        (0, "alpha text corpus", "en", "web", 17),
+        (1, "bravo text corpus", "en", "web", 17),
+        (2, "charlie text corpus", "en", "web", 19),
+        (4, "delta new text", "en", "web", 14),       # 4 % 3 == 1
+        (34, "delta new text", "en", "web", 14),      # dup_in_batch
+        (64, "bravo text corpus", "en", "web", 17),   # dup_of_corpus
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+    out = q_lsm_maintain(spark, sf).collect()
+    assert out and all(r["decision"] == "keep" for r in out)
+    by_id = {int(r["doc_id"]): r["status"] for r in out}
+    assert by_id == {4: "unique", 34: "dup_in_batch", 64: "dup_of_corpus"}
+    _stage, runs = _dedup_maintain_paths(sf)
+    live = lsm_live_runs(runs)
+    assert -1 not in live and len(live) == 1, (
+        "keep arm must leave the run store un-compacted",
+        live,
+    )

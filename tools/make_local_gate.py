@@ -1,6 +1,11 @@
 """Format `check_correctness.py` logs into docs/LOCAL_GATE.md.
 
-Usage: python tools/make_local_gate.py <sf0.01.log> [sf0.1.log] [sf0.001.log] [> docs/LOCAL_GATE.md]
+Usage: python tools/make_local_gate.py <sf0.01.log> [sf0.1.log] [sf0.001.log] \
+           [gemm-sf0.01.log gemm-sf0.1.log gemm-sf0.001.log] [> docs/LOCAL_GATE.md]
+
+With six logs, the GEMM paragraph is COMPUTED from the three
+gemm-mode sweeps (round 14 — it used to be hand-maintained, which is
+exactly the staleness class the gate guard exists to catch).
 
 Reads PASS lines, FAIL lines (both the `(N rows, Xs)`-suffixed form and
 the `FAIL name: reason` error form), and `ok?` rows-only lines
@@ -71,6 +76,30 @@ single-row groups)**: **{len(p2)}/{t2} PASS**, {len(f2)} FAIL,
 {len(r2)} rows-only.""")
         for name, reason in sorted(f2.items()):
             print(f"- sf0.001 FAIL `{name}`: {reason}")
+    gfails: dict = {}
+    if len(sys.argv) > 6:
+        gsum = []
+        for path, label in zip(
+            sys.argv[4:7], ("sf0.01", "sf0.1", "sf0.001")
+        ):
+            gp, gf, gr = parse(path)
+            gsum.append(
+                f"**{len(gp)}/{len(gp) + len(gf) + len(gr)} PASS** at"
+                f" {label}"
+            )
+            for name, reason in sorted(gf.items()):
+                gfails[f"{label} `{name}`"] = reason
+        print(f"""
+The production assignment configuration is held to the SAME bar —
+GEMM mode (`SPARK_GRAFT_ASSIGN=gemm` — the repo DEFAULT since round
+13; these sweeps set it explicitly, since check_correctness pins one
+mode when the var is set and certifies BOTH when unset) passes the
+full registry at all three scales in its own fresh sweeps:
+{gsum[0]}, {gsum[1]}, and {gsum[2]} — computed from the gemm-mode
+logs by this formatter, never hand-maintained (kept honest by
+tests/test_gate_guard.py's GEMM-section guard).""")
+        for k, reason in sorted(gfails.items()):
+            print(f"- GEMM FAIL {k}: {reason}")
     print("""
 | query | status | rows | sec |
 |---|---|---|---|""")
@@ -85,7 +114,7 @@ single-row groups)**: **{len(p2)}/{t2} PASS**, {len(f2)} FAIL,
             print(f"| `{name}` | **FAIL** | — | — |")
     for name, reason in sorted(fails.items()):
         print(f"\n- FAIL `{name}`: {reason}")
-    return 0 if not fails and not rows_only else 1
+    return 0 if not fails and not rows_only and not gfails else 1
 
 
 if __name__ == "__main__":

@@ -3765,3 +3765,79 @@ def q_sim_topk_ivfpq_res_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id", "score", "rk")
     )
+
+
+# ---------------- file-manifest publication value row (round 14, #7)
+
+
+@query("sim_index_delete_fm", oracle=ORACLES["sim_index_delete"])
+def q_sim_index_delete_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle DELETE published through the OBJECT-STORE commit
+    mode (``mode="file_manifest"`` — plans/index_commit.py, round 14),
+    held to the SAME value bar as the POSIX path: the oracle is
+    sim_index_delete's VERBATIM, so a PASS proves the file-list
+    protocol (partition columns as data columns, untouched cells
+    carried by manifest RE-LISTING with zero data movement, reads off
+    the pruned explicit file list via index_read) is content-exact to
+    the id-checksum level — the certification pattern
+    sim_index_build_gemm established for the GEMM kernel, applied to
+    the publication layer. Kill-mid-swap in this mode is pinned
+    separately in tests/test_index_commit.py.
+
+    Scale shape: identical to sim_index_delete (tombstone assignment
+    is a pure map over the ~1% batch; the rewrite reads only affected
+    cells — here selected by the manifest's file-list filter, the
+    Iceberg form of PartitionFilters — and the publish moves only the
+    rewritten cells' files)."""
+    import shutil
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        index_read,
+        write_stage,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent_rows, _n_corpus = trained_quantizer(emb)
+    path = _index_dir("ivf_index_del_fm", sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+            " max_id bigint, dim_sum bigint",
+        )
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    write_index_base(
+        ivf_cells_df(spark, emb, ranked, cent_rows),
+        path,
+        mode="file_manifest",
+    )
+    is_del = F.expr(_DELETE_PRED_SQL)
+    tomb = emb.filter(is_del).select("vec_id")
+    del_cells = sorted(
+        int(r["cell"])
+        for r in ivf_cells_df(spark, emb.filter(is_del), ranked, cent_rows)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if del_cells:
+        stage = _index_dir("ivf_index_del_fm_stage", sf_dir)
+        shutil.rmtree(stage, ignore_errors=True)
+        affected = index_read(spark, path, cells=del_cells)
+        survivors = affected.join(F.broadcast(tomb), "vec_id", "left_anti")
+        write_stage(survivors, stage, ("cell",), mode="file_manifest")
+        commit_cell_swap(path, stage, del_cells)
+    back = index_read(spark, path)
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )

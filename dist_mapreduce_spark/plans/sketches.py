@@ -897,3 +897,108 @@ def q_lsm_compact_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("c"))
     )
     return _cms_verdicts(spark, stage, cnt)
+
+
+# ---------------------- LSM maintenance policy, SUM fold (round 14)
+
+
+def _cms_maintain_paths(sf_dir: str) -> tuple[str, str]:
+    """(stage, runs-root) for the CMS maintenance-policy row — its own
+    store, never racing the streaming row's."""
+    import hashlib as _hl
+    import os as _os
+
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return (
+        _os.path.join(scratch_root(), f"cms_maint_stage_{tag}"),
+        _os.path.join(scratch_root(), f"cms_maint_runs_{tag}"),
+    )
+
+
+#: Compact when MORE than this many unfolded runs are live (shared
+#: with llm_pipeline.LSM_MAINTAIN_RUNS in spirit; redefined here to
+#: keep the module import-independent).
+CMS_MAINTAIN_RUNS = 1
+CMS_MAINT_SPLIT = 3
+
+
+@query(
+    "lsm_maintain_cms",
+    oracle=(
+        f"WITH verd AS ({_ORACLES['sketch_cms']}),"
+        f" nrun AS (SELECT CAST(count(DISTINCT user_id % {CMS_MAINT_SPLIT})"
+        f"  AS BIGINT) AS n FROM events WHERE user_id IS NOT NULL),"
+        f" mdec AS (SELECT CASE WHEN n > {CMS_MAINTAIN_RUNS}"
+        f"  THEN 'compact' ELSE 'keep' END AS d FROM nrun)"
+        f" SELECT v.*, 'compact' AS decision FROM verd v"
+        f"  WHERE (SELECT d FROM mdec) = 'compact'"
+        f" UNION ALL"
+        f" SELECT v.*, 'keep' AS decision FROM verd v"
+        f"  WHERE (SELECT d FROM mdec) = 'keep'"
+    ),
+)
+def q_lsm_maintain_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsm_maintain's policy applied to the SUM-fold (NON-idempotent)
+    counter store — the algebra where a wrong maintenance pass is a
+    silent DOUBLE COUNT rather than a harmless re-min: read the
+    live-run count, compact above CMS_MAINTAIN_RUNS (fold = the
+    reader's own groupBy(d,w).sum, published with the folded_through
+    watermark so replays of folded batches stay ignored), no-op
+    below. The ingest split is the SQL-derivable user_id %
+    CMS_MAINT_SPLIT, so the ORACLE re-derives the run count the
+    policy reads and guards sketch_cms's probe/exact verdicts with
+    the same decision on both engines.
+
+    Scale shape: the statistic is one directory listing; each run is
+    a ≤ 1 024-row counter frame; the compact arm folds counter rows
+    only (never events)."""
+    import shutil
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_compact,
+        lsm_live_runs,
+        lsm_read,
+        lsm_write_run,
+    )
+
+    stage, runs = _cms_maintain_paths(sf_dir)
+    for d in (stage, runs):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    ev.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    for b in range(CMS_MAINT_SPLIT):
+        lsm_write_run(
+            staged.filter(F.col("user_id") % CMS_MAINT_SPLIT == b)
+            .crossJoin(F.broadcast(ds))
+            .select("d", F.expr(_cms_hash_spark("d", "user_id")).alias("w"))
+            .groupBy("d", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")),
+            runs,
+            b,
+        )
+    real = [b for b in lsm_live_runs(runs) if b >= 0]
+    decision = "compact" if len(real) > CMS_MAINTAIN_RUNS else "keep"
+    if decision == "compact":
+        lsm_compact(
+            spark,
+            runs,
+            lambda df: df.groupBy("d", "w").agg(
+                F.sum("c").cast("long").alias("c")
+            ),
+        )
+    cnt = (
+        lsm_read(spark, runs)
+        .groupBy("d", "w")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return _cms_verdicts(spark, stage, cnt).withColumn(
+        "decision", F.lit(decision)
+    )

@@ -744,3 +744,37 @@ def test_file_manifest_mode_is_sticky_and_gc_keeps_referenced(
     assert os.path.isdir(os.path.join(root, "gen-2"))
     want = sorted([(301, 0)] + [r for r in BASE[:10] if r[1] in (1, 2)])
     assert _snapshot_fm(spark, root) == want
+
+
+def test_lsm_maintain_cms_policy_arms(spark, tmp_path):
+    """lsm_maintain_cms (round-14): the SUM-fold policy — compact arm
+    folds the counter runs to one base on the smoke corpus (3 live
+    runs); keep arm leaves them untouched when every event lands in
+    ONE ingest split, and the probe/exact audit is identical either
+    way (sum associativity — the non-idempotent algebra is safe ONLY
+    through the run/watermark machinery this policy drives)."""
+    from dist_mapreduce_spark.plans.index_commit import lsm_live_runs
+    from dist_mapreduce_spark.plans.sketches import (
+        _cms_maintain_paths,
+        q_lsm_maintain_cms,
+    )
+
+    out = q_lsm_maintain_cms(spark, SF_SMOKE).collect()
+    assert out and all(r["decision"] == "compact" for r in out)
+    _stage, runs = _cms_maintain_paths(SF_SMOKE)
+    assert lsm_live_runs(runs) == [-1]
+
+    # keep arm: user_ids all ≡ 0 (mod 3), probes (< 8) included.
+    sf = str(tmp_path / "keepcms")
+    os.makedirs(sf)
+    rows = [(i, v) for i, v in enumerate([0, 0, 3, 3, 3, 6, 9, 12])]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long"
+    ).write.parquet(sf + "/events.parquet")
+    out = q_lsm_maintain_cms(spark, sf).collect()
+    assert out and all(r["decision"] == "keep" for r in out)
+    by_probe = {int(r["probe"]): int(r["exact_cnt"]) for r in out}
+    assert by_probe == {0: 2, 3: 3, 6: 1}
+    _stage, runs = _cms_maintain_paths(sf)
+    live = lsm_live_runs(runs)
+    assert -1 not in live and len(live) == 1, live

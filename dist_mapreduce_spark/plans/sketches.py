@@ -444,6 +444,33 @@ def _hll_stream_paths(sf_dir: str) -> tuple[str, str, str]:
     )
 
 
+def _hll_reg_maxima(df: DataFrame) -> DataFrame:
+    """Per-slice HLL register maxima (j, max rho) over user ids —
+    shared by the streaming sink's micro-batches and lsm_maintain_hll's
+    deterministic ingest splits (max is idempotent/associative, so
+    max-merged per-slice maxima == the global maxima regardless of how
+    the input was split)."""
+    from dist_mapreduce_spark.plans.relational import HLL_M, HLL_WBITS
+
+    h = df.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        )
+        .cast("bigint")
+        .alias("hv")
+    ).distinct()
+    rho = h.select(
+        (F.col("hv") % HLL_M).alias("j"),
+        F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(
+            F.lit(HLL_WBITS + 1)
+            - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
+        )
+        .alias("r"),
+    )
+    return rho.groupBy("j").agg(F.max("r").alias("mj"))
+
+
 def _hll_verdicts(
     spark: SparkSession, stage: str, mx: DataFrame
 ) -> DataFrame:
@@ -536,29 +563,10 @@ def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.repartition(3).write.mode("overwrite").parquet(stage)
 
-    def reg_maxima(df: DataFrame) -> DataFrame:
-        h = df.select(
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
-            )
-            .cast("bigint")
-            .alias("hv")
-        ).distinct()
-        rho = h.select(
-            (F.col("hv") % HLL_M).alias("j"),
-            F.when(F.floor(F.col("hv") / HLL_M) == 0, F.lit(HLL_WBITS + 1))
-            .otherwise(
-                F.lit(HLL_WBITS + 1)
-                - F.length(F.bin(F.floor(F.col("hv") / HLL_M).cast("bigint")))
-            )
-            .alias("r"),
-        )
-        return rho.groupBy("j").agg(F.max("r").alias("mj"))
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # Per-batch generation resolution + stream-epoch guard
         # (safe against a concurrent lsm_compact flip).
-        lsm_write_run(reg_maxima(batch_df), runs, batch_id, ckpt=ckpt)
+        lsm_write_run(_hll_reg_maxima(batch_df), runs, batch_id, ckpt=ckpt)
 
     q = (
         spark.readStream.schema(ev.schema)
@@ -1000,5 +1008,85 @@ def q_lsm_maintain_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("c"))
     )
     return _cms_verdicts(spark, stage, cnt).withColumn(
+        "decision", F.lit(decision)
+    )
+
+
+def _hll_maintain_paths(sf_dir: str) -> tuple[str, str]:
+    """(stage, runs-root) for the HLL maintenance-policy row."""
+    import hashlib as _hl
+    import os as _os
+
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return (
+        _os.path.join(scratch_root(), f"hll_maint_stage_{tag}"),
+        _os.path.join(scratch_root(), f"hll_maint_runs_{tag}"),
+    )
+
+
+@query(
+    "lsm_maintain_hll",
+    oracle=(
+        f"WITH verd AS ({_ORACLES['sketch_hll']}),"
+        f" nrun AS (SELECT CAST(count(DISTINCT user_id % {CMS_MAINT_SPLIT})"
+        f"  AS BIGINT) AS n FROM events WHERE user_id IS NOT NULL),"
+        f" mdec AS (SELECT CASE WHEN n > {CMS_MAINTAIN_RUNS}"
+        f"  THEN 'compact' ELSE 'keep' END AS d FROM nrun)"
+        f" SELECT v.*, 'compact' AS decision FROM verd v"
+        f"  WHERE (SELECT d FROM mdec) = 'compact'"
+        f" UNION ALL"
+        f" SELECT v.*, 'keep' AS decision FROM verd v"
+        f"  WHERE (SELECT d FROM mdec) = 'keep'"
+    ),
+)
+def q_lsm_maintain_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAX-fold member completing the maintenance-policy trio with
+    lsm_maintain (min) and lsm_maintain_cms (sum): all three streamed
+    fold algebras now carry the monitor-then-act pass, not just the
+    manual compaction. max is idempotent, so this store tolerates even
+    a double-fold — the policy's value here is cost (bounding the
+    merge-on-read run count), and the oracle holds the estimate row
+    bit-equal through whichever arm the run count picks, with the
+    SQL-derivable user_id % split making the decision replayable on
+    both engines."""
+    import shutil
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_compact,
+        lsm_live_runs,
+        lsm_read,
+        lsm_write_run,
+    )
+
+    stage, runs = _hll_maintain_paths(sf_dir)
+    for d in (stage, runs):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    ev.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    for b in range(CMS_MAINT_SPLIT):
+        lsm_write_run(
+            _hll_reg_maxima(
+                staged.filter(F.col("user_id") % CMS_MAINT_SPLIT == b)
+            ),
+            runs,
+            b,
+        )
+    real = [b for b in lsm_live_runs(runs) if b >= 0]
+    decision = "compact" if len(real) > CMS_MAINTAIN_RUNS else "keep"
+    if decision == "compact":
+        lsm_compact(
+            spark,
+            runs,
+            lambda df: df.groupBy("j").agg(F.max("mj").alias("mj")),
+        )
+    mx = lsm_read(spark, runs).groupBy("j").agg(F.max("mj").alias("mj"))
+    return _hll_verdicts(spark, stage, mx).withColumn(
         "decision", F.lit(decision)
     )

@@ -778,3 +778,32 @@ def test_lsm_maintain_cms_policy_arms(spark, tmp_path):
     _stage, runs = _cms_maintain_paths(sf)
     live = lsm_live_runs(runs)
     assert -1 not in live and len(live) == 1, live
+
+
+def test_lsm_maintain_hll_policy_arms(spark, tmp_path):
+    """lsm_maintain_hll (round-14): the MAX-fold member of the policy
+    trio — compact on the smoke corpus, keep on a single-split
+    fixture, estimate row identical either way (max idempotence)."""
+    from dist_mapreduce_spark.plans.index_commit import lsm_live_runs
+    from dist_mapreduce_spark.plans.sketches import (
+        _hll_maintain_paths,
+        q_lsm_maintain_hll,
+    )
+
+    out = q_lsm_maintain_hll(spark, SF_SMOKE).collect()
+    assert out and all(r["decision"] == "compact" for r in out)
+    _stage, runs = _hll_maintain_paths(SF_SMOKE)
+    assert lsm_live_runs(runs) == [-1]
+
+    sf = str(tmp_path / "keephll")
+    os.makedirs(sf)
+    rows = [(i, v) for i, v in enumerate([0, 3, 3, 6, 9, 12, 15, 18])]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long"
+    ).write.parquet(sf + "/events.parquet")
+    out = q_lsm_maintain_hll(spark, sf).collect()
+    assert len(out) == 1 and out[0]["decision"] == "keep"
+    assert int(out[0]["exact_users"]) == 7
+    _stage, runs = _hll_maintain_paths(sf)
+    live = lsm_live_runs(runs)
+    assert -1 not in live and len(live) == 1, live

@@ -807,3 +807,33 @@ def test_lsm_maintain_hll_policy_arms(spark, tmp_path):
     _stage, runs = _hll_maintain_paths(sf)
     live = lsm_live_runs(runs)
     assert -1 not in live and len(live) == 1, live
+
+
+def test_lsm_compact_respects_commit_lease(spark, tmp_path):
+    """The third commit entry point (after write_index_base and
+    commit_cell_swap) honors the single-writer lease too: a compaction
+    attempted while another lifecycle op holds the lock raises instead
+    of folding concurrently."""
+    from pyspark.sql import functions as F
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        ConcurrentCommitError,
+        commit_lease,
+        lsm_compact,
+        lsm_live_runs,
+        lsm_run_dir,
+        lsm_write_run,
+    )
+
+    root = str(tmp_path / "lsm")
+    lsm_run_dir(root)
+    frame = spark.createDataFrame([(1, 5)], "k int, v long")
+    for b in range(2):
+        lsm_write_run(frame, root, b)
+    fold = lambda df: df.groupBy("k").agg(F.sum("v").alias("v"))
+    with commit_lease(root):
+        with pytest.raises(ConcurrentCommitError):
+            lsm_compact(spark, root, fold)
+    assert sorted(b for b in lsm_live_runs(root) if b >= 0) == [0, 1]
+    lsm_compact(spark, root, fold)  # lease released: succeeds
+    assert lsm_live_runs(root) == [-1]

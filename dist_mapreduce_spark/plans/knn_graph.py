@@ -2206,3 +2206,125 @@ def q_sim_serve_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         served = q_sim_topk_ivf(spark, sf_dir)
     return served.withColumn("serve", F.lit(mode))
+
+
+# ----------------------------------- graph maintenance policy (r15)
+
+#: Probe-set edge-recall floor (per mille) under which the maintenance
+#: policy schedules an NN-Descent refinement sweep. The gate corpora
+#: sit at 0.35-0.53 recall (near-orthogonal synthetic embeddings — the
+#: honest blocked-graph ceiling knn_graph_recall publishes), so the
+#: driver exercises the REFINE arm; a clustered corpus (recall ~1.0,
+#: the knn_clustered regime) exercises KEEP — both pytest-pinned.
+KNN_MAINTAIN_RECALL_MILLI = 700
+
+
+def _knn_maintain_oracle() -> str:
+    """knn_graph_recall's statistic chain (appended graph == rebuild by
+    the gate-proven merge lemma, so g is the rebuild; bf is the exact
+    probe truth) + an exact-integer decision CTE + BOTH arms guarded by
+    the decision — the sim_index_maintain contract: a wrong pick on
+    either engine is a hash mismatch, never a silent no-op. The
+    comparison is integer cross-multiplication (n_hit·1000 <
+    MILLI·n_truth), not a float recall, so both engines decide
+    bit-identically."""
+    return (
+        f"WITH g AS MATERIALIZED ({_knn_oracle()}),"
+        f"{_refine_ctes()},"
+        f" r AS (SELECT src_id, dst_id, score, rk FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY src_id"
+        f"   ORDER BY score DESC, dst_id) AS rk FROM sc2)"
+        f"  WHERE rk <= {KNN_K}),"
+        f"{_BF_CTE},"
+        f" nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bf),"
+        f" ng AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bf t JOIN g"
+        f"  ON t.src_id = g.src_id AND t.dst_id = g.dst_id),"
+        f" dec AS (SELECT CASE WHEN ng.n * 1000 <"
+        f"  {KNN_MAINTAIN_RECALL_MILLI} * nt.n THEN 'refine'"
+        f"  ELSE 'keep' END AS d FROM nt, ng)"
+        f" SELECT src_id, dst_id, score, rk, 'keep' AS decision FROM g"
+        f"  WHERE (SELECT d FROM dec) = 'keep'"
+        f" UNION ALL"
+        f" SELECT src_id, dst_id, score, rk, 'refine' AS decision FROM r"
+        f"  WHERE (SELECT d FROM dec) = 'refine'"
+    )
+
+
+@query("knn_graph_maintain", oracle=_knn_maintain_oracle())
+def q_knn_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRAPH MAINTENANCE POLICY — the row that completes the
+    policy trio's symmetry (round-14 verdict item #5): the embeddings
+    index has sim_index_maintain, the dense index dense_index_maintain,
+    the LSM stores lsm_maintain*; the kNN graph had append/delete/
+    refine but nothing deciding WHEN to refine. This is that decision,
+    made from the graph family's own published quality statistic:
+    probe-set edge recall of the APPEND-MAINTAINED graph (the artifact
+    a production fleet actually holds — base graph + absorbed batch,
+    == rebuild by knn_graph_append's gate-proven lemma) against the
+    exact brute-force truth on the bounded probe set (src_id <
+    KNN_PROBE — the knn_graph_recall contract: recall estimation needs
+    a sampled truth, never N²). Recall at or above
+    KNN_MAINTAIN_RECALL_MILLI keeps the appended graph as-is (KEEP —
+    the refine sweep would buy little; knn_clustered's regime);
+    below it, the policy EXECUTES one NN-Descent iteration over the
+    appended graph (REFINE — knn_graph_refine_incremental's composed
+    path, == refine-over-rebuild by its gate row). Output rows carry
+    the decision; the oracle replays the statistic in exact integers
+    plus BOTH arms guarded by the same decision, so the policy picking
+    the wrong arm on either engine is a hash mismatch. This is the
+    cron job a graph fleet schedules after k ingest batches — monitor
+    edge quality, refine only when drift crossed the floor — run as
+    ONE operator; the pick-right-arm walk is pytest-pinned (clustered
+    fixture → keep, gate corpus → refine).
+
+    Scale shape: the statistic costs one broadcast brute-force scan
+    over KNN_PROBE query rows (corpus-linear, vector-narrow) + one
+    edge anti-lookup; the keep arm costs nothing beyond the append the
+    fleet already ran; the refine arm costs the pairs-linear NN-Descent
+    sweep it would have to run anyway (≤(2k)²·N id-joins + rescore —
+    knn_graph_refine's shape). One scalar statistic row reaches the
+    driver; nothing is paid twice (the appended graph is cached across
+    statistic and sweep)."""
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    g = q_knn_graph_append(spark, sf_dir).cache()
+    probe = emb.filter(F.col("vec_id") < KNN_PROBE).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("dst_id"), F.col("embedding").alias("ev")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe), F.col("dst_id") != F.col("src_id"))
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "ev")))
+        .select("src_id", "dst_id", "score")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src_id", "dst_id")
+    )
+    stat = (
+        truth.join(
+            g.select("src_id", "dst_id").withColumn("hit", F.lit(1)),
+            ["src_id", "dst_id"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+        .collect()[0]
+    )
+    n_truth, n_hit = int(stat["n_truth"]), int(stat["n_hit"])
+    decision = (
+        "refine"
+        if n_hit * 1000 < KNN_MAINTAIN_RECALL_MILLI * n_truth
+        else "keep"
+    )
+    acted = (
+        _refine_over(g.select("src_id", "dst_id"), emb)
+        if decision == "refine"
+        else g
+    )
+    return acted.withColumn("decision", F.lit(decision))

@@ -850,3 +850,63 @@ def test_graph_serving_walk_stays_on_graph_edges(spark):
     assert len(rec) == 1
     assert 0.0 < rec[0]["recall"] <= 1.0
     assert rec[0]["n_hit"] <= rec[0]["n_truth"]
+
+
+def test_knn_maintain_policy_picks_the_right_arm_on_both_regimes(
+    spark, tmp_path
+):
+    """knn_graph_maintain (round-15): the graph maintenance policy must
+    REFINE on the gate corpus (near-orthogonal embeddings — probe
+    recall ~0.48, under the KNN_MAINTAIN_RECALL_MILLI floor; output ==
+    one NN-Descent sweep over the appended graph, i.e.
+    knn_graph_refine's rows) and KEEP on a clustered corpus (in-cluster
+    neighbors all share a cell, recall 1.0; output == the appended
+    graph verbatim, == the rebuild by the append lemma)."""
+    import os
+
+    from dist_mapreduce_spark.plans.knn_graph import (
+        q_knn_graph,
+        q_knn_graph_maintain,
+        q_knn_graph_refine,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def rows_of(df, drop_decision=False):
+        cols = [c for c in df.columns if c != "decision"] if drop_decision else df.columns
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    # (a) gate corpus: low recall -> REFINE; rows == refine-over-rebuild.
+    out = q_knn_graph_maintain(spark, SF_SMOKE)
+    got = out.collect()
+    assert got and all(r["decision"] == "refine" for r in got)
+    assert rows_of(out, drop_decision=True) == rows_of(
+        q_knn_graph_refine(spark, SF_SMOKE)
+    )
+
+    # (b) clustered corpus: 8 orthogonal one-hot cluster bases + tiny
+    # deterministic jitter; every cluster holds >= 1 deterministic
+    # centroid id (vec_id % 41 == 3, cluster = vec_id % 8), so each
+    # member's nearest cell is its own cluster's centroid and all true
+    # neighbors cohabit -> probe recall ~1.0 -> KEEP.
+    n, dim = 400, 64
+
+    def vec(vid: int) -> list[float]:
+        c = vid % 8
+        base = [1.0 if j == c * 8 else 0.0 for j in range(dim)]
+        return [
+            v + ((vid * 13 + j * 7) % 11 - 5) * 1e-3
+            for j, v in enumerate(base)
+        ]
+
+    sf = tmp_path / "kmaint"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(v, [float(x) for x in vec(v)], v % 10) for v in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(sf / "embeddings.parquet"))
+    out2 = q_knn_graph_maintain(spark, str(sf))
+    got2 = out2.collect()
+    assert got2 and all(r["decision"] == "keep" for r in got2)
+    assert rows_of(out2, drop_decision=True) == rows_of(
+        q_knn_graph(spark, str(sf))
+    )

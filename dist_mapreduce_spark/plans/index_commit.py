@@ -360,17 +360,19 @@ def _flip_manifest(
 
 def _manifest_dirs(man: dict | None) -> set[str]:
     """Every top-level dir a manifest references: its generation dir,
-    plus (file_manifest mode) the dir of every listed file — the set
-    a reader resolving THAT manifest may be scanning."""
+    plus (file_manifest mode) the dir of every listed file — cell file
+    lists (``files``) AND LSM carried-run file lists (``runs``) — the
+    set a reader resolving THAT manifest may be scanning."""
     if man is None:
         return set()
     out = {f"gen-{int(man['gen'])}"}
     if man.get("mode") == "file_manifest":
-        out |= {
-            p.split(os.sep, 1)[0]
-            for ps in man.get("files", {}).values()
-            for p in ps
-        }
+        for key in ("files", "runs"):
+            out |= {
+                p.split(os.sep, 1)[0]
+                for ps in man.get(key, {}).values()
+                for p in ps
+            }
     return out
 
 
@@ -924,7 +926,10 @@ class IndexSnapshot:
         """The merge-on-read view AS OF the snapshot: exactly the run
         set that was live at pin time (base + runs above the pinned
         watermark, enumerated then) — ingests and compactions after
-        the pin stay invisible."""
+        the pin stay invisible. On a file_manifest store the pin holds
+        the run FILE LISTS of pin time (they may span generations), so
+        the read is the same explicit-file merge the live reader
+        uses."""
         from pyspark.sql import functions as F
 
         if self._runs is None:
@@ -932,6 +937,8 @@ class IndexSnapshot:
                 f"IndexSnapshot.lsm_read: {self.root} was not pinned"
                 " as an LSM run store"
             )
+        if isinstance(self._runs, dict):
+            return _read_runs(spark, self.root, self._runs)
         df = spark.read.parquet(self.data_dir)
         return df.filter(
             F.col("ingest_batch").isin([int(b) for b in self._runs])
@@ -988,17 +995,35 @@ def index_snapshot(root: str) -> IndexSnapshot:
                 if "folded_through" in man:  # an LSM run store
                     ft = man.get("folded_through")
                     gen_dir = os.path.join(root, f"gen-{gen}")
-                    runs = sorted(
-                        b
-                        for d in os.listdir(gen_dir)
-                        if d.startswith("ingest_batch=")
-                        and (
-                            (b := int(d.split("=", 1)[1]))
-                            == LSM_BASE_BATCH
+                    if man.get("mode") == "file_manifest":
+                        # Pin the run FILE LISTS of pin time: carried
+                        # runs live in older generation dirs the pin's
+                        # dir set already keeps alive (_manifest_dirs
+                        # walks the manifest's run lists).
+                        merged = {
+                            int(b): list(ps)
+                            for b, ps in (man.get("runs") or {}).items()
+                        }
+                        merged.update(_lsm_dir_run_files(root, gen_dir))
+                        runs = {
+                            b: ps
+                            for b, ps in merged.items()
+                            if b == LSM_BASE_BATCH
                             or ft is None
                             or b > int(ft)
+                        }
+                    else:
+                        runs = sorted(
+                            b
+                            for d in os.listdir(gen_dir)
+                            if d.startswith("ingest_batch=")
+                            and (
+                                (b := int(d.split("=", 1)[1]))
+                                == LSM_BASE_BATCH
+                                or ft is None
+                                or b > int(ft)
+                            )
                         )
-                    )
             except FileNotFoundError:
                 # The gen dir vanished despite the manifest check —
                 # extreme churn; drop this pin and retry.
@@ -1063,19 +1088,114 @@ LSM_BASE_BATCH = -1
 STREAM_ID_NAME = "_LSM_STREAM_ID"
 
 
-def lsm_run_dir(root: str) -> str:
+def lsm_run_dir(root: str, mode: str | None = None) -> str:
     """Resolve (initializing on first use) the directory a streaming
     sink writes its ``ingest_batch=<id>`` runs into — the current
     generation of the manifest-rooted store. NOTE: the resolution is
     only valid for ONE write — sinks must re-resolve per batch (or use
-    lsm_write_run, which also closes the write/flip race)."""
+    lsm_write_run, which also closes the write/flip race).
+
+    ``mode`` (or SPARK_GRAFT_COMMIT_MODE) is consulted only at FIRST
+    initialization and recorded in the manifest — an existing store
+    keeps its recorded commit mode, exactly the cell-index rule. In
+    ``file_manifest`` mode the sink's write path is UNCHANGED (runs
+    land as hive ``ingest_batch=<id>`` dirs in the current generation
+    and are discovered by listing — a sink holds no lease and commits
+    no manifest); what changes is COMPACTION's carry-over (manifest
+    file-list re-listing instead of hardlink trees — zero data
+    movement for late runs on object stores) and the reader (explicit
+    file lists for the base + carried runs)."""
     if current_generation(root) is None:
+        if mode is None:
+            mode = os.environ.get(COMMIT_MODE_ENV) or None
+        if mode not in (None, "hardlink", "file_manifest"):
+            raise ValueError(
+                f"lsm_run_dir: unknown commit mode {mode!r}"
+            )
         with commit_lease(root):
             if current_generation(root) is None:  # re-check under lease
                 gen_dir = os.path.join(root, "gen-1")
                 os.makedirs(gen_dir, exist_ok=True)
-                _flip_manifest(root, 1, {"folded_through": None}, expect=None)
+                extra = {"folded_through": None}
+                if mode == "file_manifest":
+                    extra["mode"] = "file_manifest"
+                _flip_manifest(root, 1, extra, expect=None)
     return index_data_dir(root)
+
+
+def _lsm_dir_run_files(root: str, gen_dir: str) -> dict[int, list[str]]:
+    """{batch id: [root-relative parquet paths]} for every
+    ``ingest_batch=<id>`` run directory physically under ``gen_dir``
+    (the sink's write target). Runs whose directory holds no parquet
+    yet (a write in flight) list as absent — exactly what the
+    directory-mode snapshot sees for them."""
+    out: dict[int, list[str]] = {}
+    for d in sorted(os.listdir(gen_dir)):
+        if not d.startswith("ingest_batch="):
+            continue
+        full = os.path.join(gen_dir, d)
+        if not os.path.isdir(full):
+            continue
+        files = [
+            os.path.join(os.path.relpath(full, root), f)
+            for f in sorted(os.listdir(full))
+            if f.endswith(".parquet")
+        ]
+        if files:
+            out[int(d.split("=", 1)[1])] = files
+    return out
+
+
+def _lsm_run_files(root: str, man: dict | None) -> dict[int, list[str]]:
+    """The committed run set of a file_manifest LSM store: the
+    manifest's carried-run file lists, OVERRIDDEN by any run directory
+    physically present in the current generation — a racing sink's
+    republish of a carried run supersedes the manifest's old-
+    generation copy (identical logical content, newer physical copy;
+    dynamic overwrite makes the pair interchangeable), and fresh runs
+    exist only in the directory. Ghost filtering (folded_through) is
+    the CALLER's job — this is the raw file index."""
+    man = man or {}
+    merged: dict[int, list[str]] = {
+        int(b): list(ps) for b, ps in (man.get("runs") or {}).items()
+    }
+    gen = man.get("gen")
+    if gen is not None:
+        gen_dir = os.path.join(root, f"gen-{int(gen)}")
+        try:
+            merged.update(_lsm_dir_run_files(root, gen_dir))
+        except FileNotFoundError:
+            pass
+    return merged
+
+
+def _read_runs(spark, root: str, run_files: dict[int, list[str]]):
+    """Explicit-file merge-on-read for a file_manifest LSM store:
+    group the run files by top-level generation dir and read each
+    group with ITS basePath (hive inference recovers ingest_batch from
+    the path under that generation), then union — one read per
+    referenced generation, never a directory scan of dereferenced
+    generations. Same schema as the directory-mode read."""
+    groups: dict[str, list[str]] = {}
+    for ps in run_files.values():
+        for p in ps:
+            groups.setdefault(p.split(os.sep, 1)[0], []).append(
+                os.path.join(root, p)
+            )
+    dfs = [
+        spark.read.option("basePath", os.path.join(root, top)).parquet(
+            *sorted(paths)
+        )
+        for top, paths in sorted(groups.items())
+    ]
+    if not dfs:
+        raise ValueError(
+            f"lsm read: {root} has no committed or live run files"
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def _stream_id(ckpt: str) -> str:
@@ -1273,11 +1393,23 @@ def lsm_folded_through(root: str) -> int | None:
 def lsm_read(spark, root: str):
     """The merge-on-read view: base run + every run ABOVE the
     folded_through watermark. Runs at or below the watermark are
-    replayed ghosts — their content is already inside the base."""
+    replayed ghosts — their content is already inside the base.
+    file_manifest stores read the committed file lists (base +
+    carried runs, possibly spanning generations) merged with the
+    current generation's directory-listed fresh runs; directory-mode
+    stores scan the generation dir as before."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(index_data_dir(root))
+    man = read_manifest(root) or {}
     ft = lsm_folded_through(root)
+    if man.get("mode") == "file_manifest":
+        live = {
+            b: ps
+            for b, ps in _lsm_run_files(root, man).items()
+            if b == LSM_BASE_BATCH or ft is None or b > ft
+        }
+        return _read_runs(spark, root, live)
+    df = spark.read.parquet(index_data_dir(root))
     if ft is not None:
         df = df.filter(
             (F.col("ingest_batch") == LSM_BASE_BATCH)
@@ -1287,16 +1419,22 @@ def lsm_read(spark, root: str):
 
 
 def lsm_live_runs(root: str) -> list[int]:
-    """Run ids a reader currently merges (directory listing only)."""
+    """Run ids a reader currently merges (metadata only: the directory
+    listing, merged with the manifest's carried-run lists on a
+    file_manifest store)."""
+    man = read_manifest(root) or {}
     ft = lsm_folded_through(root)
-    data = index_data_dir(root)
-    out = []
-    for d in os.listdir(data):
-        if d.startswith("ingest_batch="):
-            b = int(d.split("=", 1)[1])
-            if b == LSM_BASE_BATCH or ft is None or b > ft:
-                out.append(b)
-    return sorted(out)
+    if man.get("mode") == "file_manifest":
+        ids = _lsm_run_files(root, man).keys()
+    else:
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(index_data_dir(root))
+            if d.startswith("ingest_batch=")
+        ]
+    return sorted(
+        b for b in ids if b == LSM_BASE_BATCH or ft is None or b > ft
+    )
 
 
 def lsm_compact(
@@ -1343,29 +1481,45 @@ def lsm_compact(
 
         cur = current_generation(root)  # re-read under the lease
         man = read_manifest(root) or {}
+        file_mode = man.get("mode") == "file_manifest"
         old_ft = lsm_folded_through(root)
         old_dir = os.path.join(root, f"gen-{cur}")
-        # THE one snapshot: every decision below derives from it.
-        snap = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(old_dir)
-            if d.startswith("ingest_batch=")
-        )
-        live_ids = [
-            b
-            for b in snap
-            if b == LSM_BASE_BATCH or old_ft is None or b > old_ft
-        ]
+        # THE one snapshot: every decision below derives from it. In
+        # file_manifest mode the snapshot is the committed run lists
+        # merged with the current generation's directory (carried runs
+        # from earlier compactions live in OLDER generation dirs and
+        # are reachable only through the manifest).
+        if file_mode:
+            live_files = {
+                b: ps
+                for b, ps in _lsm_run_files(root, man).items()
+                if b == LSM_BASE_BATCH or old_ft is None or b > old_ft
+            }
+            live_ids = sorted(live_files)
+        else:
+            snap = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(old_dir)
+                if d.startswith("ingest_batch=")
+            )
+            live_ids = [
+                b
+                for b in snap
+                if b == LSM_BASE_BATCH or old_ft is None or b > old_ft
+            ]
         real = [b for b in live_ids if b != LSM_BASE_BATCH]
         if not live_ids:
             return old_ft  # empty store: nothing to fold
         new_ft = max(real) if real else old_ft
-        live = spark.read.option("basePath", old_dir).parquet(
-            *[
-                os.path.join(old_dir, f"ingest_batch={b}")
-                for b in live_ids
-            ]
-        )
+        if file_mode:
+            live = _read_runs(spark, root, live_files)
+        else:
+            live = spark.read.option("basePath", old_dir).parquet(
+                *[
+                    os.path.join(old_dir, f"ingest_batch={b}")
+                    for b in live_ids
+                ]
+            )
         base = fold(live.drop("ingest_batch")).withColumn(
             "ingest_batch", F.lit(LSM_BASE_BATCH)
         )
@@ -1429,11 +1583,59 @@ def lsm_compact(
                             )
                         time.sleep(0.1)
 
+        extra = {k: v for k, v in man.items() if k != "gen"}
+        extra["folded_through"] = new_ft
+        outgoing = _manifest_dirs(man)
+        if file_mode:
+            # Carry-over by manifest RE-LISTING (the Iceberg shape the
+            # cell swap already uses): a late run's files stay where
+            # the sink wrote them — zero data movement, zero per-file
+            # metadata ops — and the new manifest simply lists them.
+            # Same two-pass structure as the hardlink branch, with the
+            # post-flip pass an ADDENDUM FLIP (same generation,
+            # extended run list) instead of link repair.
+            runs = {
+                str(b): ps
+                for b, ps in _lsm_dir_run_files(root, gen_dir).items()
+            }
+
+            def late_runs() -> dict[int, list[str]]:
+                return {
+                    b: ps
+                    for b, ps in _lsm_dir_run_files(root, old_dir).items()
+                    if b != LSM_BASE_BATCH
+                    and (new_ft is None or b > new_ft)
+                }
+
+            runs.update(
+                {str(b): ps for b, ps in late_runs().items()}
+            )
+            if _between_carryover_and_flip is not None:
+                _between_carryover_and_flip()
+            extra["runs"] = runs
+            _flip_manifest(root, new, extra, expect=cur)
+            # Second pass, post-flip: a write that completed after the
+            # pre-flip listing whose writer then died before its
+            # recheck (live writers' rechecks wait out THIS lease and
+            # republish themselves into gen-<new>, where the reader's
+            # directory merge finds them without any manifest entry).
+            new_dir_ids = set(_lsm_dir_run_files(root, gen_dir))
+            missed = {
+                b: ps
+                for b, ps in late_runs().items()
+                if str(b) not in runs and b not in new_dir_ids
+            }
+            if missed:
+                runs.update({str(b): ps for b, ps in missed.items()})
+                extra["runs"] = runs
+                _flip_manifest(root, new, extra, expect=new)
+            _gc_file_generations(
+                root, runs, keep=new, grace=cur, grace_dirs=outgoing
+            )
+            return new_ft
         carry_over()
         if _between_carryover_and_flip is not None:
             _between_carryover_and_flip()
-        extra = {k: v for k, v in man.items() if k != "gen"}
-        extra["folded_through"] = new_ft
         _flip_manifest(root, new, extra, expect=cur)
         # Second pass, post-flip: a write that completed after the
         # pre-flip carry_over() listing whose writer then died before
@@ -1441,5 +1643,5 @@ def lsm_compact(
         # THIS lease and republish themselves). Still inside the
         # lease, so no republish can race the links.
         carry_over()
-        _gc_generations(root, keep=new, grace=cur)
+        _gc_generations(root, keep=new, grace=cur, grace_dirs=outgoing)
     return new_ft

@@ -938,7 +938,28 @@ class IndexSnapshot:
                 " as an LSM run store"
             )
         if isinstance(self._runs, dict):
-            return _read_runs(spark, self.root, self._runs)
+            carried = self._runs["carried"]
+            dir_ids = self._runs["dir_ids"]
+            parts = []
+            if carried:
+                parts.append(_read_runs(spark, self.root, carried))
+            if dir_ids:
+                parts.append(
+                    spark.read.parquet(self.data_dir).filter(
+                        F.col("ingest_batch").isin(
+                            [int(b) for b in dir_ids]
+                        )
+                    )
+                )
+            if not parts:
+                raise ValueError(
+                    f"IndexSnapshot.lsm_read: {self.root} had no live"
+                    " runs at pin time"
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         df = spark.read.parquet(self.data_dir)
         return df.filter(
             F.col("ingest_batch").isin([int(b) for b in self._runs])
@@ -996,21 +1017,38 @@ def index_snapshot(root: str) -> IndexSnapshot:
                     ft = man.get("folded_through")
                     gen_dir = os.path.join(root, f"gen-{gen}")
                     if man.get("mode") == "file_manifest":
-                        # Pin the run FILE LISTS of pin time: carried
-                        # runs live in older generation dirs the pin's
-                        # dir set already keeps alive (_manifest_dirs
-                        # walks the manifest's run lists).
-                        merged = {
+                        # Pin MANIFEST-CARRIED runs as file lists
+                        # (complete and immutable by construction —
+                        # they were listed by a flip that happened
+                        # after their write, and live in older
+                        # generation dirs the pin's dir set keeps
+                        # alive) but pin CURRENT-GENERATION runs as
+                        # IDS resolved at read time, like the
+                        # directory-mode pin: a dir listing taken
+                        # while a sink's job commit is moving files
+                        # in would freeze a PARTIAL file list —
+                        # silent under-count for a SUM fold — whereas
+                        # ids read live are complete by read time.
+                        carried = {
                             int(b): list(ps)
                             for b, ps in (man.get("runs") or {}).items()
-                        }
-                        merged.update(_lsm_dir_run_files(root, gen_dir))
-                        runs = {
-                            b: ps
-                            for b, ps in merged.items()
-                            if b == LSM_BASE_BATCH
+                            if int(b) == LSM_BASE_BATCH
                             or ft is None
-                            or b > int(ft)
+                            or int(b) > int(ft)
+                        }
+                        dir_ids = sorted(
+                            b
+                            for b in _lsm_dir_run_files(root, gen_dir)
+                            if b not in carried
+                            and (
+                                b == LSM_BASE_BATCH
+                                or ft is None
+                                or b > int(ft)
+                            )
+                        )
+                        runs = {
+                            "carried": carried,
+                            "dir_ids": dir_ids,
                         }
                     else:
                         runs = sorted(

@@ -1352,6 +1352,20 @@ def test_lsm_chaos_concurrent_sinks_and_compactions(spark, tmp_path):
     story (snapshot-first watermark, pre+post-flip carry-over,
     looped sink recheck) under scheduler-chosen timings instead of
     injected ones; the seed is fixed so a failure reproduces."""
+    _lsm_chaos(spark, tmp_path, mode=None)
+
+
+def test_lsm_chaos_file_manifest_mode(spark, tmp_path):
+    """The same chaos drive with the store committed in file_manifest
+    mode: the manifest-relisting carry-over, the addendum flip, and
+    the directory-supersedes-manifest read merge must hold under
+    scheduler-chosen sink/compactor timings too — carried-and-then-
+    republished runs are the exact double-count hazard the SUM fold
+    detects."""
+    _lsm_chaos(spark, tmp_path, mode="file_manifest")
+
+
+def _lsm_chaos(spark, tmp_path, mode):
     import random
     import threading
 
@@ -1363,7 +1377,7 @@ def test_lsm_chaos_concurrent_sinks_and_compactions(spark, tmp_path):
     )
 
     root = str(tmp_path / "lsm")
-    lsm_run_dir(root)
+    lsm_run_dir(root, mode=mode)
     rng = random.Random(1507)
     n_batches = 10
     fold = lambda df: df.groupBy("k").agg(F.sum("v").alias("v"))

@@ -5,7 +5,7 @@
 # the logs are informational only.
 set -u
 MODE=$1
-OUT=/root/repo/docs/r14/gate
+OUT=${2:-/root/repo/docs/r15/gate}
 cd /root/repo
 pids=()
 for SF in sf0.01 sf0.1 sf0.001; do

@@ -1032,19 +1032,12 @@ def index_snapshot(root: str) -> IndexSnapshot:
                         carried = {
                             int(b): list(ps)
                             for b, ps in (man.get("runs") or {}).items()
-                            if int(b) == LSM_BASE_BATCH
-                            or ft is None
-                            or int(b) > int(ft)
+                            if _run_is_live(int(b), ft)
                         }
                         dir_ids = sorted(
                             b
                             for b in _lsm_dir_run_files(root, gen_dir)
-                            if b not in carried
-                            and (
-                                b == LSM_BASE_BATCH
-                                or ft is None
-                                or b > int(ft)
-                            )
+                            if b not in carried and _run_is_live(b, ft)
                         )
                         runs = {
                             "carried": carried,
@@ -1055,11 +1048,8 @@ def index_snapshot(root: str) -> IndexSnapshot:
                             b
                             for d in os.listdir(gen_dir)
                             if d.startswith("ingest_batch=")
-                            and (
-                                (b := int(d.split("=", 1)[1]))
-                                == LSM_BASE_BATCH
-                                or ft is None
-                                or b > int(ft)
+                            and _run_is_live(
+                                (b := int(d.split("=", 1)[1])), ft
                             )
                         )
             except FileNotFoundError:
@@ -1143,13 +1133,34 @@ def lsm_run_dir(root: str, mode: str | None = None) -> str:
     file-list re-listing instead of hardlink trees — zero data
     movement for late runs on object stores) and the reader (explicit
     file lists for the base + carried runs)."""
+    if mode not in (None, "hardlink", "file_manifest"):
+        raise ValueError(f"lsm_run_dir: unknown commit mode {mode!r}")
+    man = read_manifest(root)
+    if man is not None:
+        # Existing store: the recorded mode is sticky. An EXPLICIT
+        # conflicting request is refused instead of silently ignored
+        # (the _resolve_mode / round-14-advice convention — there is
+        # no rebuild here to honor a migration through).
+        recorded = (
+            "file_manifest"
+            if man.get("mode") == "file_manifest"
+            else "hardlink"
+        )
+        if mode is not None and mode != recorded:
+            raise ValueError(
+                f"lsm_run_dir: {root} is committed in {recorded!r}"
+                f" mode; explicit mode={mode!r} conflicts — LSM run"
+                " stores migrate by compact-into-a-fresh-root, not"
+                " in place"
+            )
     if current_generation(root) is None:
         if mode is None:
             mode = os.environ.get(COMMIT_MODE_ENV) or None
-        if mode not in (None, "hardlink", "file_manifest"):
-            raise ValueError(
-                f"lsm_run_dir: unknown commit mode {mode!r}"
-            )
+            if mode not in (None, "hardlink", "file_manifest"):
+                raise ValueError(
+                    f"lsm_run_dir: unknown commit mode {mode!r}"
+                    f" (from {COMMIT_MODE_ENV})"
+                )
         with commit_lease(root):
             if current_generation(root) is None:  # re-check under lease
                 gen_dir = os.path.join(root, "gen-1")
@@ -1428,30 +1439,46 @@ def lsm_folded_through(root: str) -> int | None:
     return None if ft is None else int(ft)
 
 
+def _run_is_live(b: int, ft) -> bool:
+    """THE ghost filter — the one definition of which run ids a reader
+    merges: the folded base, plus every run strictly above the
+    folded_through watermark (at-or-under = a replayed ghost whose
+    rows are already inside the base). Single-sourced because a
+    one-sided edit of this invariant in any of its former six
+    hand-retyped copies would silently desynchronize readers from the
+    compactor."""
+    return b == LSM_BASE_BATCH or ft is None or int(b) > int(ft)
+
+
 def lsm_read(spark, root: str):
     """The merge-on-read view: base run + every run ABOVE the
-    folded_through watermark. Runs at or below the watermark are
-    replayed ghosts — their content is already inside the base.
-    file_manifest stores read the committed file lists (base +
-    carried runs, possibly spanning generations) merged with the
-    current generation's directory-listed fresh runs; directory-mode
-    stores scan the generation dir as before."""
+    folded_through watermark (_run_is_live). file_manifest stores
+    read the committed file lists (base + carried runs, possibly
+    spanning generations) merged with the current generation's
+    directory-listed fresh runs; directory-mode stores scan the
+    generation dir as before. The watermark comes from the SAME
+    manifest read as the run lists — reading it separately would let
+    a compaction flip land between the two reads and pair the STALE
+    run set with the NEW watermark, silently dropping every
+    just-folded run from the view."""
     from pyspark.sql import functions as F
 
     man = read_manifest(root) or {}
-    ft = lsm_folded_through(root)
+    ft = man.get("folded_through")
     if man.get("mode") == "file_manifest":
         live = {
             b: ps
             for b, ps in _lsm_run_files(root, man).items()
-            if b == LSM_BASE_BATCH or ft is None or b > ft
+            if _run_is_live(b, ft)
         }
         return _read_runs(spark, root, live)
-    df = spark.read.parquet(index_data_dir(root))
+    gen = man.get("gen")
+    data_dir = root if gen is None else os.path.join(root, f"gen-{int(gen)}")
+    df = spark.read.parquet(data_dir)
     if ft is not None:
         df = df.filter(
             (F.col("ingest_batch") == LSM_BASE_BATCH)
-            | (F.col("ingest_batch") > ft)
+            | (F.col("ingest_batch") > int(ft))
         )
     return df
 
@@ -1459,20 +1486,23 @@ def lsm_read(spark, root: str):
 def lsm_live_runs(root: str) -> list[int]:
     """Run ids a reader currently merges (metadata only: the directory
     listing, merged with the manifest's carried-run lists on a
-    file_manifest store)."""
+    file_manifest store). Watermark and run lists from ONE manifest
+    read — see lsm_read."""
     man = read_manifest(root) or {}
-    ft = lsm_folded_through(root)
+    ft = man.get("folded_through")
     if man.get("mode") == "file_manifest":
         ids = _lsm_run_files(root, man).keys()
     else:
+        gen = man.get("gen")
+        data_dir = (
+            root if gen is None else os.path.join(root, f"gen-{int(gen)}")
+        )
         ids = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(index_data_dir(root))
+            for d in os.listdir(data_dir)
             if d.startswith("ingest_batch=")
         ]
-    return sorted(
-        b for b in ids if b == LSM_BASE_BATCH or ft is None or b > ft
-    )
+    return sorted(b for b in ids if _run_is_live(b, ft))
 
 
 def lsm_compact(
@@ -1531,7 +1561,7 @@ def lsm_compact(
             live_files = {
                 b: ps
                 for b, ps in _lsm_run_files(root, man).items()
-                if b == LSM_BASE_BATCH or old_ft is None or b > old_ft
+                if _run_is_live(b, old_ft)
             }
             live_ids = sorted(live_files)
         else:
@@ -1540,11 +1570,7 @@ def lsm_compact(
                 for d in os.listdir(old_dir)
                 if d.startswith("ingest_batch=")
             )
-            live_ids = [
-                b
-                for b in snap
-                if b == LSM_BASE_BATCH or old_ft is None or b > old_ft
-            ]
+            live_ids = [b for b in snap if _run_is_live(b, old_ft)]
         real = [b for b in live_ids if b != LSM_BASE_BATCH]
         if not live_ids:
             return old_ft  # empty store: nothing to fold
@@ -1594,9 +1620,7 @@ def lsm_compact(
                 if not d.startswith("ingest_batch="):
                     continue
                 b = int(d.split("=", 1)[1])
-                if b == LSM_BASE_BATCH or (
-                    new_ft is not None and b <= new_ft
-                ):
+                if b == LSM_BASE_BATCH or not _run_is_live(b, new_ft):
                     continue
                 src = os.path.join(old_dir, d)
                 dst = os.path.join(gen_dir, d)
@@ -1641,8 +1665,7 @@ def lsm_compact(
                 return {
                     b: ps
                     for b, ps in _lsm_dir_run_files(root, old_dir).items()
-                    if b != LSM_BASE_BATCH
-                    and (new_ft is None or b > new_ft)
+                    if b != LSM_BASE_BATCH and _run_is_live(b, new_ft)
                 }
 
             runs.update(

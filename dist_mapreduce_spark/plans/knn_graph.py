@@ -755,6 +755,43 @@ _BF_CTE = (
 )
 
 
+def _probe_truth(emb: DataFrame) -> DataFrame:
+    """The exact brute-force edge truth on the bounded probe set
+    (src_id < KNN_PROBE): every probe's true top-KNN_K neighbors by
+    cosine, (score DESC, dst_id ASC) tie-break — THE one definition of
+    the published recall statistic, shared by knn_graph_recall (the
+    monitor) and knn_graph_maintain (the policy that acts on it) so
+    the decision statistic can never drift from the metric it claims
+    to replay. Corpus-linear: one broadcast of ≤KNN_PROBE query rows
+    against the corpus, never N²."""
+    probe = emb.filter(
+        (F.col("vec_id") < KNN_PROBE) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("dst_id"), F.col("embedding").alias("ev")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe), F.col("dst_id") != F.col("src_id"))
+        .withColumn("score", F.expr(cosine_spark_sql("qv", "ev")))
+        .select("src_id", "dst_id", "score")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src_id", "dst_id")
+    )
+
+
+def _truth_hits(truth: DataFrame, edges: DataFrame) -> DataFrame:
+    """truth LEFT JOIN the graph's edges, hit-flagged — the shared
+    counting frame behind both recall rows and the maintain decision
+    (count(lit(1)) = n_truth, count(hit) = n_hit)."""
+    return truth.join(
+        edges.withColumn("hit", F.lit(1)), ["src_id", "dst_id"], "left"
+    )
+
+
 @query(
     "knn_graph_recall",
     oracle=(
@@ -788,34 +825,14 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked rows publish the before/after pair: what cell
     blocking alone finds, and what one neighbors-of-neighbors
     iteration buys back."""
-    emb = _emb(spark, sf_dir)
-    probe = emb.filter(
-        (F.col("vec_id") < KNN_PROBE) & F.col("embedding").isNotNull()
-    ).select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("qv"))
-    corpus = emb.filter(F.col("embedding").isNotNull()).select(
-        F.col("vec_id").alias("dst_id"), F.col("embedding").alias("ev")
-    )
-    scored = (
-        corpus.join(F.broadcast(probe), F.col("dst_id") != F.col("src_id"))
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "ev")))
-        .select("src_id", "dst_id", "score")
-    )
-    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
-    truth = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KNN_K)
-        .select("src_id", "dst_id")
-        .cache()
-    )
+    truth = _probe_truth(_emb(spark, sf_dir)).cache()
     rows = []
     for method, fn in (
         (f"knn_cell_r{KNN_RESIDENCY}", q_knn_graph),
         ("knn_descent1", q_knn_graph_refine),
     ):
         edges = fn(spark, sf_dir).select("src_id", "dst_id")
-        flagged = truth.join(
-            edges.withColumn("hit", F.lit(1)), ["src_id", "dst_id"], "left"
-        )
+        flagged = _truth_hits(truth, edges)
         rows.append(
             flagged.agg(
                 F.lit(method).alias("method"),
@@ -2287,29 +2304,9 @@ def q_knn_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic and sweep)."""
     emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
     g = q_knn_graph_append(spark, sf_dir).cache()
-    probe = emb.filter(F.col("vec_id") < KNN_PROBE).select(
-        F.col("vec_id").alias("src_id"), F.col("embedding").alias("qv")
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("dst_id"), F.col("embedding").alias("ev")
-    )
-    scored = (
-        corpus.join(F.broadcast(probe), F.col("dst_id") != F.col("src_id"))
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "ev")))
-        .select("src_id", "dst_id", "score")
-    )
-    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
-    truth = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KNN_K)
-        .select("src_id", "dst_id")
-    )
+    truth = _probe_truth(emb)
     stat = (
-        truth.join(
-            g.select("src_id", "dst_id").withColumn("hit", F.lit(1)),
-            ["src_id", "dst_id"],
-            "left",
-        )
+        _truth_hits(truth, g.select("src_id", "dst_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_truth"),
             F.count("hit").cast("long").alias("n_hit"),

@@ -1825,3 +1825,69 @@ def test_snapshot_lsm_read_as_of_fm(spark, tmp_path):
         assert got == want_pin, "pinned view must be as-of pin time"
     want_live = sorted((k, 30 + 3 * k) for k in range(3))
     assert _fm_drained(spark, root) == want_live
+
+
+def test_stream_lsm_maintain_compacts_mid_stream_fm(spark, monkeypatch):
+    """The live-stream maintenance composition on a file_manifest
+    store: the mid-stream compaction publishes by manifest re-listing
+    and later batches land in the new generation via the sink's
+    per-batch resolution — drained verdicts stay bit-equal to the
+    plain ingest row's, and the store's physical walk matches the
+    hardlink twin's (folded base + post-compact run above the
+    watermark)."""
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_folded_through,
+        lsm_live_runs,
+        read_manifest,
+    )
+    from dist_mapreduce_spark.plans.llm_pipeline import (
+        _dedup_live_maint_paths,
+        q_stream_dedup_incremental,
+        q_stream_lsm_maintain,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_MODE", "file_manifest")
+    got = sorted(
+        tuple(r) for r in q_stream_lsm_maintain(spark, SF_SMOKE).collect()
+    )
+    _stage, _ckpt, runs = _dedup_live_maint_paths(SF_SMOKE)
+    man = read_manifest(runs)
+    assert man is not None and man.get("mode") == "file_manifest"
+    assert lsm_folded_through(runs) == 1, "compaction must fire at batch 1"
+    assert lsm_live_runs(runs) == [-1, 2], lsm_live_runs(runs)
+    monkeypatch.delenv("SPARK_GRAFT_COMMIT_MODE")
+    plain = sorted(
+        tuple(r)
+        for r in q_stream_dedup_incremental(spark, SF_SMOKE).collect()
+    )
+    assert got == plain
+
+
+def test_lsm_run_dir_mode_validation_and_conflict_refusal(
+    spark, tmp_path
+):
+    """Review fixes (round 15): an unknown mode string raises even on
+    an ALREADY-initialized store (it used to be silently ignored once
+    the init branch was skipped), and an explicit mode conflicting
+    with the recorded one is refused instead of ignored — LSM stores
+    migrate by compact-into-a-fresh-root, not silently in place."""
+    import pytest as _pytest
+
+    from dist_mapreduce_spark.plans.index_commit import (
+        lsm_run_dir,
+        lsm_write_run,
+    )
+
+    root = str(tmp_path / "lsmmv")
+    lsm_run_dir(root, mode="file_manifest")
+    lsm_write_run(_fm_run_frame(spark, 0), root, 0)
+    with _pytest.raises(ValueError, match="unknown commit mode"):
+        lsm_run_dir(root, mode="file_manifes")  # typo, existing store
+    with _pytest.raises(ValueError, match="conflicts"):
+        lsm_run_dir(root, mode="hardlink")
+    assert lsm_run_dir(root, mode="file_manifest")  # matching: fine
+    assert lsm_run_dir(root)  # unspecified: recorded mode, fine
+    root2 = str(tmp_path / "lsmmv2")
+    lsm_run_dir(root2)  # hardlink default
+    with _pytest.raises(ValueError, match="conflicts"):
+        lsm_run_dir(root2, mode="file_manifest")

@@ -332,11 +332,21 @@ def _orphan_generations(root: str) -> list[str]:
     )
 
 
+def _manifest_data_dir(root: str, man: dict | None) -> str:
+    """The gen-to-data-dir mapping against an ALREADY-READ manifest —
+    the one definition (index_data_dir delegates here; readers that
+    hold a manifest snapshot use it directly so their dir resolution
+    can never pair a different generation with the snapshot's
+    watermark/run lists)."""
+    if man is None:
+        return root
+    return os.path.join(root, f"gen-{int(man['gen'])}")
+
+
 def index_data_dir(root: str) -> str:
     """Resolve the directory readers should scan: the manifest's
     generation dir, or ``root`` itself for legacy flat layouts."""
-    gen = current_generation(root)
-    return root if gen is None else os.path.join(root, f"gen-{gen}")
+    return _manifest_data_dir(root, read_manifest(root))
 
 
 def _flip_manifest(
@@ -1135,41 +1145,58 @@ def lsm_run_dir(root: str, mode: str | None = None) -> str:
     file lists for the base + carried runs)."""
     if mode not in (None, "hardlink", "file_manifest"):
         raise ValueError(f"lsm_run_dir: unknown commit mode {mode!r}")
-    man = read_manifest(root)
-    if man is not None:
+
+    def check_conflict(man: dict | None) -> None:
         # Existing store: the recorded mode is sticky. An EXPLICIT
         # conflicting request is refused instead of silently ignored
         # (the _resolve_mode / round-14-advice convention — there is
         # no rebuild here to honor a migration through).
+        if man is None or mode is None:
+            return
         recorded = (
             "file_manifest"
             if man.get("mode") == "file_manifest"
             else "hardlink"
         )
-        if mode is not None and mode != recorded:
+        if mode != recorded:
             raise ValueError(
                 f"lsm_run_dir: {root} is committed in {recorded!r}"
                 f" mode; explicit mode={mode!r} conflicts — LSM run"
                 " stores migrate by compact-into-a-fresh-root, not"
                 " in place"
             )
-    if current_generation(root) is None:
-        if mode is None:
-            mode = os.environ.get(COMMIT_MODE_ENV) or None
-            if mode not in (None, "hardlink", "file_manifest"):
+
+    # ONE manifest read serves the conflict check, the init decision,
+    # and the data-dir resolution (this is the per-micro-batch sink
+    # hot path — on the object-store backends fm mode exists for,
+    # every extra read is a GET).
+    man = read_manifest(root)
+    check_conflict(man)
+    if man is None:
+        init_mode = mode
+        if init_mode is None:
+            init_mode = os.environ.get(COMMIT_MODE_ENV) or None
+            if init_mode not in (None, "hardlink", "file_manifest"):
                 raise ValueError(
-                    f"lsm_run_dir: unknown commit mode {mode!r}"
+                    f"lsm_run_dir: unknown commit mode {init_mode!r}"
                     f" (from {COMMIT_MODE_ENV})"
                 )
         with commit_lease(root):
-            if current_generation(root) is None:  # re-check under lease
+            man = read_manifest(root)  # re-check under the lease
+            if man is None:
                 gen_dir = os.path.join(root, "gen-1")
                 os.makedirs(gen_dir, exist_ok=True)
                 extra = {"folded_through": None}
-                if mode == "file_manifest":
+                if init_mode == "file_manifest":
                     extra["mode"] = "file_manifest"
                 _flip_manifest(root, 1, extra, expect=None)
-    return index_data_dir(root)
+                return gen_dir
+            # Lost a first-init race: the conflict check must re-run
+            # against the WINNER's manifest, or a conflicting explicit
+            # mode is silently accepted in exactly the interleaving
+            # the lease exists to close.
+            check_conflict(man)
+    return _manifest_data_dir(root, man)
 
 
 def _lsm_dir_run_files(root: str, gen_dir: str) -> dict[int, list[str]]:
@@ -1208,11 +1235,11 @@ def _lsm_run_files(root: str, man: dict | None) -> dict[int, list[str]]:
     merged: dict[int, list[str]] = {
         int(b): list(ps) for b, ps in (man.get("runs") or {}).items()
     }
-    gen = man.get("gen")
-    if gen is not None:
-        gen_dir = os.path.join(root, f"gen-{int(gen)}")
+    if man.get("gen") is not None:
         try:
-            merged.update(_lsm_dir_run_files(root, gen_dir))
+            merged.update(
+                _lsm_dir_run_files(root, _manifest_data_dir(root, man))
+            )
         except FileNotFoundError:
             pass
     return merged
@@ -1472,9 +1499,9 @@ def lsm_read(spark, root: str):
             if _run_is_live(b, ft)
         }
         return _read_runs(spark, root, live)
-    gen = man.get("gen")
-    data_dir = root if gen is None else os.path.join(root, f"gen-{int(gen)}")
-    df = spark.read.parquet(data_dir)
+    df = spark.read.parquet(
+        _manifest_data_dir(root, man if man else None)
+    )
     if ft is not None:
         df = df.filter(
             (F.col("ingest_batch") == LSM_BASE_BATCH)
@@ -1493,13 +1520,9 @@ def lsm_live_runs(root: str) -> list[int]:
     if man.get("mode") == "file_manifest":
         ids = _lsm_run_files(root, man).keys()
     else:
-        gen = man.get("gen")
-        data_dir = (
-            root if gen is None else os.path.join(root, f"gen-{int(gen)}")
-        )
         ids = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(data_dir)
+            for d in os.listdir(_manifest_data_dir(root, man if man else None))
             if d.startswith("ingest_batch=")
         ]
     return sorted(b for b in ids if _run_is_live(b, ft))

@@ -1864,7 +1864,7 @@ def test_stream_lsm_maintain_compacts_mid_stream_fm(spark, monkeypatch):
 
 
 def test_lsm_run_dir_mode_validation_and_conflict_refusal(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
     """Review fixes (round 15): an unknown mode string raises even on
     an ALREADY-initialized store (it used to be silently ignored once
@@ -1878,6 +1878,9 @@ def test_lsm_run_dir_mode_validation_and_conflict_refusal(
         lsm_write_run,
     )
 
+    # The ambient env must not leak into the 'hardlink default' init
+    # below (the fm gate sweeps export this very variable).
+    monkeypatch.delenv("SPARK_GRAFT_COMMIT_MODE", raising=False)
     root = str(tmp_path / "lsmmv")
     lsm_run_dir(root, mode="file_manifest")
     lsm_write_run(_fm_run_frame(spark, 0), root, 0)

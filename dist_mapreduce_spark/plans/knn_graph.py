@@ -755,26 +755,173 @@ _BF_CTE = (
 )
 
 
-def _probe_truth(emb: DataFrame) -> DataFrame:
+def _gemm_probe_candidates(
+    corpus: DataFrame, probe_rows: list
+) -> DataFrame:
+    """(src_id, dst_id) candidate pairs for the probe-truth statistic,
+    pre-selected at BLAS speed: the ≤KNN_PROBE probe vectors ride into
+    a mapInPandas over the corpus as one small numpy matrix (the
+    bounded-driver-state pattern ivf_cent_rows established), and each
+    Arrow batch computes the full batch×probes cosine block with ONE
+    GEMM, keeping per probe the batch-local top-KNN_K widened by the
+    _GEMM_PAIR_EPS guard band. Exactness: any global exact winner for
+    probe s ranks within the exact top-K of its OWN batch (fewer
+    competitors), the GEMM ordering can differ from the exact fold
+    only within float error ≪ EPS, and boundary ties are all kept by
+    the >= kth-EPS band — so the union over batches is a superset of
+    the exact top-K, which the exact rescore + window then reproduces
+    bit-identically (_gemm_block_candidates' contract, applied to the
+    probe×corpus block). Degenerate rows — un-stackable embeddings,
+    wrong dim, non-finite scores — emit ALL their probe pairs and let
+    the exact rescore order them. Cost: candidates ≈ batches×probes×K
+    narrow id pairs, never the probes×corpus score frame."""
+    import numpy as _np
+    import pandas as _pd
+
+    K = KNN_K
+    EPS = _GEMM_PAIR_EPS
+    pids = _np.asarray([int(r[0]) for r in probe_rows], dtype=_np.int64)
+    parrs = []
+    for _pid, v in probe_rows:
+        try:
+            a = _np.asarray(v, dtype=_np.float64)
+        except (TypeError, ValueError):
+            a = None
+        parrs.append(a if a is not None and a.ndim == 1 else None)
+    plens = [a.shape[0] for a in parrs if a is not None]
+    pdim = max(set(plens), key=plens.count) if plens else -1
+    good = [i for i, a in enumerate(parrs) if a is not None
+            and a.shape[0] == pdim]
+    bad_pids = pids[sorted(set(range(len(pids))) - set(good))]
+    P = _np.stack([parrs[i] for i in good]) if good else None
+    gpids = pids[good]
+    pnrm = _np.sqrt((P * P).sum(axis=1)) if P is not None else None
+    empty = _pd.DataFrame(
+        {
+            "src_id": _np.asarray([], dtype=_np.int64),
+            "dst_id": _np.asarray([], dtype=_np.int64),
+        }
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                yield empty
+                continue
+            vids = pdf["dst_id"].to_numpy(dtype=_np.int64)
+            srcs: list = []
+            dsts: list = []
+            if bad_pids.size:
+                # Un-stackable probes: every corpus row is a candidate
+                # (minus self) — the exact rescore owns the ordering.
+                for bp in bad_pids:
+                    sel = vids[vids != bp]
+                    srcs.append(_np.full(sel.size, bp))
+                    dsts.append(sel)
+            if P is not None:
+                arrs = []
+                for v in pdf["ev"]:
+                    if v is None:
+                        arrs.append(None)
+                        continue
+                    try:
+                        a = _np.asarray(v, dtype=_np.float64)
+                    except (TypeError, ValueError):
+                        a = None
+                    arrs.append(
+                        a if a is not None and a.ndim == 1 else None
+                    )
+                clean = [
+                    i
+                    for i, a in enumerate(arrs)
+                    if a is not None and a.shape[0] == pdim
+                ]
+                odd = sorted(set(range(m)) - set(clean))
+                for o in odd:
+                    sel = gpids[gpids != vids[o]]
+                    srcs.append(sel)
+                    dsts.append(_np.full(sel.size, vids[o]))
+                c = len(clean)
+                if c:
+                    cvids = vids[clean]
+                    V = _np.stack([arrs[i] for i in clean])
+                    vnrm = _np.sqrt((V * V).sum(axis=1))
+                    with _np.errstate(divide="ignore", invalid="ignore"):
+                        G = (V @ P.T) / vnrm[:, None] / pnrm[None, :]
+                    allowed = cvids[:, None] != gpids[None, :]
+                    finite = _np.isfinite(G) & allowed
+                    nonfin = allowed & ~_np.isfinite(G)
+                    G2 = _np.where(finite, G, -_np.inf)
+                    cnt = finite.sum(axis=0)
+                    kth = _np.full(gpids.size, -_np.inf)
+                    deep = cnt > K
+                    if bool(deep.any()) and c > K:
+                        kth[deep] = _np.partition(
+                            G2[:, deep], c - 1 - K, axis=0
+                        )[c - 1 - K, :]
+                    keep = (G2 >= (kth[None, :] - EPS)) & finite
+                    keep |= nonfin
+                    ii, jj = _np.nonzero(keep)
+                    srcs.append(gpids[jj])
+                    dsts.append(cvids[ii])
+            if not srcs:
+                yield empty
+                continue
+            yield _pd.DataFrame(
+                {
+                    "src_id": _np.concatenate(srcs).astype(_np.int64),
+                    "dst_id": _np.concatenate(dsts).astype(_np.int64),
+                }
+            )
+
+    return corpus.mapInPandas(_gen, "src_id long, dst_id long").distinct()
+
+
+def _probe_truth(emb: DataFrame, mode: str | None = None) -> DataFrame:
     """The exact brute-force edge truth on the bounded probe set
     (src_id < KNN_PROBE): every probe's true top-KNN_K neighbors by
     cosine, (score DESC, dst_id ASC) tie-break — THE one definition of
     the published recall statistic, shared by knn_graph_recall (the
     monitor) and knn_graph_maintain (the policy that acts on it) so
     the decision statistic can never drift from the metric it claims
-    to replay. Corpus-linear: one broadcast of ≤KNN_PROBE query rows
-    against the corpus, never N²."""
+    to replay. Corpus-linear in both modes. Literal mode is the
+    oracle-shaped chain: one broadcast of ≤KNN_PROBE query rows
+    against the corpus, every pair through the JVM expression fold.
+    Under the production default (SPARK_GRAFT_ASSIGN=gemm) the pair
+    scoring rides _gemm_probe_candidates — GEMM pre-selection + exact
+    rescore, bit-identical output (the ×100 statistic dropped ~240 s
+    → seconds; it was costing 10× the maintenance arms it audits)."""
+    from dist_mapreduce_spark.plans.similarity import assign_mode
+
     probe = emb.filter(
         (F.col("vec_id") < KNN_PROBE) & F.col("embedding").isNotNull()
     ).select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("qv"))
     corpus = emb.filter(F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("dst_id"), F.col("embedding").alias("ev")
     )
-    scored = (
-        corpus.join(F.broadcast(probe), F.col("dst_id") != F.col("src_id"))
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "ev")))
-        .select("src_id", "dst_id", "score")
-    )
+    if (mode or assign_mode()) == "gemm":
+        probe_rows = sorted(
+            (int(r["src_id"]), [float(x) for x in r["qv"]])
+            for r in probe.collect()
+        )
+        if not probe_rows:
+            return probe.select("src_id", F.col("src_id").alias("dst_id"))
+        cand = _gemm_probe_candidates(corpus, probe_rows)
+        scored = (
+            cand.join(F.broadcast(probe), "src_id")
+            .join(corpus, "dst_id")
+            .withColumn("score", F.expr(cosine_spark_sql("qv", "ev")))
+            .select("src_id", "dst_id", "score")
+        )
+    else:
+        scored = (
+            corpus.join(
+                F.broadcast(probe), F.col("dst_id") != F.col("src_id")
+            )
+            .withColumn("score", F.expr(cosine_spark_sql("qv", "ev")))
+            .select("src_id", "dst_id", "score")
+        )
     w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("dst_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

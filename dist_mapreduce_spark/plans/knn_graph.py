@@ -285,6 +285,37 @@ _KNN_RES_CTES = (
 _GEMM_PAIR_EPS = 1e-9
 
 
+def _parse_embedding_arrays(values) -> tuple[list, int, list, list]:
+    """(arrs, dim, clean, odd): each embedding value parsed to a 1-d
+    float64 ndarray or None (NULL rows, NULL elements, ragged shapes —
+    anything numpy cannot stack), the modal dimension, the indices
+    stackable at that dimension, and the rest. THE one definition of
+    which rows a GEMM kernel may stack — shared by the in-block build
+    kernel (_gemm_block_candidates) and the probe-truth kernel
+    (_gemm_probe_candidates) so the degenerate-row rules cannot
+    diverge between the graph build and the statistic that audits
+    it."""
+    import numpy as _np
+
+    arrs = []
+    for v in values:
+        if v is None:
+            arrs.append(None)
+            continue
+        try:
+            a = _np.asarray(v, dtype=_np.float64)
+        except (TypeError, ValueError):
+            a = None
+        arrs.append(a if a is not None and a.ndim == 1 else None)
+    lens = [a.shape[0] for a in arrs if a is not None]
+    dim = max(set(lens), key=lens.count) if lens else -1
+    clean = [
+        i for i, a in enumerate(arrs) if a is not None and a.shape[0] == dim
+    ]
+    odd = sorted(set(range(len(arrs))) - set(clean))
+    return arrs, dim, clean, odd
+
+
 def _gemm_block_candidates(
     res: DataFrame,
     pair_mask: str | None = None,
@@ -358,24 +389,7 @@ def _gemm_block_candidates(
             )
         else:
             flags = None
-        arrs = []
-        for v in pdf["embedding"]:
-            if v is None:
-                arrs.append(None)
-                continue
-            try:
-                a = _np.asarray(v, dtype=_np.float64)
-            except (TypeError, ValueError):
-                a = None
-            arrs.append(a if a is not None and a.ndim == 1 else None)
-        lens = [a.shape[0] for a in arrs if a is not None]
-        dim = max(set(lens), key=lens.count) if lens else -1
-        clean = [
-            i
-            for i, a in enumerate(arrs)
-            if a is not None and a.shape[0] == dim
-        ]
-        odd = sorted(set(range(m)) - set(clean))
+        arrs, _dim, clean, odd = _parse_embedding_arrays(pdf["embedding"])
         srcs: list = []
         dsts: list = []
         c = len(clean)
@@ -781,18 +795,10 @@ def _gemm_probe_candidates(
     K = KNN_K
     EPS = _GEMM_PAIR_EPS
     pids = _np.asarray([int(r[0]) for r in probe_rows], dtype=_np.int64)
-    parrs = []
-    for _pid, v in probe_rows:
-        try:
-            a = _np.asarray(v, dtype=_np.float64)
-        except (TypeError, ValueError):
-            a = None
-        parrs.append(a if a is not None and a.ndim == 1 else None)
-    plens = [a.shape[0] for a in parrs if a is not None]
-    pdim = max(set(plens), key=plens.count) if plens else -1
-    good = [i for i, a in enumerate(parrs) if a is not None
-            and a.shape[0] == pdim]
-    bad_pids = pids[sorted(set(range(len(pids))) - set(good))]
+    parrs, pdim, good, bad = _parse_embedding_arrays(
+        [v for _pid, v in probe_rows]
+    )
+    bad_pids = pids[bad]
     P = _np.stack([parrs[i] for i in good]) if good else None
     gpids = pids[good]
     pnrm = _np.sqrt((P * P).sum(axis=1)) if P is not None else None
@@ -820,18 +826,9 @@ def _gemm_probe_candidates(
                     srcs.append(_np.full(sel.size, bp))
                     dsts.append(sel)
             if P is not None:
-                arrs = []
-                for v in pdf["ev"]:
-                    if v is None:
-                        arrs.append(None)
-                        continue
-                    try:
-                        a = _np.asarray(v, dtype=_np.float64)
-                    except (TypeError, ValueError):
-                        a = None
-                    arrs.append(
-                        a if a is not None and a.ndim == 1 else None
-                    )
+                # Clean = stackable AT THE PROBE DIM (the batch's own
+                # modal dim is irrelevant — rows must multiply P).
+                arrs, _d, _c, _o = _parse_embedding_arrays(pdf["ev"])
                 clean = [
                     i
                     for i, a in enumerate(arrs)
@@ -901,8 +898,17 @@ def _probe_truth(emb: DataFrame, mode: str | None = None) -> DataFrame:
         F.col("vec_id").alias("dst_id"), F.col("embedding").alias("ev")
     )
     if (mode or assign_mode()) == "gemm":
+        probe = probe.cache()  # consumed twice: collect + rescore join
+        # NULL ELEMENTS survive the driver pull (float(None) would
+        # raise here, aborting the whole statistic in gemm mode only
+        # — the literal fold scores such probes NULL); the kernel's
+        # parse classifies them un-stackable and keeps all their
+        # pairs for the exact rescore to order.
         probe_rows = sorted(
-            (int(r["src_id"]), [float(x) for x in r["qv"]])
+            (
+                int(r["src_id"]),
+                [None if x is None else float(x) for x in r["qv"]],
+            )
             for r in probe.collect()
         )
         if not probe_rows:

@@ -504,3 +504,42 @@ def test_gemm_small_finite_block_no_self_pairs(spark):
         os.environ.pop(ASSIGN_MODE_ENV, None)
     assert lit == gem
     assert not any(r[0] == r[1] for r in gem)
+
+
+def test_probe_truth_gemm_equals_literal_and_adversarial(spark, tmp_path):
+    """_probe_truth's GEMM pre-selection arm (the statistic behind
+    knn_graph_recall and knn_graph_maintain) must be BIT-IDENTICAL to
+    the literal oracle-shaped chain: (a) on the gate corpus, and
+    (b) on an adversarial fixture with 20-way EXACT score ties at the
+    K boundary (the guard band must keep every tie), a NULL
+    embedding, a zero-norm vector (non-finite GEMM scores), a
+    ragged-dim row, AND a probe with a NULL ELEMENT (vec_id < 50 —
+    the float(None) driver-pull crash the review found: the kernel
+    must classify it un-stackable and emit all its pairs for the
+    exact rescore, exactly as the literal fold scores it NULL)."""
+    from dist_mapreduce_spark.plans.knn_graph import _emb, _probe_truth
+    from tests.conftest import SF_SMOKE
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    e = _emb(spark, SF_SMOKE)
+    assert rows(_probe_truth(e, mode="literal")) == rows(
+        _probe_truth(e, mode="gemm")
+    )
+
+    data = []
+    for v in range(60):
+        base = [((v % 7) * 13 + j) % 5 - 2.0 for j in range(8)]
+        for r in range(20):
+            data.append((v * 20 + r, [float(x) for x in base], 1))
+    data.append((5000, None, 1))        # NULL embedding
+    data.append((5001, [0.0] * 8, 1))   # zero norm -> non-finite
+    data.append((5002, [1.0] * 4, 1))   # ragged dim
+    data.append((7, [1.0, None] + [0.5] * 6, 1))  # NULL-element PROBE
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    )
+    lit = rows(_probe_truth(df, mode="literal"))
+    gem = rows(_probe_truth(df, mode="gemm"))
+    assert lit == gem and len(lit) > 0

@@ -25,6 +25,31 @@ def _norm2_spark(a: str) -> str:
     return _dot_spark(a, a)
 
 
+def norm2_spark_sql(a: str) -> str:
+    """Squared L2 norm of one vector — the same left fold
+    cosine_spark_sql runs on each side. Public so high-volume scoring
+    plans can evaluate it ONCE per row instead of once per pair
+    (round 15, guide §1.2: at Q queries × N corpus rows the inline form
+    folds each corpus norm Q times and each query norm N times; the
+    precomputed-column form folds each exactly once, and the pair stage
+    keeps only the dot product)."""
+    return _norm2_spark(a)
+
+
+def cosine_prenormed_spark_sql(a: str, b: str, a_norm2: str, b_norm2: str) -> str:
+    """cosine(a, b) with the squared norms read from precomputed
+    columns. IEEE-identical to cosine_spark_sql: the norm columns hold
+    the value of the SAME fold over the SAME vector, so
+    try_divide(dot, sqrt(n_a) * sqrt(n_b)) performs the identical
+    operation sequence on identical doubles — only the evaluation
+    count changes. Keep the column expressions = norm2_spark_sql(side)
+    or the parity claim is void."""
+    return (
+        f"try_divide({_dot_spark(a, b)},"
+        f" (sqrt({a_norm2}) * sqrt({b_norm2})))"
+    )
+
+
 def cosine_spark_sql(a: str, b: str) -> str:
     """Spark SQL expression for cosine(a, b) with double accumulation.
 

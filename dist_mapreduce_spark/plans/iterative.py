@@ -499,10 +499,26 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
-    labels = ranked.select("node", F.col("node").alias("label")).localCheckpoint()
-    prev_sum = None
+    # Round-0 fusion (round 15, same rewrite as propagate_min_labels):
+    # with identity initial labels, the first round reduces to
+    # label0(v) = min({v} ∪ neighbors(v)) — one aggregation + one join
+    # instead of a full propagation round; singleton nodes (no edges)
+    # fall through the left join and keep themselves (least() skips the
+    # NULL). Identical labeling after round 0, identical fixpoint.
+    nbr_min = edges_sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    labels = (
+        ranked.select("node")
+        .join(nbr_min, F.col("node") == nbr_min["src"], "left")
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    # Lazy checkpoint: the convergence-sum action below materializes the
+    # round's label blocks AND returns the sum in ONE job (eager
+    # checkpoint + separate collect was two scheduler round-trips per
+    # round).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(1, CC_MAX_ITERS):
         msgs = edges_sym.join(labels, edges_sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
@@ -510,7 +526,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -566,11 +582,19 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the data is the final filtered scan."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    n_min = counts.agg(F.min("n_l").alias("n_min"))
-    rates = counts.join(F.broadcast(n_min)).select(
+    # n_min as a global window over the tiny post-agg counts frame
+    # (round 15, guide §2.4): the former counts.agg(min) branch was a
+    # SEPARATE subtree — Catalyst planned a second full documents scan
+    # + aggregation pipeline + BroadcastNestedLoopJoin just to attach
+    # one scalar (plan audit: operators 8-16). The window reuses the
+    # one aggregated frame; its single-partition exchange moves ≤
+    # n_languages rows. Same min, same floor(sqrt(...)) → bit-identical
+    # thresholds.
+    n_min = F.min("n_l").over(Window.partitionBy())
+    rates = counts.select(
         "lang",
         F.floor(
-            F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double"))
+            F.sqrt(n_min.cast("double") / F.col("n_l").cast("double"))
             * TEMP_BUCKETS
         ).alias("thresh"),
     )

@@ -571,24 +571,43 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     # Bucket-size cap (see BAND_BUCKET_CAP): deterministic keep-lowest
     # sample per band bucket. The row_number shuffles on the same
-    # (band_id, band_hash) key the self-join below hashes on, so the
-    # exchange is reused — the cap costs no extra shuffle stage.
+    # (band_id, band_hash) key the bucket aggregation below groups on,
+    # so the exchange is reused — the cap costs no extra shuffle stage —
+    # and its Sort + WindowGroupLimit pair prunes every bucket to CAP
+    # rows PER MAP TASK before the exchange (the degenerate-bucket skew
+    # guard ships ≤CAP rows per task, never the raw bucket).
     wcap = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
     bands = (
         bands.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= BAND_BUCKET_CAP)
         .drop("rn")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # In-bucket pair generation (round 15, guide §2.4 "remove shuffles
+    # outright"): the former a×b self-join on (band_id, band_hash)
+    # re-planned the ENTIRE capped-band pipeline on its broadcast build
+    # side — a second band Exchange + Sort + Window per run (plan audit:
+    # BroadcastExchange(36) wrapping a full copy of operators 26-35).
+    # Collecting each bucket's doc_ids in ONE aggregate reuses the
+    # window's exchange (same partitioning key → no new shuffle) and
+    # emits the C(n,2) ordered pairs map-side from the sorted array.
+    # Pair set is identical: the cap bounds every bucket at
+    # BAND_BUCKET_CAP docs, sort_array + (i < j) ⇔ the old
+    # doc_a < doc_b predicate, and collect_list drops the NULL doc_ids
+    # the < predicate also never paired.
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    "  y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sizes = mh.select("doc_id", "n")
@@ -1363,16 +1382,32 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
-    # Iterate only over nodes incident to an edge (doc_a covers every
-    # endpoint because edges are bidirectional).
+    # Round-0 fusion (round 15): with labels initialized to self, the
+    # first round's join+union+groupBy reduces to
+    # label0(v) = min({v} ∪ neighbors(v)) — ONE aggregation over the
+    # edge list (doc_a covers every endpoint because edges are
+    # bidirectional), replacing the old identity-label distinct +
+    # full propagation round. Same labeling after round 0, same
+    # fixpoint; the loop below starts at what used to be round 1.
     labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            F.col("doc_a").alias("node"),
+            F.least(F.col("doc_a"), F.col("mn")).alias("label"),
+        )
+        .localCheckpoint(eager=False)
     )
-    prev_sum = None
-    for it in range(CLUSTER_MAX_ITERS):
+    # Lazy checkpoint + the convergence-sum action: ONE job both
+    # materializes the round's label blocks and returns the sum the
+    # fixpoint test needs (eager checkpoint + separate collect was two
+    # scheduler round-trips per round).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Round 0 happened in the fused init above; iteration numbering is
+    # unchanged from the pre-fusion loop (round `it` computes the same
+    # labeling it always did), so the pointer-jump activation round and
+    # the convergence cap are untouched.
+    for it in range(1, CLUSTER_MAX_ITERS):
         msgs = edges.join(labels, edges["doc_a"] == labels["node"]).select(
             F.col("doc_b").alias("node"), "label"
         )
@@ -1396,7 +1431,7 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
         labels = (
             folded.groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -2713,7 +2748,11 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     ug = tokc.groupBy("word").agg(F.sum("cnt_dw").alias("c"))
-    tot = ug.agg(F.sum("c").alias("n"))
+    # Σ c over the vocab == Σ cnt_dw over the pinned (doc, word) table,
+    # so the 1-row total aggregates the CACHED tokc directly instead of
+    # re-running the vocab groupBy a second time under the old
+    # ug.agg(sum) subtree (round 15, guide §1.2).
+    tot = tokc.agg(F.sum("cnt_dw").alias("n"))
     scored = (
         tokc.join(F.broadcast(ug), "word")
         .crossJoin(F.broadcast(tot))
@@ -3497,8 +3536,9 @@ def q_data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer ppm/milli of exact counts.
 
     Scale shape: ONE scan with map-side token counting into a
-    |sources|×|langs| aggregate, one 1-row total broadcast back —
-    scan-bound and embarrassingly parallel at any corpus size."""
+    |sources|×|langs| aggregate; the totals are a global window over
+    that bounded post-agg frame — scan-bound and embarrassingly
+    parallel at any corpus size."""
     d = _docs(spark, sf_dir)
     base = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -3509,12 +3549,20 @@ def q_data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in (("en", 5), ("zh", 3), ("de", 2), ("fr", 2), ("es", 2))
     ) + " ELSE 1 END AS BIGINT)"
     w = base.withColumn("weight", F.expr(wexpr))
-    tot = w.agg(
-        F.sum("n_tokens").cast("long").alias("t"),
-        F.sum(F.col("weight") * F.col("n_tokens")).cast("long").alias("wt"),
+    # Totals as a global window over the |sources|×|langs|-row post-agg
+    # frame (round 15, guide §2.4): the old w.agg() branch re-planned
+    # the whole scan — including the per-doc tokenization fold, the
+    # expensive part — a second time just to attach two scalars. The
+    # window's single-partition exchange moves only the stratum rows.
+    # Same integer sums → bit-identical ratios.
+    wg = Window.partitionBy()
+    w = w.withColumn(
+        "t", F.sum("n_tokens").over(wg).cast("long")
+    ).withColumn(
+        "wt", F.sum(F.col("weight") * F.col("n_tokens")).over(wg).cast("long")
     )
     return (
-        w.crossJoin(F.broadcast(tot))
+        w
         .select(
             "source",
             "lang",

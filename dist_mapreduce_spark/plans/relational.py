@@ -1431,7 +1431,14 @@ def q_skew_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the tie order."""
     ev = _t(spark, sf_dir, "events").select("user_id")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = counts.agg(F.sum("cnt").alias("n"))
+    # sum of per-key counts == total row count (NULL keys group too), so
+    # the total comes from a bare count(*) over the scan — parquet
+    # answers it from row-group metadata — instead of re-planning the
+    # whole groupBy pipeline a second time under the old
+    # counts.agg(sum) subtree (round 15, guide §1.2 "don't compute
+    # things you throw away"). A global window over counts would be
+    # wrong at scale: it single-partitions an unbounded key space.
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
     top = (
         counts.crossJoin(F.broadcast(tot))
         .select(

@@ -24,7 +24,9 @@ from dist_mapreduce_spark.functions.vectors import (
     _dot_duckdb,
     _dot_spark,
     cosine_duckdb_sql,
+    cosine_prenormed_spark_sql,
     cosine_spark_sql,
+    norm2_spark_sql,
 )
 from dist_mapreduce_spark.plans.registry import query
 from dist_mapreduce_spark.sources.tables import load_table
@@ -144,12 +146,27 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold-standard baseline: cost = one pass per query batch, perfectly
     parallel, zero index maintenance."""
     emb = _emb(spark, sf_dir)
+    # Norms once per row, not once per pair (round 15, guide §1.2):
+    # inline cosine folds the query norm N times and each corpus norm
+    # Q times; precomputing the squared norms on each side before the
+    # pair join leaves only the dot-product fold in the Q×N stage.
+    # cosine_prenormed runs the identical IEEE sequence on the same
+    # doubles → bit-identical scores.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm2_spark_sql("embedding")).alias("qn2"),
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        emb.select(
+            "vec_id", "embedding",
+            F.expr(norm2_spark_sql("embedding")).alias("en2"),
+        )
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.expr(cosine_prenormed_spark_sql("qv", "embedding", "qn2", "en2")),
+        )
         .select("query_id", "vec_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -200,13 +217,23 @@ def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes the selectivity/recall numbers a query planner would
     switch strategies on."""
     emb = _emb(spark, sf_dir)
+    # Same norms-once-per-row rewrite as sim_topk_bruteforce (round 15).
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm2_spark_sql("embedding")).alias("qn2"),
     )
     scored = (
         emb.filter(F.col("label") == FILTER_LABEL)
+        .select(
+            "vec_id", "embedding",
+            F.expr(norm2_spark_sql("embedding")).alias("en2"),
+        )
         .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .withColumn(
+            "score",
+            F.expr(cosine_prenormed_spark_sql("qv", "embedding", "qn2", "en2")),
+        )
         .select("query_id", "vec_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -253,12 +280,22 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold-standard baseline and the right plan for offline batch use
     (e.g. harvesting all near-duplicates of a blocklist)."""
     emb = _emb(spark, sf_dir)
+    # Same norms-once-per-row rewrite as sim_topk_bruteforce (round 15).
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm2_spark_sql("embedding")).alias("qn2"),
     )
     return (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        emb.select(
+            "vec_id", "embedding",
+            F.expr(norm2_spark_sql("embedding")).alias("en2"),
+        )
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.expr(cosine_prenormed_spark_sql("qv", "embedding", "qn2", "en2")),
+        )
         .filter(F.col("score") >= RANGE_TAU)
         .select("query_id", "vec_id", "score")
     )
@@ -279,6 +316,9 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sig.select(
         "vec_id",
         "embedding",
+        # Norm once per row, not once per collision (round 15; same
+        # rewrite as sim_topk_bruteforce — scores stay bit-identical).
+        F.expr(norm2_spark_sql("embedding")).alias("en2"),
         F.explode(
             F.array(*[F.expr(f"{SIG_STRIDE * t} + b{t}") for t in range(N_TABLES)])
         ).alias("sig"),
@@ -294,6 +334,7 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            F.expr(norm2_spark_sql("embedding")).alias("qn2"),
             F.explode(F.array(*[F.expr(e) for e in probe_exprs])).alias("qsig"),
         )
     )
@@ -303,7 +344,10 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sig") == F.col("qsig"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("score", F.expr(cosine_spark_sql("qv", "embedding")))
+        .withColumn(
+            "score",
+            F.expr(cosine_prenormed_spark_sql("qv", "embedding", "qn2", "en2")),
+        )
         .select("query_id", "vec_id", "score")
     )
     # A pair colliding in several tables scores identically each time;
@@ -1356,15 +1400,31 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold. Shape: self-equi-join on the block key, never an
     unblocked cross product."""
     emb = _emb(spark, sf_dir)
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # Norms once per row before the block self-join (round 15, guide
+    # §1.2): the in-block pair count is quadratic in block size, so the
+    # inline form folded each row's norm once per PARTNER; precomputing
+    # the squared norm per side leaves only the dot-product fold in the
+    # pair stage. Identical IEEE sequence → bit-identical cos_sim.
+    en = emb.select(
+        "vec_id", "label", "embedding",
+        F.expr(norm2_spark_sql("embedding")).alias("n2"),
+    )
+    a = en.alias("a")
+    b = en.alias("b")
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos_sim", F.expr(cosine_spark_sql("a.embedding", "b.embedding")))
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                cosine_prenormed_spark_sql(
+                    "a.embedding", "b.embedding", "a.n2", "b.n2"
+                )
+            ),
+        )
         .filter(F.col("cos_sim") >= NEAR_DUP_COS)
         .select(
             F.col("a.vec_id").alias("vec_a"),

@@ -212,14 +212,16 @@ def test_embedding_audit_is_map_side_only(spark):
 
 
 def test_skew_hitters_first_exchange_is_the_only_wide_one(spark):
-    """Five exchanges, but only the first carries per-row data (the
-    key-count aggregate); the rest move key-cardinality aggregates,
-    the K-row frontier, or the 1-row total. Pin the count and the
-    single-column scan so a refactor can't quietly widen the scan."""
+    """Three exchanges, but only the first carries per-row data (the
+    key-count aggregate); the rest move the K-row frontier or the
+    1-row total. Round 15: the grand total comes from a ZERO-column
+    count scan (parquet answers it from row-group metadata) instead of
+    re-planning the groupBy subtree — pin both scans so a refactor
+    can't quietly widen either."""
     info = _audit(spark, "skew_hitters")
-    assert info["shuffles"] <= 5, info
+    assert info["shuffles"] <= 3, info
     assert info["python_stages"] == 0, info
-    assert info["scan_cols"] == ["user_id:bigint"], info
+    assert sorted(info["scan_cols"]) == ["", "user_id:bigint"], info
 
 
 def test_image_phash_single_shuffle_one_python_stage(spark):

@@ -512,40 +512,53 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
     toks = F.col("t")
     shingles = _word_shingles(toks)
-    # No .distinct() needed post-explode: the shingle array is already
-    # array_distinct per doc, so (doc_id, h) is unique (mod 48-bit hash
-    # collisions) — skipping it removes a full shuffle of the largest
-    # intermediate. Cached because four downstream consumers (minhash
-    # agg, set sizes, both sides of the intersection join) would each
-    # recompute the scan+explode otherwise; at 100 TB set
-    # SPARK_GRAFT_MATERIALIZE=parquet and _pin spills it to temp
-    # parquet instead of cache.
-    shingle = _pin(
-        tok_df.select("doc_id", F.explode(shingles).alias("s"))
+    # Round 15 (guide §2.4): the materialized intermediate is ONE row
+    # per document — the distinct-shingle 48-bit hash ARRAY — not the
+    # exploded (doc_id, h) table (~shingles-per-doc × larger, the
+    # "30× corpus" intermediate docs/SCALE.md used to budget for).
+    # Everything downstream derives map-side from this compact frame:
+    # the 16 minhashes are per-row array folds (no aggregation, no
+    # exchange — the old groupBy(doc_id) shuffle and its second cache
+    # barrier are gone), set sizes are size(harr), and the
+    # intersection join's sides re-explode the cached array on the fly
+    # (the md5+conv hashing — the measured 1.2 s of a 3.7 s cold run at
+    # sf0.1 — still happens exactly once per shingle, inside the pin).
+    # Docs with no shingles (< 3 tokens) are filtered here: they had no
+    # rows in the old exploded table, so they never banded, never sized,
+    # never paired — identical membership.
+    # NOTE the filter sits ABOVE the pin, not inside it: below the pin
+    # it collapses into the projection and Catalyst inlines the whole
+    # tokenize→shingle→md5 chain into BOTH the predicate and the output
+    # column — the full hashing pass evaluated twice (measured 12 s vs
+    # 1.2 s at sf0.1). Above the pin it is a size() check on cached
+    # rows.
+    doc_sh = _pin(
+        tok_df.select("doc_id", shingles.alias("sh"))
         .select(
             "doc_id",
-            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+            F.expr(
+                "transform(sh, s ->"
+                " cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint))"
+            ).alias("harr"),
         ),
         spark,
-    )
-    # Shingle-set size rides along in the SAME aggregation as the 16
-    # minhashes — one shuffle of the shingle table instead of two (the
-    # separate sizes groupBy this replaces was a full extra pass over
-    # the largest intermediate).
-    # Cached: three consumers (both sides of the band self-join, the
-    # set-size lookup) would each re-run the 16-minhash aggregation —
-    # the heaviest single pass — otherwise. One signature row per doc,
-    # far smaller than the shingle table it summarizes.
-    mh = shingle.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
+    ).filter(F.size("harr") > 0)
+    # Per-doc minhash signature, map-side: min over the SAME universal
+    # hash of the SAME 48-bit values the old shingle-table aggregation
+    # folded — array_min and the MIN aggregate are the same fold, so
+    # signatures (and every band hash) are bit-identical.
+    mh = doc_sh.select(
+        "doc_id",
         *[
-            F.min(
-                (F.lit(a) * (F.col("h") % F.lit(MINHASH_P)) + F.lit(b))
-                % F.lit(MINHASH_P)
+            F.array_min(
+                F.expr(
+                    f"transform(harr, x ->"
+                    f" ({a}L * (x % {MINHASH_P}L) + {b}L) % {MINHASH_P}L)"
+                )
             ).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
         ],
-    ).cache()
+    )
     # All 8 band signatures in ONE pass: explode an array of
     # (band_id, band_hash) structs. A per-band union would re-evaluate
     # the whole shingle→minhash pipeline N_BANDS times.
@@ -610,7 +623,10 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sizes = mh.select("doc_id", "n")
+    sizes = doc_sh.select(
+        "doc_id", F.size("harr").cast("long").alias("n")
+    )
+    shingle = doc_sh.select("doc_id", F.explode("harr").alias("h"))
     x = shingle.alias("x")
     y = shingle.alias("y")
     inter = (

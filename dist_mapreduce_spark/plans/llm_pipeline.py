@@ -887,14 +887,24 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_df = docs.select("doc_id", ta.ws_tokens(F.col("text")).alias("t"))
     toks = F.col("t")
     shingles = _word_shingles(toks)
-    shingle = _pin(
-        tok_df.select("doc_id", F.explode(shingles).alias("s")).select(
+    # Same compact per-doc hash-array pin as minhash_pairs (round 15):
+    # the md5+conv hashing runs once per shingle inside the pin, set
+    # sizes are size(harr) map-side (the old groupBy(doc_id) count and
+    # its shuffle are gone), and the self-join sides re-explode the
+    # cached array on the fly. Docs with no shingles had no exploded
+    # rows before, so filtering them keeps membership identical.
+    doc_sh = _pin(
+        tok_df.select("doc_id", shingles.alias("sh")).select(
             "doc_id",
-            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("bigint").alias("h"),
+            F.expr(
+                "transform(sh, s ->"
+                " cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint))"
+            ).alias("harr"),
         ),
         spark,
-    )
-    sizes = shingle.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ).filter(F.size("harr") > 0)
+    sizes = doc_sh.select("doc_id", F.size("harr").cast("long").alias("n"))
+    shingle = doc_sh.select("doc_id", F.explode("harr").alias("h"))
     x = shingle.filter(F.col("doc_id") % RECALL_PROBE_MOD == 0).alias("x")
     y = shingle.alias("y")
     inter = (

@@ -505,34 +505,58 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a full propagation round; singleton nodes (no edges)
     # fall through the left join and keep themselves (least() skips the
     # NULL). Identical labeling after round 0, identical fixpoint.
+    # FRONTIER (delta) propagation (round 16, guide §2.3, the same
+    # rewrite as propagate_min_labels): `chg` marks the nodes whose
+    # label changed this round; only those message neighbors next round
+    # (a label that did not change was already delivered the round
+    # after it was acquired, and min-folds are monotone, so re-sending
+    # it can never change anything). Per round the edge join touches
+    # frontier-incident edges only and the min-fold aggregates messages
+    # only, with the (small) update broadcast-joined back onto the full
+    # label frame — instead of ALL edges × ALL labels + re-aggregating
+    # every node. Per-round labelings, round count, and the fixpoint
+    # are identical; singletons keep mn NULL → chg NULL → never
+    # frontier members.
     nbr_min = edges_sym.groupBy("src").agg(F.min("dst").alias("mn"))
     labels = (
         ranked.select("node")
         .join(nbr_min, F.col("node") == nbr_min["src"], "left")
-        .select("node", F.least(F.col("node"), F.col("mn")).alias("label"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("mn")).alias("label"),
+            (F.col("mn") < F.col("node")).alias("chg"),
+        )
         .localCheckpoint(eager=False)
     )
-    # Lazy checkpoint: the convergence-sum action below materializes the
-    # round's label blocks AND returns the sum in ONE job (eager
-    # checkpoint + separate collect was two scheduler round-trips per
-    # round).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    converged = False
+    # Lazy checkpoint: the frontier-count action below materializes the
+    # round's label blocks AND returns the convergence test in ONE job
+    # (labels are monotone non-increasing, so `frontier empty` ⇔ the
+    # old sum(label)-unchanged test).
+    n_changed = labels.filter("chg").count()
+    converged = n_changed == 0
     for _ in range(1, CC_MAX_ITERS):
-        msgs = edges_sym.join(labels, edges_sym["src"] == labels["node"]).select(
+        if converged:
+            break
+        delta = labels.filter("chg").select("node", "label")
+        msgs = edges_sym.join(delta, edges_sym["src"] == delta["node"]).select(
             F.col("dst").alias("node"), "label"
         )
+        upd = (
+            msgs.groupBy("node")
+            .agg(F.min("label").alias("new_mn"))
+            .withColumnRenamed("node", "unode")
+        )
         labels = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.join(upd, F.col("node") == F.col("unode"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("new_mn")).alias("label"),
+                (F.col("new_mn") < F.col("label")).alias("chg"),
+            )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        n_changed = labels.filter("chg").count()
+        converged = n_changed == 0
     if not converged:
         # Min-label propagation moves a root's label one hop per round,
         # so convergence needs ~diameter rounds. Returning silently

@@ -1415,30 +1415,49 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     # bidirectional), replacing the old identity-label distinct +
     # full propagation round. Same labeling after round 0, same
     # fixpoint; the loop below starts at what used to be round 1.
+    #
+    # FRONTIER (delta) propagation (round 16, guide §2.3 "shuffle fewer
+    # bytes"): `chg` flags the nodes whose label changed THIS round —
+    # the frontier. Only those need to message anyone next round:
+    # a neighbor u whose label last changed in round s already delivered
+    # that label in round s+1, and labels are monotone non-increasing,
+    # so re-delivering an unchanged label can never lower a min-fold
+    # again. Per round the edge join therefore touches only
+    # frontier-incident edges and the groupBy only message receivers,
+    # instead of ALL edges × ALL labels + a full-label re-aggregation —
+    # at 100 TB component counts that turns rounds × full-graph shuffles
+    # into rounds × frontier-sized shuffles. The per-round LABELING is
+    # bit-identical to the full fold (every fold source the old round
+    # used is either in the frontier or already absorbed — see the
+    # delivered-on-change induction in OPTIMIZATION_r16.md), so round
+    # count, cap behavior, and the fixpoint are unchanged.
     labels = (
         edges.groupBy("doc_a")
         .agg(F.min("doc_b").alias("mn"))
         .select(
             F.col("doc_a").alias("node"),
             F.least(F.col("doc_a"), F.col("mn")).alias("label"),
+            (F.col("mn") < F.col("doc_a")).alias("chg"),
         )
         .localCheckpoint(eager=False)
     )
-    # Lazy checkpoint + the convergence-sum action: ONE job both
-    # materializes the round's label blocks and returns the sum the
-    # fixpoint test needs (eager checkpoint + separate collect was two
-    # scheduler round-trips per round).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Lazy checkpoint + the convergence action: ONE job both
+    # materializes the round's label blocks and returns the frontier
+    # size the fixpoint test needs (labels are monotone non-increasing,
+    # so `no node changed` ⇔ the old sum(label)-unchanged test).
+    n_changed = labels.filter("chg").count()
     # Round 0 happened in the fused init above; iteration numbering is
     # unchanged from the pre-fusion loop (round `it` computes the same
     # labeling it always did), so the pointer-jump activation round and
     # the convergence cap are untouched.
     for it in range(1, CLUSTER_MAX_ITERS):
-        msgs = edges.join(labels, edges["doc_a"] == labels["node"]).select(
+        if n_changed == 0:
+            return labels.select("node", "label")
+        delta = labels.filter("chg").select("node", "label")
+        msgs = edges.join(delta, edges["doc_a"] == delta["node"]).select(
             F.col("doc_b").alias("node"), "label"
         )
-        folded = labels.union(msgs)
-        if it >= 2:
+        if it == 2:
             # Pointer jump: label(label(node)) — total on the label
             # frame (every label IS an edge-incident node: initialized
             # to self, preserved by min-folding labels of edge-incident
@@ -1448,21 +1467,58 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
             # reaches round 2, so the common case pays nothing for the
             # doubling; reach still grows 1, 2, 5, 11, … (exponential)
             # on the long-chain corpora the jump exists for.
+            # The FIRST jump round folds label(label(v)) for ALL v —
+            # pointers acquired in rounds 0-1 have no frontier-delivery
+            # history to rely on; from round 3 on the two delta jumps
+            # below cover every pointer/target change.
             x, y = labels.alias("x"), labels.alias("y")
             hop = x.join(y, F.col("x.label") == F.col("y.node")).select(
                 F.col("x.node").alias("node"),
                 F.col("y.label").alias("label"),
             )
-            folded = folded.union(hop)
+            msgs = msgs.union(hop)
+        elif it > 2:
+            # Delta pointer jumps: (a) a node whose label just changed
+            # follows its NEW pointer once; (b) a node whose pointer
+            # TARGET just changed receives the target's new label. Any
+            # (x, label(x)) pair not covered was delivered in an
+            # earlier round (jump (a) when the pointer was acquired,
+            # jump (b) on every later target change) and min-folds are
+            # monotone, so coverage equals the old full-frame jump.
+            dx, ly = delta.alias("dx"), labels.alias("ly")
+            jump_a = dx.join(ly, F.col("dx.label") == F.col("ly.node")).select(
+                F.col("dx.node").alias("node"),
+                F.col("ly.label").alias("label"),
+            )
+            lx, dy = labels.alias("lx"), delta.alias("dy")
+            jump_b = lx.join(dy, F.col("lx.label") == F.col("dy.node")).select(
+                F.col("lx.node").alias("node"),
+                F.col("dy.label").alias("label"),
+            )
+            msgs = msgs.union(jump_a).union(jump_b)
+        upd = (
+            msgs.groupBy("node")
+            .agg(F.min("label").alias("new_mn"))
+            .withColumnRenamed("node", "unode")
+        )
+        # Fold the (small) update frame back onto the full label set —
+        # AQE broadcasts it, so the label frame itself is NOT
+        # re-shuffled; least() skips the NULL of un-messaged nodes.
         labels = (
-            folded.groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.join(upd, F.col("node") == F.col("unode"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("new_mn")).alias("label"),
+                (F.col("new_mn") < F.col("label")).alias("chg"),
+            )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
+        n_changed = labels.filter("chg").count()
+    if n_changed == 0:
+        # Converged exactly at the cap's last round (also the direct
+        # fixpoint check the round-15 ADVICE asked for: a degenerate
+        # cap of 1 no longer raises on an already-converged graph).
+        return labels.select("node", "label")
     # Even with doubling, a ~2^20-hop chain would exhaust the cap;
     # silently returning partial labels would be wrong canonical ids,
     # so fail loudly instead (the oracle computes the full closure).

@@ -511,12 +511,13 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a label that did not change was already delivered the round
     # after it was acquired, and min-folds are monotone, so re-sending
     # it can never change anything). Per round the edge join touches
-    # frontier-incident edges only and the min-fold aggregates messages
-    # only, with the (small) update broadcast-joined back onto the full
-    # label frame — instead of ALL edges × ALL labels + re-aggregating
-    # every node. Per-round labelings, round count, and the fixpoint
-    # are identical; singletons keep mn NULL → chg NULL → never
-    # frontier members.
+    # frontier-incident edges only — instead of ALL edges × ALL labels,
+    # the dominant shuffle term — while the min-fold keeps the one
+    # union-aggregate exchange of the full algorithm (same stage count
+    # per round; `old` is the unique labels-side value per node, so the
+    # frontier flag falls out of the same aggregation). Per-round
+    # labelings, round count, and the fixpoint are identical;
+    # singletons keep mn NULL → chg NULL → never frontier members.
     nbr_min = edges_sym.groupBy("src").agg(F.min("dst").alias("mn"))
     labels = (
         ranked.select("node")
@@ -541,17 +542,21 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = edges_sym.join(delta, edges_sym["src"] == delta["node"]).select(
             F.col("dst").alias("node"), "label"
         )
-        upd = (
-            msgs.groupBy("node")
-            .agg(F.min("label").alias("new_mn"))
-            .withColumnRenamed("node", "unode")
-        )
+        folded = labels.select(
+            "node", "label", F.lit(0).alias("src")
+        ).union(msgs.select("node", "label", F.lit(1).alias("src")))
         labels = (
-            labels.join(upd, F.col("node") == F.col("unode"), "left")
+            folded.groupBy("node")
+            .agg(
+                F.min("label").alias("mn"),
+                F.min(F.when(F.col("src") == 0, F.col("label"))).alias(
+                    "old"
+                ),
+            )
             .select(
                 "node",
-                F.least(F.col("label"), F.col("new_mn")).alias("label"),
-                (F.col("new_mn") < F.col("label")).alias("chg"),
+                F.col("mn").alias("label"),
+                (F.col("mn") < F.col("old")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )

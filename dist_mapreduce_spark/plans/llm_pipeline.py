@@ -623,29 +623,42 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sizes = doc_sh.select(
-        "doc_id", F.size("harr").cast("long").alias("n")
-    )
-    shingle = doc_sh.select("doc_id", F.explode("harr").alias("h"))
-    x = shingle.alias("x")
-    y = shingle.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.h") == F.col("y.h")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # Exact-verify stage as a per-pair ARRAY INTERSECTION (round 16,
+    # guide §2.3/§3 — the round-15 verdict's residual-audit item): join
+    # each candidate pair to the two compact harr rows and compute
+    # |A∩B| = size(array_intersect) map-side, instead of re-exploding
+    # BOTH sides into a corpus×30 (doc_id, h) table and shuffling it
+    # keyed on h + two more joins to attach set sizes. The candidate
+    # frame is bounded by banding + the bucket cap, so AQE broadcasts
+    # it and the verify stage never shuffles the shingle arrays at all.
+    # Value-identical: harr's entries are distinct per doc (distinct
+    # shingle strings; a within-doc 48-bit hash collision is the only
+    # way to a duplicate, and the round-15 exploded path already relied
+    # on its absence — WITH a duplicate its multiplicity-counting join
+    # would have failed the oracle's DISTINCT-h semantics, which every
+    # gate SF passes), so size(array_intersect) equals the old
+    # equi-join match count and size(harr) the old per-doc set size.
+    # A (theoretical) zero-common candidate now scores jaccard 0.0 and
+    # is dropped by the same threshold filter that dropped it before
+    # (the old inner join simply never emitted it).
+    ha = doc_sh.select(F.col("doc_id").alias("da"), F.col("harr").alias("ha"))
+    hb = doc_sh.select(F.col("doc_id").alias("db"), F.col("harr").alias("hb"))
     jac = (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(ha, F.col("da") == F.col("doc_a"))
+        .join(hb, F.col("db") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("common"),
+            F.size("ha").cast("long").alias("na"),
+            F.size("hb").cast("long").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("common")).cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -1423,10 +1436,10 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     # that label in round s+1, and labels are monotone non-increasing,
     # so re-delivering an unchanged label can never lower a min-fold
     # again. Per round the edge join therefore touches only
-    # frontier-incident edges and the groupBy only message receivers,
-    # instead of ALL edges × ALL labels + a full-label re-aggregation —
-    # at 100 TB component counts that turns rounds × full-graph shuffles
-    # into rounds × frontier-sized shuffles. The per-round LABELING is
+    # frontier-incident edges instead of ALL edges × ALL labels — the
+    # dominant per-round shuffle term (|E| ≥ |V|) now shrinks with the
+    # frontier, which at 100 TB turns rounds × full-edge-list shuffles
+    # into rounds × frontier-sized ones. The per-round LABELING is
     # bit-identical to the full fold (every fold source the old round
     # used is either in the frontier or already absorbed — see the
     # delivered-on-change induction in OPTIMIZATION_r16.md), so round
@@ -1496,20 +1509,27 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
                 F.col("dy.label").alias("label"),
             )
             msgs = msgs.union(jump_a).union(jump_b)
-        upd = (
-            msgs.groupBy("node")
-            .agg(F.min("label").alias("new_mn"))
-            .withColumnRenamed("node", "unode")
-        )
-        # Fold the (small) update frame back onto the full label set —
-        # AQE broadcasts it, so the label frame itself is NOT
-        # re-shuffled; least() skips the NULL of un-messaged nodes.
+        # Fold messages and current labels in the ONE union-aggregate
+        # exchange the full algorithm used (same 2-stage round, so the
+        # frontier restriction costs no extra scheduler wave and no
+        # broadcast that a 100 TB early-round frontier would overflow);
+        # `old` is the unique labels-side value per node, so the
+        # frontier flag falls out of the same aggregation.
+        folded = labels.select(
+            "node", "label", F.lit(0).alias("src")
+        ).union(msgs.select("node", "label", F.lit(1).alias("src")))
         labels = (
-            labels.join(upd, F.col("node") == F.col("unode"), "left")
+            folded.groupBy("node")
+            .agg(
+                F.min("label").alias("mn"),
+                F.min(F.when(F.col("src") == 0, F.col("label"))).alias(
+                    "old"
+                ),
+            )
             .select(
                 "node",
-                F.least(F.col("label"), F.col("new_mn")).alias("label"),
-                (F.col("new_mn") < F.col("label")).alias("chg"),
+                F.col("mn").alias("label"),
+                (F.col("mn") < F.col("old")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )

@@ -942,7 +942,9 @@ def build_dense_index(
     import os
 
     cv = _dense_chunk_vectors(spark, sf_dir)
-    cent_rows, n_chunks = trained_quantizer(cv.select("vec_id", "embedding"))
+    cent_rows, n_chunks = trained_quantizer(
+        cv.select("vec_id", "embedding"), derived=True
+    )
     path = _index_dir("dense_index", sf_dir)
     if not cent_rows:
         return path, cent_rows, n_chunks
@@ -1101,7 +1103,9 @@ def build_dense_index_incr(
     import os
 
     cv = _dense_chunk_vectors(spark, sf_dir)
-    cent_rows, n_chunks = trained_quantizer(cv.select("vec_id", "embedding"))
+    cent_rows, n_chunks = trained_quantizer(
+        cv.select("vec_id", "embedding"), derived=True
+    )
     path = _index_dir("dense_index_incr", sf_dir)
     if not cent_rows:
         return path, cent_rows, n_chunks
@@ -1407,7 +1411,9 @@ def q_dense_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cv = _dense_chunk_vectors(spark, sf_dir)
-    cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    cent_rows, _n = trained_quantizer(
+        cv.select("vec_id", "embedding"), derived=True
+    )
     if not cent_rows:
         return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
     from dist_mapreduce_spark.plans.index_commit import (
@@ -1478,7 +1484,9 @@ def q_dense_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cv = _dense_chunk_vectors(spark, sf_dir)
-    cent_rows, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    cent_rows, _n = trained_quantizer(
+        cv.select("vec_id", "embedding"), derived=True
+    )
     if not cent_rows:
         return spark.createDataFrame([], _DENSE_STATS_SCHEMA)
     from dist_mapreduce_spark.plans.index_commit import (
@@ -1706,15 +1714,30 @@ def q_dense_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics scan + a 64-row mean pull — strictly cheaper than the
     rebuild it gates, which is the point of a monitor."""
     from dist_mapreduce_spark.plans.ann_index import staleness_decision_df
-    from dist_mapreduce_spark.plans.similarity import trained_quantizer
+    from dist_mapreduce_spark.plans.similarity import (
+        _frame_fingerprint,
+        trained_quantizer,
+    )
 
     cv = _dense_chunk_vectors(spark, sf_dir)
-    cent_frozen, _n = trained_quantizer(cv.select("vec_id", "embedding"))
+    cent_frozen, _n = trained_quantizer(
+        cv.select("vec_id", "embedding"), derived=True
+    )
     empty = spark.createDataFrame([], _DENSE_STALE_SCHEMA)
     if not cent_frozen:
         return empty
-    cu = _dense_cu_frame(spark, sf_dir).select("vec_id", "embedding")
-    cent_fresh, n2 = trained_quantizer(cu)
+    # ONE derivation of the post-upsert chunk corpus (round 16): the
+    # fresh trainer AND the statistic both consume the checkpointed
+    # blocks (the statistic alone scans `cu` twice — frozen and fresh
+    # assignment arms). The memo key is fingerprinted from the
+    # UNDERIVED frame so build_dense_retrained_index's identically
+    # constructed cu still shares the fresh training run.
+    cu_raw = _dense_cu_frame(spark, sf_dir).select("vec_id", "embedding")
+    cu_key = _frame_fingerprint(cu_raw)
+    cu = cu_raw.localCheckpoint()
+    cent_fresh, n2 = trained_quantizer(
+        cu, key=cu_key, materialized=True, derived=True
+    )
     if not cent_fresh:
         return empty
     return staleness_decision_df(spark, cu, cent_frozen, cent_fresh, n2)
@@ -1741,7 +1764,9 @@ def build_dense_retrained_index(
     )
 
     cu = _dense_cu_frame(spark, sf_dir)
-    cent_fresh, n2 = trained_quantizer(cu.select("vec_id", "embedding"))
+    cent_fresh, n2 = trained_quantizer(
+        cu.select("vec_id", "embedding"), derived=True
+    )
     path = _index_dir("dense_index_retrained", sf_dir)
     if not cent_fresh:
         return path, cent_fresh, n2

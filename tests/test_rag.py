@@ -616,3 +616,30 @@ def test_dense_maintain_policy_picks_the_right_arm(spark, tmp_path):
     assert stats(out2) == stats(
         q_dense_index_retrain(spark, fire_dir).collect()
     )
+
+
+def test_staleness_fresh_train_memo_key_shared(spark, tmp_path):
+    """Round 16: q_dense_index_staleness pre-materializes the
+    post-upsert chunk frame (one derivation for trainer + statistic)
+    but keys the trainer memo on the UNDERIVED frame's fingerprint —
+    so an identically constructed cu (the retrain/maintain path) must
+    HIT that memo entry instead of training again, and the centroids
+    must be the ones the monitor trained."""
+    from dist_mapreduce_spark.plans import similarity as S
+    from dist_mapreduce_spark.plans.rag import (
+        _dense_cu_frame,
+        q_dense_index_staleness,
+    )
+
+    rows = [(i, " ".join(f"memo{i}_{j}" for j in range(8))) for i in range(12)]
+    sfdir = _write_docs(spark, tmp_path, "memokey", rows)
+    assert q_dense_index_staleness(spark, sfdir).collect()
+    n_before = len(S._TRAINED_MEMO)
+    cu = _dense_cu_frame(spark, sfdir).select("vec_id", "embedding")
+    key = S._frame_fingerprint(cu)
+    assert key in S._TRAINED_MEMO, "underived-cu fingerprint missed the memo"
+    cent_again, _n = S.trained_quantizer(cu, derived=True)
+    assert len(S._TRAINED_MEMO) == n_before, (
+        "retrain-path cu fingerprint created a second memo entry"
+    )
+    assert cent_again == S._TRAINED_MEMO[key][0]

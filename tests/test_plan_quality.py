@@ -221,7 +221,21 @@ def test_skew_hitters_first_exchange_is_the_only_wide_one(spark):
     info = _audit(spark, "skew_hitters")
     assert info["shuffles"] <= 3, info
     assert info["python_stages"] == 0, info
-    assert sorted(info["scan_cols"]) == ["", "user_id:bigint"], info
+    assert sorted(info["scan_cols"]) == ["<no-columns>", "user_id:bigint"], info
+
+
+def test_global_windows_sit_over_bounded_frames(spark):
+    """Round-15 verdict item #7: the scalar-total global windows in
+    sample_temperature and data_mix_report single-partition their
+    frame, which is safe ONLY because the frame is a bounded post-agg
+    result (≤ n_languages / |sources|×|langs| rows). Pin that every
+    Window in these plans consumes an aggregation, not a corpus scan —
+    a refactor that slides the window below the groupBy would
+    single-partition the corpus and must fail here."""
+    for q in ("sample_temperature", "data_mix_report"):
+        info = _audit(spark, q)
+        assert info["windows_over_agg"], (q, info)
+        assert all(info["windows_over_agg"]), (q, info)
 
 
 def test_image_phash_single_shuffle_one_python_stage(spark):

@@ -375,26 +375,41 @@ def train_kmeans_centroids_df(emb, k: int) -> list[list[int]]:
     k_eff = len(centroids)
     if k_eff == 0:
         return []
+    # Per-round update as ONE aggregation keyed on cluster with DIM
+    # sum/count column pairs (round 16, guide §2.3 "aggregate before
+    # you shuffle" / round-15 verdict item #3): the old posexplode
+    # pushed S×DIM rows through a (cluster, dim) hash aggregate and a
+    # SECOND shuffle re-assembled the dims per cluster; now each input
+    # row updates 2·DIM accumulators in place and the round's shuffle
+    # is k rows wide, with the dim re-assembly in plain driver Python.
+    # Values are bit-identical: int64 sums commute; per-dim counts
+    # replicate posexplode's row-per-existing-element semantics exactly
+    # (try_element_at skips NULL/short vectors in the sum like the
+    # exploded NULL val did, size(q) > j counts precisely the rows
+    # whose vector HAS dim j, and a dim no row reaches is skipped like
+    # collect_list skipped it); Python's s // n for n > 0 IS the
+    # sign-safe (s - nonneg_mod) DIV n floor division the oracle uses.
+    sums = [
+        F.sum(F.try_element_at(F.col("q"), F.lit(j + 1))).alias(f"s{j}")
+        for j in range(DIM)
+    ]
+    cnts = [
+        F.sum(F.when(F.size("q") > j, F.lit(1)).otherwise(F.lit(0))).alias(
+            f"n{j}"
+        )
+        for j in range(DIM)
+    ]
     for _ in range(N_ITER):
         assigned = _assign_dispatch(emb, centroids)
-        new_rows = (
-            assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            # Sign-safe integer floor division (Spark DIV truncates
-            # toward zero; subtracting the nonnegative mod first makes
-            # the division exact, so trunc == floor — identical to the
-            # oracle's construction).
-            .withColumn("mean", F.expr("(s - (((s % n) + n) % n)) DIV n"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dims"))
-            .select(
-                "cluster",
-                F.transform(F.col("dims"), lambda st: st["mean"]).alias("centroid"),
-            )
-            .collect()
-        )
-        by_cluster = {r["cluster"]: [int(x) for x in r["centroid"]] for r in new_rows}
+        new_rows = assigned.groupBy("cluster").agg(*sums, *cnts).collect()
+        by_cluster = {}
+        for r in new_rows:
+            cent = []
+            for j in range(DIM):
+                nj = r[f"n{j}"]
+                if nj:
+                    cent.append(int(r[f"s{j}"]) // int(nj))
+            by_cluster[int(r["cluster"])] = cent
         # Empty clusters keep their previous centroid.
         centroids = [by_cluster.get(i, centroids[i]) for i in range(k_eff)]
     return centroids

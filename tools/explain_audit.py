@@ -49,7 +49,11 @@ def _dedupe_cached(plan: str) -> str:
         while j < len(lines) and _content_pos(lines[j]) > pos:
             block.append(lines[j])
             j += 1
-        key = re.sub(r"#\d+L?|plan_id=\d+", "#", "\n".join(block))
+        # Key on tree-prefix-stripped content: reprints of the same
+        # cache entry sit at different depths (different `:  +-`
+        # prefixes) and carry fresh expr/codegen ids.
+        body = "\n".join(ln[_content_pos(ln):] for ln in block)
+        key = re.sub(r"#\d+L?|plan_id=\d+|\*\(\d+\)", "#", body)
         if key in seen:
             out.append(line)  # keep the marker, drop the cached body
         else:

@@ -510,9 +510,11 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c.s_nationkey") == F.col("p.s_nationkey"))
         & (F.col("p.rk") == F.expr("c.rk DIV 2")),
     ).select(F.col("c.node").alias("src"), F.col("p.node").alias("dst"))
+    # Lazy checkpoint (round 16): the round-0 frontier count is the
+    # first action, so one job materializes edges and init labels.
     edges_sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # Round-0 fusion (round 15, same rewrite as propagate_min_labels):
     # with identity initial labels, the first round reduces to

@@ -1459,9 +1459,12 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     checkpoint barriers + convergence collects. Shared by
     dedup_cluster and dedup_cluster_collapsed."""
     pairs = pairs.select("doc_a", "doc_b")
+    # Lazy checkpoint (round 16): the round-0 frontier count below is
+    # the first action, so ONE job materializes the edge blocks AND the
+    # init labels instead of paying a separate eager-checkpoint job.
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Round-0 fusion (round 15): with labels initialized to self, the
     # first round's join+union+groupBy reduces to
     # label0(v) = min({v} ∪ neighbors(v)) — ONE aggregation over the

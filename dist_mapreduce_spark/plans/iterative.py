@@ -375,41 +375,39 @@ def train_kmeans_centroids_df(emb, k: int) -> list[list[int]]:
     k_eff = len(centroids)
     if k_eff == 0:
         return []
-    # Per-round update as ONE aggregation keyed on cluster with DIM
-    # sum/count column pairs (round 16, guide §2.3 "aggregate before
-    # you shuffle" / round-15 verdict item #3): the old posexplode
-    # pushed S×DIM rows through a (cluster, dim) hash aggregate and a
-    # SECOND shuffle re-assembled the dims per cluster; now each input
-    # row updates 2·DIM accumulators in place and the round's shuffle
-    # is k rows wide, with the dim re-assembly in plain driver Python.
-    # Values are bit-identical: int64 sums commute; per-dim counts
-    # replicate posexplode's row-per-existing-element semantics exactly
-    # (try_element_at skips NULL/short vectors in the sum like the
-    # exploded NULL val did, size(q) > j counts precisely the rows
-    # whose vector HAS dim j, and a dim no row reaches is skipped like
-    # collect_list skipped it); Python's s // n for n > 0 IS the
-    # sign-safe (s - nonneg_mod) DIV n floor division the oracle uses.
-    sums = [
-        F.sum(F.try_element_at(F.col("q"), F.lit(j + 1))).alias(f"s{j}")
-        for j in range(DIM)
-    ]
-    cnts = [
-        F.sum(F.when(F.size("q") > j, F.lit(1)).otherwise(F.lit(0))).alias(
-            f"n{j}"
-        )
-        for j in range(DIM)
-    ]
+    # Per-round update: the codegen'd posexplode + (cluster, dim)
+    # partial aggregate stays (map-side combine ships k×DIM partial
+    # sums per task), but the SECOND shuffle the old plan used to
+    # re-assemble dims per cluster (groupBy(cluster) + collect_list +
+    # array_sort) is gone — the final (cluster, dim, s, n) frame is
+    # k×DIM rows, so the driver collects it directly and assembles the
+    # centroids in plain Python (round 16, guide §2.3 / round-15
+    # verdict item #3; plans/r16/kmeans_update_round_*.txt). Values
+    # are bit-identical: Python's s // n for n > 0 IS the sign-safe
+    # (s - nonneg_mod) DIV n floor division the oracle uses, and a dim
+    # no row reaches emits no group, exactly as collect_list skipped
+    # it. (A first attempt replaced the explode with one
+    # groupBy(cluster) carrying 2·DIM sum/count columns — 129 output
+    # fields is over spark.sql.codegen.maxFields, the aggregate fell
+    # out of whole-stage codegen, and the interpreted update measured
+    # +3–8 s per training run at the 20× stress. The explode is the
+    # form that keeps codegen.)
     for _ in range(N_ITER):
         assigned = _assign_dispatch(emb, centroids)
-        new_rows = assigned.groupBy("cluster").agg(*sums, *cnts).collect()
-        by_cluster = {}
+        new_rows = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        dims: dict[int, list] = {}
         for r in new_rows:
-            cent = []
-            for j in range(DIM):
-                nj = r[f"n{j}"]
-                if nj:
-                    cent.append(int(r[f"s{j}"]) // int(nj))
-            by_cluster[int(r["cluster"])] = cent
+            dims.setdefault(int(r["cluster"]), []).append(
+                (int(r["dim"]), int(r["s"]) // int(r["n"]))
+            )
+        by_cluster = {
+            c: [m for _d, m in sorted(pairs)] for c, pairs in dims.items()
+        }
         # Empty clusters keep their previous centroid.
         centroids = [by_cluster.get(i, centroids[i]) for i in range(k_eff)]
     return centroids
